@@ -1,0 +1,211 @@
+"""Static model architecture description.
+
+The analogue of the reference's declarative ``model_config.json`` registry
+(consumed by owq/utils/misc.py:96-140), extended to fully describe the
+forward pass since we implement the models ourselves rather than borrowing
+HuggingFace modules.  One generic decoder (models/transformer.py) covers the
+reference's supported families: OPT (incl. the 350m projection special
+case), LLaMA-1/2/vicuna (incl. GQA), BLOOM (alibi), Falcon (parallel block,
+multi-query) — family selection by substring match on the model name, like
+the reference (owq/utils/misc.py:103-121).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+__all__ = ["ModelConfig", "ARCH_REGISTRY", "arch_for_model", "config_from_hf"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    family: str                     # opt | llama | bloom | falcon
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    max_position_embeddings: int
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = True
+    activation: str = "silu"        # relu | gelu | silu
+    # OPT specifics
+    word_embed_proj_dim: Optional[int] = None   # != hidden -> project_in/out
+    do_layer_norm_before: bool = True
+    # Family structure flags
+    pos_embedding: str = "rope"     # rope | learned | alibi
+    norm_type: str = "rmsnorm"      # rmsnorm | layernorm
+    parallel_block: bool = False    # falcon: attn + mlp share one LN
+    fused_qkv: bool = False         # bloom/falcon fused query_key_value
+    attn_bias: bool = False
+    mlp_bias: bool = False
+    gated_mlp: bool = True          # llama SwiGLU vs plain 2-layer MLP
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def embed_dim(self) -> int:
+        return self.word_embed_proj_dim or self.hidden_size
+
+
+# ---------------------------------------------------------------------------
+# Quantization-facing architecture metadata: which linears exist per block,
+# their CLI aliases, outlier budget ratios, and true-sequential grouping.
+# Mirrors model_config.json:2-97 of the reference.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ArchSpec:
+    family: str
+    map_layer: Dict[str, str]
+    ratios: Dict[str, float]
+    sequential: Tuple[Tuple[str, ...], ...]
+
+
+ARCH_REGISTRY: Dict[str, ArchSpec] = {
+    "opt": ArchSpec(
+        family="opt",
+        map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v",
+                   "out": "attn.o", "fc1": "mlp.fc1", "fc2": "mlp.fc2"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                    ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+    "llama": ArchSpec(
+        family="llama",
+        map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v",
+                   "o": "attn.o", "up": "mlp.up", "gate": "mlp.gate",
+                   "down": "mlp.down"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+        sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                    ("mlp.up", "mlp.gate"), ("mlp.down",)),
+    ),
+    "bloom": ArchSpec(
+        family="bloom",
+        map_layer={"qkv": "attn.qkv", "dense": "attn.o",
+                   "fc1": "mlp.fc1", "fc2": "mlp.fc2"},
+        ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+    "falcon": ArchSpec(
+        family="falcon",
+        map_layer={"qkv": "attn.qkv", "dense": "attn.o",
+                   "fc1": "mlp.fc1", "fc2": "mlp.fc2"},
+        ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+}
+
+
+def arch_for_model(model_name: str) -> ArchSpec:
+    """Family by substring match, like the reference (misc.py:103-121)."""
+    name = model_name.lower()
+    if "opt" in name:
+        return ARCH_REGISTRY["opt"]
+    if "llama" in name or "vicuna" in name:
+        return ARCH_REGISTRY["llama"]
+    if "bloom" in name:
+        return ARCH_REGISTRY["bloom"]
+    if "falcon" in name:
+        return ARCH_REGISTRY["falcon"]
+    raise NotImplementedError(f"{model_name} model family is not implemented.")
+
+
+def config_from_hf(hf_config: Any) -> ModelConfig:
+    """Translate a HuggingFace config object into a ModelConfig."""
+    mt = hf_config.model_type
+    if mt == "opt":
+        return ModelConfig(
+            family="opt",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.ffn_dim,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=1e-5,
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.activation_function,
+            word_embed_proj_dim=getattr(hf_config, "word_embed_proj_dim",
+                                        hf_config.hidden_size),
+            do_layer_norm_before=hf_config.do_layer_norm_before,
+            pos_embedding="learned",
+            norm_type="layernorm",
+            attn_bias=getattr(hf_config, "enable_bias", True),
+            mlp_bias=True,
+            gated_mlp=False,
+        )
+    if mt == "llama":
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+        )
+    if mt == "bloom":
+        return ModelConfig(
+            family="bloom",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=4 * hf_config.hidden_size,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            num_kv_heads=hf_config.n_head,
+            max_position_embeddings=2048,
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=True,
+            activation="gelu",
+            pos_embedding="alibi",
+            norm_type="layernorm",
+            fused_qkv=True,
+            attn_bias=True,
+            mlp_bias=True,
+            gated_mlp=False,
+        )
+    if mt in ("falcon", "RefinedWeb", "RefinedWebModel"):
+        n_kv = hf_config.num_attention_heads
+        if getattr(hf_config, "multi_query", False):
+            n_kv = 1
+        if getattr(hf_config, "new_decoder_architecture", False):
+            n_kv = getattr(hf_config, "num_kv_heads", n_kv)
+        return ModelConfig(
+            family="falcon",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=4 * hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=n_kv,
+            max_position_embeddings=2048,
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=True,
+            activation="gelu",
+            pos_embedding="rope" if getattr(hf_config, "rotary", True) else "alibi",
+            norm_type="layernorm",
+            parallel_block=getattr(hf_config, "parallel_attn", True),
+            fused_qkv=True,
+            attn_bias=getattr(hf_config, "bias", False),
+            mlp_bias=getattr(hf_config, "bias", False),
+            gated_mlp=False,
+        )
+    raise NotImplementedError(f"HF model type {mt} is not supported.")

@@ -1,0 +1,160 @@
+"""HuggingFace checkpoint import: torch state_dict -> owq_tpu param pytree.
+
+The analogue of the reference's ``get_hfmodel`` (owq/utils/modelutils.py:15-41),
+except weights are converted into our functional pytree instead of keeping
+torch modules.  Works fully offline from a local path or an in-memory
+transformers model (used by tests, which instantiate tiny random models from
+configs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig, config_from_hf
+from .transformer import QUANTIZABLE
+from ..runtime.quant_linear import DenseLinear
+
+__all__ = ["import_hf_model", "load_hf_pretrained", "params_from_state_dict"]
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (possibly bf16, which numpy can't represent directly)
+    t = t.detach().cpu()
+    if str(t.dtype) == "torch.bfloat16":
+        t = t.float()
+    return t.numpy()
+
+
+def _linear(sd: Dict[str, Any], prefix: str, dtype) -> DenseLinear:
+    w = jnp.asarray(_np(sd[prefix + ".weight"]).T, dtype=dtype)  # [in, out]
+    b = sd.get(prefix + ".bias")
+    return DenseLinear(w=w, b=None if b is None else jnp.asarray(_np(b), dtype))
+
+
+def _ln(sd: Dict[str, Any], prefix: str, dtype) -> Dict[str, jnp.ndarray]:
+    out = {"w": jnp.asarray(_np(sd[prefix + ".weight"]), dtype)}
+    b = sd.get(prefix + ".bias")
+    if b is not None:
+        out["b"] = jnp.asarray(_np(b), dtype)
+    return out
+
+
+def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
+                           dtype=jnp.float32) -> Dict[str, Any]:
+    """Build the param pytree from a (numpy/torch) HF state dict."""
+    fam = cfg.family
+    p: Dict[str, Any] = {"project_in": None, "project_out": None,
+                         "embed_norm": None, "final_norm": None,
+                         "lm_head": None}
+
+    if fam == "opt":
+        base = "model.decoder."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]), dtype)
+        p["embed_positions"] = jnp.asarray(
+            _np(sd[base + "embed_positions.weight"]), dtype)
+        if base + "project_in.weight" in sd:
+            p["project_in"] = _linear(sd, base + "project_in", dtype)
+        if base + "project_out.weight" in sd:
+            p["project_out"] = _linear(sd, base + "project_out", dtype)
+        if base + "final_layer_norm.weight" in sd and cfg.do_layer_norm_before:
+            p["final_norm"] = _ln(sd, base + "final_layer_norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "self_attn_layer_norm", dtype),
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.out_proj", dtype),
+                },
+                "ln2": _ln(sd, lp + "final_layer_norm", dtype),
+                "mlp": {
+                    "fc1": _linear(sd, lp + "fc1", dtype),
+                    "fc2": _linear(sd, lp + "fc2", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "llama":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                },
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": {
+                    "gate": _linear(sd, lp + "mlp.gate_proj", dtype),
+                    "up": _linear(sd, lp + "mlp.up_proj", dtype),
+                    "down": _linear(sd, lp + "mlp.down_proj", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam in ("bloom", "falcon"):
+        base = "transformer."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "word_embeddings.weight"]), dtype)
+        if base + "word_embeddings_layernorm.weight" in sd:
+            p["embed_norm"] = _ln(sd, base + "word_embeddings_layernorm", dtype)
+        p["final_norm"] = _ln(sd, base + "ln_f", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}h.{i}."
+            blk = {
+                "attn": {
+                    "qkv": _linear(sd, lp + "self_attention.query_key_value", dtype),
+                    "o": _linear(sd, lp + "self_attention.dense", dtype),
+                },
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.dense_h_to_4h", dtype),
+                    "fc2": _linear(sd, lp + "mlp.dense_4h_to_h", dtype),
+                },
+            }
+            blk["ln1"] = _ln(sd, lp + "input_layernorm", dtype)
+            if not cfg.parallel_block:
+                blk["ln2"] = _ln(sd, lp + "post_attention_layernorm", dtype)
+            layers.append(blk)
+        p["layers"] = layers
+    else:
+        raise NotImplementedError(fam)
+
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        p["lm_head"] = _linear(sd, "lm_head", dtype)
+    return p
+
+
+def import_hf_model(hf_model, dtype=jnp.float32):
+    """In-memory transformers model -> (params, ModelConfig)."""
+    cfg = config_from_hf(hf_model.config)
+    params = params_from_state_dict(hf_model.state_dict(), cfg, dtype)
+    return params, cfg
+
+
+def load_hf_pretrained(name_or_path: str, dtype=jnp.float32,
+                       trust_remote_code: bool = False):
+    """Load an HF checkpoint from disk (offline-safe with a local path)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    # skip weight init for speed, like the reference (modelutils.py:15-41):
+    # from_pretrained overwrites everything anyway
+    model = AutoModelForCausalLM.from_pretrained(
+        name_or_path, torch_dtype=torch.float32,
+        trust_remote_code=trust_remote_code)
+    return import_hf_model(model, dtype)

@@ -1,0 +1,145 @@
+"""Decoder building blocks: norms, activations, rotary/alibi position math.
+
+Pure jnp functions matching HuggingFace numerics (the reference evaluates
+through HF modules; ppl parity within ±0.05 requires matching their
+upcasting behavior — SURVEY.md §7.4.6).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "layernorm", "rmsnorm", "activation",
+    "rope_cos_sin", "apply_rope", "alibi_slopes", "alibi_bias",
+    "attention_core", "causal_mask_bias",
+]
+
+
+def layernorm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+              eps: float) -> jnp.ndarray:
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(dt)
+
+
+def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    # HF LlamaRMSNorm: variance in f32, cast back, then weight multiply.
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = (x32 * jax.lax.rsqrt(var + eps)).astype(dt)
+    return y * w.astype(dt)
+
+
+def activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if kind in ("gelu_tanh", "gelu_new", "gelu_pytorch_tanh"):
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {kind}")
+
+
+# --- rotary ----------------------------------------------------------------
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
+                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for HF-style (half-rotated) RoPE.
+
+    positions: [..., T] int -> cos/sin [..., T, head_dim].
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                                / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
+               sin: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q/k: [B, T, H, hd]; cos/sin: [B, T, hd] (broadcast over heads)."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    q2 = q * cos + _rotate_half(q) * sin
+    k2 = k * cos + _rotate_half(k) * sin
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+# --- alibi -----------------------------------------------------------------
+
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Standard ALiBi slope schedule (press et al.; used by BLOOM)."""
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        slopes = pow2_slopes(n_heads)
+    else:
+        base = 2 ** math.floor(math.log2(n_heads))
+        slopes = pow2_slopes(base)
+        extra = pow2_slopes(2 * base)[0::2][: n_heads - base]
+        slopes += extra
+    return jnp.asarray(slopes, jnp.float32)
+
+
+def alibi_bias(n_heads: int, kv_positions: jnp.ndarray) -> jnp.ndarray:
+    """[B, heads, 1, S] additive bias: slope_h * key_position."""
+    slopes = alibi_slopes(n_heads)
+    return (slopes[None, :, None, None]
+            * kv_positions.astype(jnp.float32)[:, None, None, :])
+
+
+# --- attention -------------------------------------------------------------
+
+def causal_mask_bias(q_positions: jnp.ndarray, kv_valid: jnp.ndarray,
+                     kv_positions: jnp.ndarray) -> jnp.ndarray:
+    """Additive mask [B, 1, T, S]: 0 where attendable, -inf-ish elsewhere.
+
+    q_positions: [B, T] absolute positions of the query tokens.
+    kv_valid:    [B, S] 1/0 validity of cache slots.
+    kv_positions:[B, S] absolute positions of cache slots.
+    """
+    ok = (kv_positions[:, None, :] <= q_positions[:, :, None]) & (
+        kv_valid[:, None, :] > 0)
+    bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
+    return bias[:, None, :, :]
+
+
+def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   bias: Optional[jnp.ndarray], scale: float) -> jnp.ndarray:
+    """Softmax attention with f32 logits (HF upcasting behavior).
+
+    q: [B, T, H, hd]; k/v: [B, S, Hkv, hd]; bias: [B, 1|H, T, S] additive.
+    Returns [B, T, H, hd] in q.dtype.  GQA handled by head repetition.
+    """
+    B, T, H, hd = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

@@ -1,0 +1,288 @@
+"""Generic causal decoder covering the reference's model families.
+
+One parameterized forward (OPT / LLaMA / BLOOM / Falcon) instead of the
+reference's four HuggingFace module trees; family differences are static
+branches resolved at trace time from ModelConfig, so each configuration
+compiles to a dedicated XLA program.
+
+Params are plain pytrees (dicts + DenseLinear/PackedLinear dataclasses) —
+no framework modules — which makes layer-wise quantization a pure tree
+transformation.  Every linear that the reference quantizes
+(model_config.json:2-97) is addressable by the same dotted names used in
+ArchSpec ("attn.q", "mlp.down", ...), and ``block_forward`` can return the
+exact input activations of any of them ("taps") for Hessian accumulation —
+the JAX-native replacement for the reference's forward hooks
+(main.py:112-120).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .layers import (
+    activation,
+    alibi_bias,
+    apply_rope,
+    attention_core,
+    causal_mask_bias,
+    layernorm,
+    rmsnorm,
+    rope_cos_sin,
+)
+from ..runtime.quant_linear import DenseLinear, PackedLinear
+
+__all__ = ["KVCache", "block_forward", "forward", "embed", "unembed",
+           "init_cache", "QUANTIZABLE"]
+
+# dotted linear names per family (quantization targets)
+QUANTIZABLE = {
+    "opt": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "llama": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.gate", "mlp.up",
+              "mlp.down"),
+    "bloom": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "falcon": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape KV cache: k/v [L, B, S_max, H_kv, hd], scalar length."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # int32 scalar: tokens already cached
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.norm_type == "rmsnorm":
+        return rmsnorm(x, p["w"], cfg.norm_eps)
+    return layernorm(x, p["w"], p["b"], cfg.norm_eps)
+
+
+def _lin(p, x, kernel: str) -> jnp.ndarray:
+    if isinstance(p, PackedLinear):
+        return p.apply(x, kernel=kernel)
+    return p.apply(x)
+
+
+def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Family-specific fused-QKV layouts -> q [B,T,H,hd], k/v [B,T,Hkv,hd]."""
+    B, T = fused.shape[:2]
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if cfg.family == "bloom":
+        f = fused.reshape(B, T, H, 3, hd)
+        return f[:, :, :, 0], f[:, :, :, 1], f[:, :, :, 2]
+    # falcon
+    if Hkv == H:  # no MQA/GQA: same [H, 3, hd] interleave as bloom new-arch
+        f = fused.reshape(B, T, Hkv, -1, hd)
+        q, k, v = f[:, :, :, :-2], f[:, :, :, -2], f[:, :, :, -1]
+        return q.reshape(B, T, H, hd), k, v
+    f = fused.reshape(B, T, Hkv, H // Hkv + 2, hd)
+    q = f[:, :, :, :-2].reshape(B, T, H, hd)
+    k = f[:, :, :, -2]
+    v = f[:, :, :, -1]
+    return q, k, v
+
+
+def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
+                  mask_bias: jnp.ndarray,
+                  rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  alibi: Optional[jnp.ndarray] = None,
+                  kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  cache_at: Optional[jnp.ndarray] = None,
+                  kernel: str = "xla",
+                  taps: Sequence[str] = (),
+                  ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
+                             Dict[str, jnp.ndarray]]:
+    """One decoder block.
+
+    x: [B, T, hidden].  kv: optional cache (k, v) [B, S_max, Hkv, hd] to
+    update in-place at position ``cache_at``; when None, attention runs over
+    the current T tokens only.  Returns (y, (k_full, v_full), taps).
+    """
+    B, T, _ = x.shape
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    tapped: Dict[str, jnp.ndarray] = {}
+
+    # OPT-350m style post-norm: LN applied after the residual add
+    # (HF OPTDecoderLayer with do_layer_norm_before=False).
+    pre_norm = cfg.do_layer_norm_before
+
+    res = x
+    x_ln = _norm(blk["ln1"], cfg, x) if pre_norm else x
+    attn_p = blk["attn"]
+
+    if cfg.fused_qkv:
+        if "attn.qkv" in taps:
+            tapped["attn.qkv"] = x_ln
+        q, k, v = _split_qkv(cfg, _lin(attn_p["qkv"], x_ln, kernel))
+    else:
+        for name in ("attn.q", "attn.k", "attn.v"):
+            if name in taps:
+                tapped[name] = x_ln
+        q = _lin(attn_p["q"], x_ln, kernel).reshape(B, T, H, hd)
+        k = _lin(attn_p["k"], x_ln, kernel).reshape(B, T, Hkv, hd)
+        v = _lin(attn_p["v"], x_ln, kernel).reshape(B, T, Hkv, hd)
+
+    if rope is not None:
+        q, k = apply_rope(q, k, *rope)
+
+    if kv is not None:
+        k_cache, v_cache = kv
+        k_full = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
+                                              (0, cache_at, 0, 0))
+        v_full = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
+                                              (0, cache_at, 0, 0))
+        k_att, v_att = k_full.astype(x.dtype), v_full.astype(x.dtype)
+    else:
+        k_full, v_full = k, v
+        k_att, v_att = k, v
+
+    bias = mask_bias if alibi is None else mask_bias + alibi
+    ctx = attention_core(q, k_att, v_att, bias, 1.0 / (hd ** 0.5))
+    ctx = ctx.reshape(B, T, H * hd)
+    if "attn.o" in taps:
+        tapped["attn.o"] = ctx
+    attn_out = _lin(attn_p["o"], ctx, kernel)
+
+    if cfg.parallel_block:
+        # falcon-style: mlp reads the same LN output; one residual add
+        mlp_in = x_ln
+        if "mlp.fc1" in taps:
+            tapped["mlp.fc1"] = mlp_in
+        h = activation(_lin(blk["mlp"]["fc1"], mlp_in, kernel), cfg.activation)
+        if "mlp.fc2" in taps:
+            tapped["mlp.fc2"] = h
+        mlp_out = _lin(blk["mlp"]["fc2"], h, kernel)
+        y = res + attn_out + mlp_out
+        return y, (k_full, v_full), tapped
+
+    x = res + attn_out
+    if not pre_norm:
+        x = _norm(blk["ln1"], cfg, x)
+    res = x
+    x_ln2 = _norm(blk["ln2"], cfg, x) if pre_norm else x
+    mlp = blk["mlp"]
+    if cfg.gated_mlp:
+        for name in ("mlp.gate", "mlp.up"):
+            if name in taps:
+                tapped[name] = x_ln2
+        g = _lin(mlp["gate"], x_ln2, kernel)
+        u = _lin(mlp["up"], x_ln2, kernel)
+        h = activation(g, cfg.activation) * u
+        if "mlp.down" in taps:
+            tapped["mlp.down"] = h
+        y = res + _lin(mlp["down"], h, kernel)
+    else:
+        if "mlp.fc1" in taps:
+            tapped["mlp.fc1"] = x_ln2
+        h = activation(_lin(mlp["fc1"], x_ln2, kernel), cfg.activation)
+        if "mlp.fc2" in taps:
+            tapped["mlp.fc2"] = h
+        y = res + _lin(mlp["fc2"], h, kernel)
+    if not pre_norm:
+        y = _norm(blk["ln2"], cfg, y)
+    return y, (k_full, v_full), tapped
+
+
+def embed(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
+          positions: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Token (+learned position) embedding and input projection/norm."""
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0).astype(dtype)
+    if params.get("project_in") is not None:
+        x = params["project_in"].apply(x)
+    if cfg.pos_embedding == "learned":
+        # OPT offsets learned positions by 2 (HF OPTLearnedPositionalEmbedding)
+        pos = jnp.take(params["embed_positions"], positions + 2, axis=0)
+        x = x + pos.astype(dtype)
+    if params.get("embed_norm") is not None:
+        x = _norm(params["embed_norm"], cfg, x)
+    return x
+
+
+def unembed(params: Dict[str, Any], cfg: ModelConfig,
+            x: jnp.ndarray) -> jnp.ndarray:
+    """Final norm + output projection + LM head -> logits [B, T, vocab]."""
+    if params.get("final_norm") is not None:
+        x = _norm(params["final_norm"], cfg, x)
+    if params.get("project_out") is not None:
+        x = params["project_out"].apply(x)
+    if params.get("lm_head") is not None:
+        return params["lm_head"].apply(x)
+    return jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
+            *, cache: Optional[KVCache] = None,
+            positions: Optional[jnp.ndarray] = None,
+            kernel: str = "xla", dtype=jnp.float32,
+            ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Full-model forward.  input_ids: [B, T] -> logits [B, T, vocab].
+
+    Without a cache: plain causal attention over T (ppl eval / calibration).
+    With a cache: tokens are appended at ``cache.length`` (prefill or decode)
+    and attention covers the whole valid cache (static shapes).
+    """
+    B, T = input_ids.shape
+    if cache is None:
+        start = jnp.zeros((), jnp.int32)
+    else:
+        start = cache.length
+    if positions is None:
+        positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+        positions = jnp.broadcast_to(positions, (B, T))
+
+    x = embed(params, cfg, input_ids, positions, dtype=dtype)
+
+    if cache is None:
+        kv_pos = positions
+        kv_valid = jnp.ones((B, T), jnp.int32)
+    else:
+        S = cache.max_len
+        kv_pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+        kv_valid = (kv_pos < start + T).astype(jnp.int32)
+    mask = causal_mask_bias(positions, kv_valid, kv_pos)
+
+    rope = None
+    alibi = None
+    if cfg.pos_embedding == "rope":
+        rope = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            dtype=jnp.float32)
+    elif cfg.pos_embedding == "alibi":
+        # bias depends on key positions; invalid slots are masked anyway
+        alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid)
+
+    new_k, new_v = None, None
+    for i, blk in enumerate(params["layers"]):
+        kv = None if cache is None else (cache.k[i], cache.v[i])
+        x, (kf, vf), _ = block_forward(
+            blk, cfg, x, mask_bias=mask, rope=rope, alibi=alibi,
+            kv=kv, cache_at=start if cache is not None else None,
+            kernel=kernel)
+        if cache is not None:
+            new_k = cache.k.at[i].set(kf) if new_k is None else new_k.at[i].set(kf)
+            new_v = cache.v.at[i].set(vf) if new_v is None else new_v.at[i].set(vf)
+
+    logits = unembed(params, cfg, x)
+    if cache is None:
+        return logits, None
+    return logits, KVCache(k=new_k, v=new_v, length=start + T)

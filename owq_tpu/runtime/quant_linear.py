@@ -1,0 +1,183 @@
+"""Packed mixed-precision linear layers (the reference's ``QuantLinear``).
+
+Reference behavior (owq/quant.py:184-480): a drop-in linear whose weight is
+stored as bit-packed int words + per-output-channel scale/zero + a small set
+of full-precision "weak" input columns (``oweight`` at ``outlieridx``).  The
+packed codes hold the zero-point at weak/padded positions so they dequantize
+to exactly zero and the weak-column contribution is added separately.
+
+Here the layer is a pytree dataclass; ``apply`` is pure and jit-safe.  Two
+execution paths:
+
+  * ``apply(..., kernel='xla')`` — reference path: unpack + dequantize the
+    full matrix and let XLA fuse the matmul (analogue of the reference's
+    prefill dequant+cuBLAS path, owq/quant.py:461-463).
+  * ``kernel='pallas'`` — fused Pallas plane-loop kernels (see
+    owq_tpu.kernels) that never materialize the dequantized matrix.
+
+Weights are stored transposed relative to torch: logical dense weight is
+``[in_features, out_features]`` (x @ W + b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.packing import (
+    pack_int_weights,
+    padded_infeatures,
+    unpack_int_weights,
+    values_per_word,
+)
+from ..core.quantizer import QuantSpec
+
+__all__ = ["DenseLinear", "PackedLinear", "pack_linear", "dequantize_weight"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseLinear:
+    """Plain (or fake-quantized) linear: y = x @ w + b."""
+
+    w: jnp.ndarray                      # [in, out]
+    b: Optional[jnp.ndarray] = None    # [out]
+
+    @property
+    def in_features(self) -> int:
+        return self.w.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.w.shape[1]
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.dot(x, self.w.astype(x.dtype), preferred_element_type=x.dtype)
+        if self.b is not None:
+            y = y + self.b.astype(x.dtype)
+        return y
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedLinear:
+    """OWQ packed linear.
+
+    Array fields:
+      qweight   int32 [nw, out]  plane-chunk packed codes (see core.packing)
+      scales    f32   [out]      per-output-channel scale
+      zeros     f32   [out]      per-output-channel integer zero-point
+      oweight   [n_out, out]     weak-column weights, full precision
+      out_ids   int32 [n_out]    sorted weak-column input indices
+      bias      [out] or None
+    """
+
+    qweight: jnp.ndarray
+    scales: jnp.ndarray
+    zeros: jnp.ndarray
+    oweight: jnp.ndarray
+    out_ids: jnp.ndarray
+    bias: Optional[jnp.ndarray]
+    bits: int = dataclasses.field(metadata=dict(static=True))
+    in_features: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def out_features(self) -> int:
+        return self.qweight.shape[1]
+
+    @property
+    def n_out(self) -> int:
+        return self.oweight.shape[0]
+
+    @property
+    def in_padded(self) -> int:
+        return self.qweight.shape[0] * values_per_word(self.bits)
+
+    def apply(self, x: jnp.ndarray, kernel: str = "xla") -> jnp.ndarray:
+        if kernel == "pallas":
+            from ..kernels import quant_matmul_pallas
+
+            return quant_matmul_pallas(self, x)
+        return _apply_xla(self, x)
+
+
+def dequantize_weight(p: PackedLinear, dtype=jnp.float32) -> jnp.ndarray:
+    """Materialize the dequantized base matrix [in_padded, out].
+
+    Weak columns and padding rows dequantize to exactly 0 (codes hold the
+    zero-point there); weak columns are NOT scattered back here — use
+    ``_apply_xla`` / the kernels for the full product.
+    """
+    q = unpack_int_weights(p.qweight, p.bits)
+    w = q.astype(jnp.float32) * p.scales[None, :] - (p.scales * p.zeros)[None, :]
+    return w.astype(dtype)
+
+
+def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
+    """Unpack-dequantize-matmul reference path (owq/quant.py:221-238)."""
+    in_pad = p.in_padded
+    dtype = x.dtype
+    pad = in_pad - x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]) if pad else x
+    w = dequantize_weight(p, dtype)
+    y = jnp.dot(xp, w, preferred_element_type=jnp.float32)
+    if p.n_out > 0:
+        xo = jnp.take(x, p.out_ids, axis=-1)
+        y = y + jnp.dot(xo, p.oweight.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    y = y.astype(dtype)
+    if p.bias is not None:
+        y = y + p.bias.astype(dtype)
+    return y
+
+
+def pack_linear(W: np.ndarray, scale: np.ndarray, zero: np.ndarray,
+                out_ids: np.ndarray, bits: int, *,
+                sym: bool = False,
+                bias: Optional[np.ndarray] = None,
+                weight_dtype=jnp.bfloat16) -> PackedLinear:
+    """Build a PackedLinear from a reconstructed weight.
+
+    W: [out, in] float (fake-quantized base + full-precision weak columns,
+    as produced by gptq_quantize — reference packs from the same layout,
+    owq/quant.py:290-353).  scale/zero: [out].  out_ids: sorted weak-column
+    indices into the input dim.  For symmetric grids the zero-point is
+    shifted by 2**(bits-1) into the unsigned storage range, exactly like the
+    reference (owq/quant.py:293-294).
+    """
+    W = np.asarray(W, np.float32)
+    scale = np.asarray(scale, np.float32)
+    zero = np.asarray(zero, np.float32)
+    if sym:
+        zero = zero + 2.0 ** (bits - 1)
+    out_ids = np.asarray(out_ids, np.int32)
+    out, infeat = W.shape
+    in_pad, nw = padded_infeatures(infeat, bits)
+
+    # weak columns -> full precision side matrix [n_out, out]
+    oweight = W[:, out_ids].T.copy() if out_ids.size else np.zeros((0, out), np.float32)
+
+    # integer codes; weak + padded positions carry the zero-point
+    q = np.round(W / scale[:, None] + zero[:, None])
+    q = np.clip(q, 0, 2 ** bits - 1).astype(np.int32)  # asym grid (packed runtime)
+    q[:, out_ids] = zero.astype(np.int32)[:, None]
+    qT = np.full((in_pad, out), 0, np.int32)
+    qT[:infeat] = q.T
+    if in_pad > infeat:
+        qT[infeat:] = zero.astype(np.int32)[None, :]
+
+    qweight = np.asarray(pack_int_weights(jnp.asarray(qT), bits))
+    return PackedLinear(
+        qweight=jnp.asarray(qweight),
+        scales=jnp.asarray(scale),
+        zeros=jnp.asarray(zero),
+        oweight=jnp.asarray(oweight, dtype=weight_dtype),
+        out_ids=jnp.asarray(out_ids),
+        bias=None if bias is None else jnp.asarray(bias, dtype=weight_dtype),
+        bits=bits,
+        in_features=infeat,
+    )

@@ -1,0 +1,70 @@
+"""Tiny in-memory HF models for parity tests (no network, random weights)."""
+
+import numpy as np
+import torch
+
+
+def tiny_opt(vocab=97, hidden=32, ffn=64, layers=2, heads=4, max_pos=64,
+             word_embed_proj_dim=None, do_layer_norm_before=True, seed=0):
+    from transformers import OPTConfig, OPTForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = OPTConfig(
+        vocab_size=vocab, hidden_size=hidden, ffn_dim=ffn,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        max_position_embeddings=max_pos,
+        word_embed_proj_dim=word_embed_proj_dim or hidden,
+        do_layer_norm_before=do_layer_norm_before,
+        activation_function="relu",
+    )
+    model = OPTForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_llama(vocab=97, hidden=32, inter=56, layers=2, heads=4, kv_heads=2,
+               max_pos=64, seed=0):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = LlamaForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_bloom(vocab=97, hidden=32, layers=2, heads=4, seed=0):
+    from transformers import BloomConfig, BloomForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = BloomConfig(
+        vocab_size=vocab, hidden_size=hidden, n_layer=layers, n_head=heads,
+        attn_implementation="eager",
+    )
+    model = BloomForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_falcon(vocab=97, hidden=32, layers=2, heads=4, multi_query=True,
+                seed=0):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = FalconConfig(
+        vocab_size=vocab, hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=heads, multi_query=multi_query,
+        parallel_attn=True, bias=False, new_decoder_architecture=False,
+        attn_implementation="eager",
+    )
+    model = FalconForCausalLM(cfg).eval()
+    return model
+
+
+def hf_logits(model, ids: np.ndarray) -> np.ndarray:
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids))
+    return out.logits.float().numpy()

@@ -1,0 +1,82 @@
+"""Logit parity of the generic decoder vs HuggingFace reference models."""
+
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from owq_tpu.models import forward, import_hf_model, init_cache
+import hf_tiny
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fwd(params, cfg, ids):
+    return forward(params, cfg, ids)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fwd_cached(params, cfg, ids, cache):
+    return forward(params, cfg, ids, cache=cache)
+
+
+def _parity(model, ids, atol=2e-4):
+    ref = hf_tiny.hf_logits(model, ids)
+    params, cfg = import_hf_model(model)
+    got = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=atol, rtol=1e-3)
+    return params, cfg
+
+
+def test_opt_parity(rng):
+    model = hf_tiny.tiny_opt()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids)
+
+
+def test_opt_350m_style_parity(rng):
+    # project_in/out + post-norm ordering (the OPT-350m special case,
+    # misc.py:106-107 in the reference)
+    model = hf_tiny.tiny_opt(word_embed_proj_dim=24, do_layer_norm_before=False)
+    ids = rng.integers(0, 97, size=(1, 9))
+    _parity(model, ids)
+
+
+def test_llama_parity_gqa(rng):
+    model = hf_tiny.tiny_llama()
+    ids = rng.integers(0, 97, size=(2, 11))
+    _parity(model, ids)
+
+
+def test_bloom_parity(rng):
+    model = hf_tiny.tiny_bloom()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_falcon_parity(rng):
+    model = hf_tiny.tiny_falcon()
+    ids = rng.integers(0, 97, size=(1, 13))
+    _parity(model, ids)
+
+
+@pytest.mark.parametrize("family", ["opt", "llama"])
+def test_kv_cache_decode_matches_full_forward(rng, family):
+    """Prefill+decode through the cache must equal one full forward."""
+    model = hf_tiny.tiny_opt() if family == "opt" else hf_tiny.tiny_llama()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    pre, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(pre), full[:, :6], atol=2e-4, rtol=1e-3)
+    for t in range(6, 10):
+        step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                  cache)
+        np.testing.assert_allclose(np.asarray(step)[0, 0], full[0, t],
+                                   atol=3e-4, rtol=1e-3)
