@@ -1,0 +1,230 @@
+"""Layer-wise model quantization driver.
+
+The analogue of the reference's ``layerwise_quantize`` (main.py:16-165),
+rebuilt for the functional JAX model:
+
+  * the Catcher hook that steals block-0 inputs becomes a direct call to
+    ``embed`` (we own the forward),
+  * per-linear forward hooks become the ``taps`` return of
+    ``block_forward`` — a jitted pass that yields the exact input
+    activations of a sequential group,
+  * the CPU<->GPU block shuttle becomes (optionally chunked) jitted calls —
+    activations ping-pong between blocks exactly like the reference's
+    inps/outs buffers (main.py:153-161),
+  * GPTQ itself is the jitted scan in recon.gptq, compiled once per
+    (shape, n_out) signature and reused across blocks.
+
+Outlier budget (main.py:70-89): ``r = 12/(16-wbits) * (target_bit-wbits) /
+n_owq_layers``; per-linear ``n_out = round(in_features * r * ratio)``
+rounded up to even.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.quantizer import QuantSpec, find_params_mse, find_params_minmax, fake_quant
+from ..models.config import ArchSpec, ModelConfig
+from ..models.transformer import QUANTIZABLE, block_forward, embed
+from ..models.layers import causal_mask_bias, rope_cos_sin, alibi_bias
+from ..runtime.quant_linear import DenseLinear
+from .gptq import gptq_quantize
+
+__all__ = ["QuantInfo", "outlier_budget", "quantize_model", "calibration_inputs"]
+
+
+@dataclasses.dataclass
+class QuantInfo:
+    """Per-linear quantization state (the reference's saved Quantizer)."""
+
+    scale: np.ndarray      # [out]
+    zero: np.ndarray       # [out]
+    out_ids: np.ndarray    # [n_out] sorted
+    n_out: int
+    bits: int
+    sym: bool
+    loss: float
+
+
+def _get_linear(blk: Dict[str, Any], name: str) -> DenseLinear:
+    part, leaf = name.split(".")
+    return blk[part][leaf]
+
+
+def _set_linear(blk: Dict[str, Any], name: str, lin) -> None:
+    part, leaf = name.split(".")
+    blk[part][leaf] = lin
+
+
+def outlier_budget(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
+                   wbits: int, *, target_bit: Optional[float] = None,
+                   target_rank: Optional[int] = None,
+                   owq_layers: Optional[Dict[str, bool]] = None
+                   ) -> Dict[str, int]:
+    """Weak-column count per linear name (main.py:70-89 semantics)."""
+    names = QUANTIZABLE[cfg.family]
+    if owq_layers is None:
+        owq_layers = {n: True for n in names}
+    n_out_dict = {n: 0 for n in names}
+    if target_bit is not None:
+        n_owq = sum(bool(v) for v in owq_layers.values())
+        r = (12.0 / (16 - wbits)) * (target_bit - wbits) / n_owq
+        blk0 = params["layers"][0]
+        for n in names:
+            if not owq_layers.get(n, False):
+                continue
+            infeat = _get_linear(blk0, n).in_features
+            ratio = arch.ratios.get(n, 0.0)
+            n_out = round(infeat * r * ratio)
+            if n_out % 2 == 1:
+                n_out += 1
+            n_out_dict[n] = n_out
+    elif target_rank is not None:
+        for n in names:
+            if owq_layers.get(n, False):
+                n_out_dict[n] = target_rank
+    return n_out_dict
+
+
+def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
+                       input_ids: np.ndarray, dtype=jnp.float32):
+    """Embed calibration samples and build per-block attention side inputs.
+
+    input_ids: [nsamples, seqlen] -> (x [nsamples, seqlen, hidden], aux dict)
+    """
+    ids = jnp.asarray(input_ids)
+    ns, T = ids.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (ns, T))
+
+    x = jax.jit(embed, static_argnums=(1,))(params, cfg, ids, positions)
+    x = x.astype(dtype)
+
+    mask = causal_mask_bias(positions[:1], jnp.ones((1, T), jnp.int32),
+                            positions[:1])
+    rope = None
+    alibi = None
+    if cfg.pos_embedding == "rope":
+        rope = rope_cos_sin(positions[:1], cfg.head_dim, cfg.rope_theta)
+    elif cfg.pos_embedding == "alibi":
+        alibi = alibi_bias(cfg.num_heads, positions[:1])
+    return x, dict(mask=mask, rope=rope, alibi=alibi)
+
+
+@partial(jax.jit, static_argnames=("cfg", "taps"))
+def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, taps: tuple):
+    """One pass over a chunk: per-tap X^T X (f32) + block outputs."""
+    B = x.shape[0]
+    mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
+    rope_b = None
+    if rope is not None:
+        rope_b = tuple(jnp.broadcast_to(r, (B,) + r.shape[1:]) for r in rope)
+    alibi_b = None
+    if alibi is not None:
+        alibi_b = jnp.broadcast_to(alibi, (B,) + alibi.shape[1:])
+    y, _, tapped = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
+                                 alibi=alibi_b, taps=taps)
+    outers = {}
+    for name, act in tapped.items():
+        a = act.reshape(-1, act.shape[-1]).astype(jnp.float32)
+        outers[name] = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
+    return y, outers
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi):
+    B = x.shape[0]
+    mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
+    rope_b = None
+    if rope is not None:
+        rope_b = tuple(jnp.broadcast_to(r, (B,) + r.shape[1:]) for r in rope)
+    alibi_b = None
+    if alibi is not None:
+        alibi_b = jnp.broadcast_to(alibi, (B,) + alibi.shape[1:])
+    y, _, _ = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
+                            alibi=alibi_b)
+    return y
+
+
+def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
+                   input_ids: np.ndarray, *, wbits: int,
+                   target_bit: Optional[float] = None,
+                   target_rank: Optional[int] = None,
+                   sym: bool = False, tuning: str = "mse",
+                   percdamp: float = 0.01, groupsize: int = -1,
+                   actorder: bool = False, true_sequential: bool = False,
+                   no_frob_norm: bool = False,
+                   owq_layers: Optional[Dict[str, bool]] = None,
+                   chunk: int = 16, dtype=jnp.float32,
+                   verbose: bool = True,
+                   ) -> Tuple[Dict[str, Any], Dict[str, QuantInfo]]:
+    """Quantize all decoder blocks in place (fake-quant weights) and return
+    (params, {"<layer_idx>.<name>": QuantInfo}).
+    """
+    spec = QuantSpec(wbits, sym)
+    mse = tuning == "mse"
+    names = QUANTIZABLE[cfg.family]
+    n_out_dict = outlier_budget(params, cfg, arch, wbits,
+                                target_bit=target_bit, target_rank=target_rank,
+                                owq_layers=owq_layers)
+    groups: Sequence[Sequence[str]]
+    groups = arch.sequential if true_sequential else [list(names)]
+
+    x, aux = calibration_inputs(params, cfg, input_ids, dtype=dtype)
+    ns = x.shape[0]
+    quantizers: Dict[str, QuantInfo] = {}
+
+    for li, blk in enumerate(params["layers"]):
+        for group in groups:
+            taps = tuple(n for n in group if n in names)
+            # Hessian accumulation over calibration chunks
+            hessians = {n: None for n in taps}
+            for s in range(0, ns, chunk):
+                xc = x[s:s + chunk]
+                _, outers = _tap_hessians(blk, cfg, xc, aux["mask"],
+                                          aux["rope"], aux["alibi"], taps)
+                for n in taps:
+                    hessians[n] = outers[n] if hessians[n] is None else hessians[n] + outers[n]
+
+            for n in taps:
+                H = (2.0 / ns) * hessians[n]
+                lin = _get_linear(blk, n)
+                W = lin.w.T.astype(jnp.float32)  # [out, in]
+
+                frob = None
+                if not no_frob_norm:
+                    fs, fz = (find_params_mse(W, spec, num=40) if mse
+                              else find_params_minmax(W, spec))
+                    Wq = fake_quant(W, fs[:, None], fz[:, None], spec)
+                    frob = jnp.sum((W - Wq) ** 2, axis=0)
+
+                t0 = time.time()
+                res = gptq_quantize(W, H, spec, n_out_dict[n],
+                                    frob_norm=frob, percdamp=percdamp,
+                                    actorder=actorder, mse=mse,
+                                    groupsize=groupsize)
+                key = f"{li}.{n}"
+                quantizers[key] = QuantInfo(
+                    scale=np.asarray(res.scale), zero=np.asarray(res.zero),
+                    out_ids=np.asarray(res.out_ids), n_out=n_out_dict[n],
+                    bits=wbits, sym=sym, loss=float(res.loss))
+                _set_linear(blk, n, DenseLinear(
+                    w=res.Q.T.astype(lin.w.dtype), b=lin.b))
+                if verbose:
+                    print(f"quantized layer {key}  n_out={n_out_dict[n]} "
+                          f"loss={float(res.loss):.4f}  ({time.time()-t0:.2f}s)")
+
+        # propagate activations through the (now quantized) block
+        outs = []
+        for s in range(0, ns, chunk):
+            outs.append(_block_out(blk, cfg, x[s:s + chunk], aux["mask"],
+                                   aux["rope"], aux["alibi"]))
+        x = jnp.concatenate(outs, axis=0)
+
+    return params, quantizers

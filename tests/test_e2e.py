@@ -1,0 +1,103 @@
+"""End-to-end: quantize a tiny model -> ppl gate -> pack -> save/load."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from owq_tpu.models import arch_for_model, forward, import_hf_model
+from owq_tpu.recon.pipeline import outlier_budget, quantize_model
+from owq_tpu.runtime.checkpoint import load_checkpoint, pack_model, save_checkpoint
+from owq_tpu.eval.ppl import eval_ppl
+import hf_tiny
+
+
+@pytest.fixture(scope="module")
+def calib(rng_mod=np.random.default_rng(7)):
+    return rng_mod.integers(0, 97, size=(8, 32)).astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def stream(rng_mod=np.random.default_rng(8)):
+    # synthetic "held-out" token stream with some regularity so ppl is finite
+    base = np.arange(96 * 4) % 96
+    noise = rng_mod.integers(0, 96, size=base.size)
+    pick = rng_mod.random(base.size) < 0.3
+    return np.where(pick, noise, base).astype(np.int32)
+
+
+def quantized_tiny_opt(calib, wbits=3, target_bit=3.01, **kw):
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    params, cfg = import_hf_model(model)
+    arch = arch_for_model("opt-tiny")
+    params, quantizers = quantize_model(
+        params, cfg, arch, calib, wbits=wbits, target_bit=target_bit,
+        tuning="minmax", verbose=False, **kw)
+    return model, params, cfg, quantizers
+
+
+def test_budget_matches_reference_formula():
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    params, cfg = import_hf_model(model)
+    arch = arch_for_model("opt")
+    n_out = outlier_budget(params, cfg, arch, 3, target_bit=3.01)
+    # r = (12/13)*0.01/6 per layer; attn: 32*r*1.0 ~ 0.05 -> 0 (even round)
+    r = (12.0 / 13) * 0.01 / 6
+    for name, infeat, ratio in [("attn.q", 32, 1.0), ("mlp.fc2", 64, 0.25)]:
+        want = round(infeat * r * ratio)
+        if want % 2 == 1:
+            want += 1
+        assert n_out[name] == want
+    # a bigger budget actually yields outliers
+    n_out2 = outlier_budget(params, cfg, arch, 3, target_bit=3.8)
+    assert n_out2["attn.q"] > 0 and n_out2["attn.q"] % 2 == 0
+
+
+def test_quantize_improves_over_rtn_ppl(calib, stream):
+    model, params_q, cfg, quantizers = quantized_tiny_opt(
+        calib, target_bit=None, target_rank=2)
+    params_fp, _ = import_hf_model(model)
+
+    ppl_fp = eval_ppl(params_fp, cfg, stream, seqlen=32, batch=4)
+    ppl_q = eval_ppl(params_q, cfg, stream, seqlen=32, batch=4)
+    assert np.isfinite(ppl_q)
+    # a tiny random model won't be close, but must stay in a sane band
+    assert ppl_q < ppl_fp * 3.0
+    assert len(quantizers) == 2 * 6  # 2 layers x 6 linears
+
+
+def test_packed_forward_matches_fake_quant(calib):
+    _, params_q, cfg, quantizers = quantized_tiny_opt(
+        calib, target_bit=None, target_rank=2)
+    ids = calib[:2, :16]
+    ref, _ = forward(params_q, cfg, jnp.asarray(ids))
+
+    import copy
+    packed = pack_model(copy.deepcopy(params_q), quantizers, 3,
+                        weight_dtype=jnp.float32)
+    got, _ = forward(packed, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path, calib):
+    _, params_q, cfg, quantizers = quantized_tiny_opt(
+        calib, target_bit=None, target_rank=2)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+    ids = calib[:1, :8]
+    ref, _ = forward(packed, cfg, jnp.asarray(ids))
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, packed, cfg, quantizers=quantizers, packed=True)
+    params2, cfg2, manifest = load_checkpoint(path)
+    assert cfg2 == cfg
+    assert manifest["packed"] is True
+    got, _ = forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_true_sequential_and_frob(calib, stream):
+    model, params_q, cfg, _ = quantized_tiny_opt(
+        calib, target_bit=None, target_rank=2, true_sequential=True)
+    ppl = eval_ppl(params_q, cfg, stream, seqlen=32, batch=4)
+    assert np.isfinite(ppl)
