@@ -1,0 +1,106 @@
+"""Headline benchmark: decode tokens/s/chip on a 3.01-bit llama-7b.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference repo publishes no numeric tables (BASELINE.md); the driver's
+north star is decode tokens/s/chip at 3.01-bit llama-7b vs. the
+weight-bandwidth roofline on v5e.  ``vs_baseline`` therefore reports the
+fraction of that roofline achieved (1.0 == reading every packed weight byte
+once per token at peak HBM bandwidth, target >= 0.90).
+
+Weights are synthesized on device (random packed codes) — throughput does
+not depend on weight values, and this container has zero egress.
+
+Usage: python bench.py [--model llama-7b] [--tokens 128] [--small]
+"""
+
+import argparse
+import json
+import sys
+
+
+V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth (public spec)
+
+
+def packed_model_bytes(params) -> int:
+    """Bytes of weights that must be streamed per decode token."""
+    import jax
+    import numpy as np
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "nbytes"):
+            total += leaf.nbytes
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama-7b")
+    ap.add_argument("--tokens", type=int, default=128)
+    ap.add_argument("--bits", type=int, default=3)
+    ap.add_argument("--kernel", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes for smoke-testing the harness")
+    args = ap.parse_args()
+
+    from functools import partial
+
+    import jax
+
+    try:  # persistent compile cache (first 7b compile is slow over the tunnel)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from owq_tpu.models.synthetic import build_synthetic, synthetic_config
+    from owq_tpu.runtime.generate import benchmark_decode
+
+    name = "llama-tiny" if args.small else args.model
+    cfg = synthetic_config(name, max_pos=max(args.tokens, 128))
+    # one jitted program builds all weights on-device (a python-loop build
+    # would trigger hundreds of tiny eager compiles through the tunnel)
+    params = jax.jit(partial(build_synthetic, cfg, bits=args.bits,
+                             target_bit=args.bits + 0.01,
+                             dtype=jnp.bfloat16))()
+
+    kernel = args.kernel
+    if kernel == "auto":
+        try:
+            from owq_tpu.kernels import PALLAS_AVAILABLE
+
+            kernel = "pallas" if PALLAS_AVAILABLE() else "xla"
+        except Exception:
+            kernel = "xla"
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, args.tokens)).astype(np.int32)
+    stats = benchmark_decode(params, cfg, ids, kernel=kernel,
+                             cache_dtype=jnp.bfloat16, max_len=args.tokens)
+
+    wbytes = packed_model_bytes(params)
+    roofline_tps = V5E_HBM_GBPS * 1e9 / wbytes
+    result = {
+        "metric": f"{name}_{args.bits}.01bit_decode",
+        "value": round(stats["tokens_per_s"], 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(stats["tokens_per_s"] / roofline_tps, 4),
+    }
+    detail = {
+        "kernel": kernel,
+        "median_ms": round(stats["median_s"] * 1e3, 3),
+        "min_ms": round(stats["min_s"] * 1e3, 3),
+        "weight_bytes": wbytes,
+        "roofline_tokens_per_s": round(roofline_tps, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,10 +43,13 @@ class ModelConfig:
     attn_bias: bool = False
     mlp_bias: bool = False
     gated_mlp: bool = True          # llama SwiGLU vs plain 2-layer MLP
+    # Tensor parallelism: a shard-local config divides head counts but the
+    # per-head dim stays global, so it must be pinned explicitly.
+    head_dim_override: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_heads
+        return self.head_dim_override or self.hidden_size // self.num_heads
 
     @property
     def embed_dim(self) -> int:

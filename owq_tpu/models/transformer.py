@@ -34,7 +34,7 @@ from .layers import (
     rmsnorm,
     rope_cos_sin,
 )
-from ..runtime.quant_linear import DenseLinear, PackedLinear
+from ..runtime.quant_linear import DenseLinear, PackedLinear, ShardedPackedLinear
 
 __all__ = ["KVCache", "block_forward", "forward", "embed", "unembed",
            "init_cache", "QUANTIZABLE"]
@@ -77,7 +77,7 @@ def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.nd
 
 
 def _lin(p, x, kernel: str) -> jnp.ndarray:
-    if isinstance(p, PackedLinear):
+    if isinstance(p, (PackedLinear, ShardedPackedLinear)):
         return p.apply(x, kernel=kernel)
     return p.apply(x)
 
@@ -110,6 +110,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   cache_at: Optional[jnp.ndarray] = None,
                   kernel: str = "xla",
                   taps: Sequence[str] = (),
+                  tp_axis: Optional[str] = None,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -117,6 +118,11 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     x: [B, T, hidden].  kv: optional cache (k, v) [B, S_max, Hkv, hd] to
     update in-place at position ``cache_at``; when None, attention runs over
     the current T tokens only.  Returns (y, (k_full, v_full), taps).
+
+    With ``tp_axis`` set (inside shard_map), the block runs Megatron-style
+    tensor parallelism: q/k/v/gate/up/fc1 are column-parallel (local heads /
+    local ffn slice), o/down/fc2 are row-parallel and their outputs are
+    psum-reduced over the axis — two collectives per block riding ICI.
     """
     B, T, _ = x.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -172,8 +178,14 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         if "mlp.fc2" in taps:
             tapped["mlp.fc2"] = h
         mlp_out = _lin(blk["mlp"]["fc2"], h, kernel)
-        y = res + attn_out + mlp_out
+        both = attn_out + mlp_out
+        if tp_axis is not None:
+            both = jax.lax.psum(both, tp_axis)
+        y = res + both
         return y, (k_full, v_full), tapped
+
+    if tp_axis is not None:
+        attn_out = jax.lax.psum(attn_out, tp_axis)
 
     x = res + attn_out
     if not pre_norm:
@@ -190,14 +202,20 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         h = activation(g, cfg.activation) * u
         if "mlp.down" in taps:
             tapped["mlp.down"] = h
-        y = res + _lin(mlp["down"], h, kernel)
+        mlp_out = _lin(mlp["down"], h, kernel)
+        if tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        y = res + mlp_out
     else:
         if "mlp.fc1" in taps:
             tapped["mlp.fc1"] = x_ln2
         h = activation(_lin(mlp["fc1"], x_ln2, kernel), cfg.activation)
         if "mlp.fc2" in taps:
             tapped["mlp.fc2"] = h
-        y = res + _lin(mlp["fc2"], h, kernel)
+        mlp_out = _lin(mlp["fc2"], h, kernel)
+        if tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        y = res + mlp_out
     if not pre_norm:
         y = _norm(blk["ln2"], cfg, y)
     return y, (k_full, v_full), tapped
@@ -235,6 +253,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             *, cache: Optional[KVCache] = None,
             positions: Optional[jnp.ndarray] = None,
             kernel: str = "xla", dtype=jnp.float32,
+            tp_axis: Optional[str] = None,
             ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Full-model forward.  input_ids: [B, T] -> logits [B, T, vocab].
 
@@ -277,7 +296,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=mask, rope=rope, alibi=alibi,
             kv=kv, cache_at=start if cache is not None else None,
-            kernel=kernel)
+            kernel=kernel, tp_axis=tp_axis)
         if cache is not None:
             new_k = cache.k.at[i].set(kf) if new_k is None else new_k.at[i].set(kf)
             new_v = cache.v.at[i].set(vf) if new_v is None else new_v.at[i].set(vf)

@@ -1,0 +1,156 @@
+"""Autoregressive generation and decode benchmarking.
+
+The reference benchmarks with a Python loop feeding one token per
+``model()`` call and reusing ``past_key_values`` (main.py:305-353).  Here the
+decode step is a single jitted function over the static-shape KVCache; the
+whole multi-token decode can additionally run as one ``lax.scan`` on device
+(zero host round-trips — the idiomatic TPU decode loop).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.transformer import KVCache, forward, init_cache
+
+__all__ = ["prefill", "decode_step", "generate", "benchmark_decode"]
+
+
+@partial(jax.jit, static_argnames=("cfg", "kernel"))
+def prefill(params, cfg: ModelConfig, ids: jnp.ndarray, cache: KVCache,
+            kernel: str = "xla") -> Tuple[jnp.ndarray, KVCache]:
+    """Run the prompt through the model; returns (last-position logits, cache)."""
+    logits, cache = forward(params, cfg, ids, cache=cache, kernel=kernel)
+    return logits[:, -1], cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "kernel"))
+def decode_step(params, cfg: ModelConfig, tok: jnp.ndarray, cache: KVCache,
+                kernel: str = "xla") -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step.  tok: [B, 1] -> (logits [B, vocab], cache)."""
+    logits, cache = forward(params, cfg, tok, cache=cache, kernel=kernel)
+    return logits[:, -1], cache
+
+
+def _sample(logits: jnp.ndarray, key, temperature: float, top_p: float
+            ) -> jnp.ndarray:
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "kernel", "temperature",
+                                   "top_p"))
+def _scan_decode(params, cfg: ModelConfig, first_tok, cache: KVCache, key,
+                 steps: int, kernel: str, temperature: float, top_p: float):
+    """On-device decode loop: lax.scan over steps, no host round-trips."""
+
+    def step(carry, _):
+        tok, cache, key = carry
+        logits, cache = forward(params, cfg, tok[:, None], cache=cache,
+                                kernel=kernel)
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits[:, -1], sub, temperature, top_p)
+        return (nxt, cache, key), nxt
+
+    (_, cache, _), toks = jax.lax.scan(
+        step, (first_tok, cache, key), None, length=steps)
+    return jnp.moveaxis(toks, 0, 1), cache  # [B, steps]
+
+
+def generate(params, cfg: ModelConfig, prompt_ids: np.ndarray,
+             max_new_tokens: int, *, max_len: Optional[int] = None,
+             temperature: float = 0.0, top_p: float = 1.0, seed: int = 0,
+             kernel: str = "xla", cache_dtype=jnp.bfloat16,
+             ) -> np.ndarray:
+    """Generate continuations.  prompt_ids: [B, T] -> [B, max_new_tokens]."""
+    prompt_ids = np.asarray(prompt_ids)
+    B, T = prompt_ids.shape
+    max_len = max_len or (T + max_new_tokens)
+    cache = init_cache(cfg, B, max_len, dtype=cache_dtype)
+    logits, cache = prefill(params, cfg, jnp.asarray(prompt_ids), cache,
+                            kernel=kernel)
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    first = _sample(logits, sub, temperature, top_p)
+    if max_new_tokens == 1:
+        return np.asarray(first)[:, None]
+    rest, _ = _scan_decode(params, cfg, first, cache, key,
+                           max_new_tokens - 1, kernel, temperature, top_p)
+    return np.concatenate([np.asarray(first)[:, None], np.asarray(rest)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "kernel"))
+def _bench_step(params, cfg: ModelConfig, tok, tgt, nll, cache: KVCache,
+                kernel: str):
+    """One timed decode step, fully device-resident: forward the current
+    token, score the next (teacher-forced) token, accumulate NLL."""
+    logits, cache = forward(params, cfg, tok, cache=cache, kernel=kernel)
+    logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    nll = nll - logp[0, tgt[0]]
+    return nll, cache
+
+
+def benchmark_decode(params, cfg: ModelConfig, input_ids: np.ndarray, *,
+                     kernel: str = "xla", cache_dtype=jnp.bfloat16,
+                     max_len: Optional[int] = None, warmup: int = 3,
+                     ) -> Dict[str, float]:
+    """Reference-protocol token-latency benchmark (main.py:305-353).
+
+    Feeds ``input_ids`` one token at a time through a jitted decode step,
+    timing each step with a device sync.  All tokens are transferred up
+    front and the NLL accumulates on device — the timed loop does no
+    host<->device data movement beyond the sync itself.
+    """
+    input_ids = np.asarray(input_ids).reshape(1, -1)
+    n = input_ids.shape[1]
+    max_len = max_len or n
+    cache = init_cache(cfg, 1, max_len, dtype=cache_dtype)
+
+    toks = jax.device_put(jnp.asarray(input_ids))  # [1, n]
+    tok_slices = [toks[:, i:i + 1] for i in range(n)]
+    tgts = [toks[:, min(i + 1, n - 1)] for i in range(n)]
+    for t in tok_slices:
+        t.block_until_ready()
+
+    nll = jnp.zeros((), jnp.float32)
+    # compile + warmup outside the timed region (cache state is discarded)
+    nll0, cache0 = _bench_step(params, cfg, tok_slices[0], tgts[0], nll,
+                               cache, kernel)
+    for _ in range(warmup):
+        w, _ = _bench_step(params, cfg, tok_slices[0], tgts[0], nll, cache,
+                           kernel)
+    w.block_until_ready()
+
+    nll, cache = nll0, cache0
+    times = []
+    for i in range(1, n):
+        t0 = time.perf_counter()
+        nll, cache = _bench_step(params, cfg, tok_slices[i], tgts[i], nll,
+                                 cache, kernel)
+        nll.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    med = float(np.median(times))
+    return {
+        "median_s": med,
+        "min_s": float(np.min(times)),
+        "tokens_per_s": 1.0 / med,
+        # last step predicts a clamped duplicate target; negligible in ppl
+        "ppl": float(np.exp(float(nll) / n)),
+    }

@@ -36,7 +36,8 @@ from ..core.packing import (
 )
 from ..core.quantizer import QuantSpec
 
-__all__ = ["DenseLinear", "PackedLinear", "pack_linear", "dequantize_weight"]
+__all__ = ["DenseLinear", "PackedLinear", "ShardedPackedLinear",
+           "pack_linear", "dequantize_weight", "shard_packed_rowwise"]
 
 
 @jax.tree_util.register_dataclass
@@ -118,13 +119,42 @@ def dequantize_weight(p: PackedLinear, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
-    """Unpack-dequantize-matmul reference path (owq/quant.py:221-238)."""
-    in_pad = p.in_padded
+    """Plane-sum dequant-matmul (XLA path).
+
+    Instead of materializing the dequantized matrix (the reference's prefill
+    path, owq/quant.py:221-238), the product is decomposed per bit-plane:
+
+        y_c = s_c * sum_p (x_chunk_p @ q_plane_p)_c  -  s_c z_c * sum(x)
+
+    Each plane operand is a pure shift+mask of the packed words, which XLA
+    can fuse into the dot's operand read; the zero-point term folds into a
+    single per-column correction.  Mathematically identical to dequantizing
+    (weak/padded rows cancel exactly: q == z there).
+    """
     dtype = x.dtype
+    in_pad = p.in_padded
     pad = in_pad - x.shape[-1]
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]) if pad else x
-    w = dequantize_weight(p, dtype)
-    y = jnp.dot(xp, w, preferred_element_type=jnp.float32)
+    lead = xp.shape[:-1]
+    nw = p.qweight.shape[0]
+    v = in_pad // nw
+    xr = xp.reshape(-1, v, nw)
+    qw = jax.lax.stop_gradient(p.qweight).astype(jnp.uint32)
+    mask = jnp.uint32((1 << p.bits) - 1)
+
+    acc = None
+    for pl in range(v):
+        qpl = ((qw >> (p.bits * pl)) & mask).astype(dtype)  # [nw, out]
+        part = jnp.dot(xr[:, pl, :], qpl, preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+
+    scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
+    zeros = jax.lax.stop_gradient(p.zeros).astype(jnp.float32)
+    xsum = jnp.sum(xp.reshape(-1, in_pad).astype(jnp.float32), axis=-1,
+                   keepdims=True)
+    y = acc * scales[None, :] - xsum * (scales * zeros)[None, :]
+    y = y.reshape(*lead, p.out_features)
+
     if p.n_out > 0:
         xo = jnp.take(x, p.out_ids, axis=-1)
         y = y + jnp.dot(xo, p.oweight.astype(dtype),
@@ -133,6 +163,91 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     if p.bias is not None:
         y = y + p.bias.astype(dtype)
     return y
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedPackedLinear:
+    """Row-parallel (input-axis sharded) packed linear for tensor parallelism.
+
+    The plane-chunk layout packs whole input chunks into each word, so an
+    input-sharded packed matrix cannot be sliced mid-array; instead each TP
+    shard gets its own independently packed block, stacked on a leading
+    shard axis (sharded with PartitionSpec('tp', ...)).  Inside shard_map the
+    local slice has leading dim 1 — ``local()`` squeezes it into a plain
+    PackedLinear whose outlier indices are local to the shard's input slice.
+
+    ``bias`` is pre-divided by the shard count so the post-matmul psum
+    reconstitutes it exactly once.
+    """
+
+    qweight: jnp.ndarray    # [S, nw_local, out]
+    scales: jnp.ndarray     # [out] replicated
+    zeros: jnp.ndarray      # [out] replicated
+    oweight: jnp.ndarray    # [S, n_max, out]  zero rows where padded
+    out_ids: jnp.ndarray    # [S, n_max] local indices (0 where padded)
+    bias: Optional[jnp.ndarray]
+    bits: int = dataclasses.field(metadata=dict(static=True))
+    in_features_local: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_shards(self) -> int:
+        return self.qweight.shape[0]
+
+    def local(self) -> PackedLinear:
+        """View the (shard-local, leading dim 1) slice as a PackedLinear."""
+        return PackedLinear(
+            qweight=self.qweight[0], scales=self.scales, zeros=self.zeros,
+            oweight=self.oweight[0], out_ids=self.out_ids[0], bias=self.bias,
+            bits=self.bits, in_features=self.in_features_local)
+
+    def apply(self, x: jnp.ndarray, kernel: str = "xla") -> jnp.ndarray:
+        return self.local().apply(x, kernel=kernel)
+
+
+def shard_packed_rowwise(p: PackedLinear, shards: int) -> ShardedPackedLinear:
+    """Re-pack a PackedLinear into ``shards`` independent input-row blocks."""
+    from ..core.packing import pack_np, unpack_np
+
+    infeat, out = p.in_features, p.out_features
+    if infeat % shards:
+        raise ValueError(f"in_features {infeat} not divisible by {shards} shards")
+    loc = infeat // shards
+    codes = unpack_np(np.asarray(p.qweight), p.bits, infeat)  # [in, out]
+    zeros_i = np.asarray(p.zeros).astype(np.int32)
+    out_ids = np.asarray(p.out_ids)
+    ow = np.asarray(p.oweight, np.float32)
+
+    per_shard = [out_ids[(out_ids >= s * loc) & (out_ids < (s + 1) * loc)]
+                 for s in range(shards)]
+    n_max = max((len(ids) for ids in per_shard), default=0)
+    n_max = max(n_max, 1) if p.n_out > 0 else 0
+
+    qws, oids, ows = [], [], []
+    for s in range(shards):
+        qws.append(pack_np(codes[s * loc:(s + 1) * loc], p.bits, zero=zeros_i))
+        ids = per_shard[s]
+        pad = n_max - len(ids)
+        lids = np.concatenate([ids - s * loc,
+                               np.zeros(pad, np.int32)]).astype(np.int32)
+        # rows of oweight for this shard's ids (zeros where padded)
+        rows = np.zeros((n_max, out), np.float32)
+        if len(ids):
+            sel = np.searchsorted(out_ids, ids)
+            rows[: len(ids)] = ow[sel]
+        oids.append(lids)
+        ows.append(rows)
+
+    bias = None
+    if p.bias is not None:
+        bias = (np.asarray(p.bias, np.float32) / shards).astype(np.float32)
+    return ShardedPackedLinear(
+        qweight=jnp.asarray(np.stack(qws)),
+        scales=p.scales, zeros=p.zeros,
+        oweight=jnp.asarray(np.stack(ows), dtype=p.oweight.dtype),
+        out_ids=jnp.asarray(np.stack(oids)),
+        bias=None if bias is None else jnp.asarray(bias, dtype=p.scales.dtype),
+        bits=p.bits, in_features_local=loc)
 
 
 def pack_linear(W: np.ndarray, scale: np.ndarray, zero: np.ndarray,

@@ -1,0 +1,119 @@
+"""Tensor/data parallelism on the 8-device virtual CPU mesh."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from owq_tpu.models import forward, import_hf_model, arch_for_model
+from owq_tpu.parallel import (
+    make_mesh,
+    make_tp_forward,
+    make_tp_train_step,
+    place_params,
+    shard_model_tp,
+)
+from owq_tpu.recon.pipeline import quantize_model
+from owq_tpu.runtime.checkpoint import pack_model
+from owq_tpu.runtime.quant_linear import PackedLinear, shard_packed_rowwise
+import hf_tiny
+
+
+def _packed_tiny_llama(rng, n_out=2, kv_heads=2):
+    model = hf_tiny.tiny_llama(hidden=32, inter=64, layers=2, heads=4,
+                               kv_heads=kv_heads)
+    params, cfg = import_hf_model(model)
+    calib = rng.integers(0, 97, size=(4, 16)).astype(np.int32)
+    params, quantizers = quantize_model(
+        params, cfg, arch_for_model("llama"), calib, wbits=3,
+        target_rank=n_out, tuning="minmax", verbose=False)
+    packed = pack_model(params, quantizers, 3, weight_dtype=jnp.float32)
+    return packed, cfg
+
+
+def test_shard_packed_rowwise_matches(rng):
+    """Per-shard repacking reproduces the unsharded product."""
+    from owq_tpu.core import QuantSpec, find_params, quantize_to_int
+    from owq_tpu.runtime.quant_linear import pack_linear
+
+    W = rng.standard_normal((24, 64)).astype(np.float32)  # [out, in]
+    spec = QuantSpec(3, False)
+    s, z = find_params(W, spec, mse=False)
+    s, z = np.asarray(s), np.asarray(z)
+    Wq = np.asarray(jnp.clip(jnp.round(W / s[:, None]) + z[:, None], 0, 7))
+    Wfake = s[:, None] * (Wq - z[:, None])
+    out_ids = np.array([3, 40], np.int32)
+    Wfake[:, out_ids] = W[:, out_ids]  # weak columns keep fp values
+    p = pack_linear(Wfake, s, z, out_ids, 3, weight_dtype=jnp.float32)
+
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    ref = np.asarray(p.apply(jnp.asarray(x)))
+
+    sp = shard_packed_rowwise(p, 4)
+    acc = np.zeros_like(ref)
+    for sh in range(4):
+        local = PackedLinear(
+            qweight=sp.qweight[sh], scales=sp.scales, zeros=sp.zeros,
+            oweight=sp.oweight[sh], out_ids=sp.out_ids[sh], bias=sp.bias,
+            bits=3, in_features=sp.in_features_local)
+        xs = x[:, sh * 16:(sh + 1) * 16]
+        acc += np.asarray(local.apply(jnp.asarray(xs)))
+    np.testing.assert_allclose(acc, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (1, 4)])
+def test_tp_forward_matches_single_device(rng, dp, tp):
+    packed, cfg = _packed_tiny_llama(rng, kv_heads=2 if tp == 2 else 4)
+    ids = rng.integers(0, 97, size=(2, 12)).astype(np.int32)
+    ref, _ = forward(packed, cfg, jnp.asarray(ids))
+    ref = np.asarray(ref)
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(packed), cfg, tp)
+    mesh = make_mesh(dp=dp, tp=tp)
+    with mesh:
+        params_tp = place_params(params_tp, mesh)
+        fwd = make_tp_forward(mesh, cfg, params_tp)
+        got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_tp_dense_forward_matches(rng):
+    """TP on an unquantized (dense) model too."""
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2, heads=4)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(2, 8)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh)
+        fwd = make_tp_forward(mesh, cfg, params_tp)
+        got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_tp_train_step_updates_weak_columns_only(rng):
+    packed, cfg = _packed_tiny_llama(rng)
+    params_tp, _ = shard_model_tp(copy.deepcopy(packed), cfg, 2)
+    mesh = make_mesh(dp=2, tp=2)
+    ids = rng.integers(0, 97, size=(4, 10)).astype(np.int32)
+    with mesh:
+        params_tp = place_params(params_tp, mesh)
+        step = make_tp_train_step(mesh, cfg, params_tp, lr=1e-2)
+        new_params, loss = step(params_tp, jnp.asarray(ids))
+    assert np.isfinite(float(loss))
+
+    old_lin = params_tp["layers"][0]["attn"]["q"]
+    new_lin = new_params["layers"][0]["attn"]["q"]
+    # integer codes unchanged; weak columns moved
+    np.testing.assert_array_equal(np.asarray(old_lin.qweight),
+                                  np.asarray(new_lin.qweight))
+    assert not np.allclose(np.asarray(old_lin.oweight),
+                           np.asarray(new_lin.oweight))
+    # scales frozen (stop_gradient on the dequantized base)
+    np.testing.assert_array_equal(np.asarray(old_lin.scales),
+                                  np.asarray(new_lin.scales))
