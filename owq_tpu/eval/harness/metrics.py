@@ -1,0 +1,82 @@
+"""Aggregation metrics + bootstrap standard errors.
+
+Same metric vocabulary as the reference harness (lm_eval/metrics.py):
+mean/acc, f1, matthews, perplexity, weighted perplexity, bits_per_byte,
+and nonparametric bootstrap stderr.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["mean", "perplexity", "weighted_perplexity", "bits_per_byte",
+           "matthews_corrcoef", "f1_score", "bootstrap_stderr", "stderr_for"]
+
+
+def mean(items: Sequence[float]) -> float:
+    return float(np.mean(items))
+
+
+def perplexity(items: Sequence[Tuple[float, float]]) -> float:
+    """items: (loglikelihood, token_count)."""
+    lls = [ll for ll, _ in items]
+    toks = [n for _, n in items]
+    return float(math.exp(-sum(lls) / max(sum(toks), 1)))
+
+
+def weighted_perplexity(items: Sequence[Tuple[float, float]]) -> float:
+    return perplexity(items)
+
+
+def bits_per_byte(items: Sequence[Tuple[float, float]]) -> float:
+    """items: (loglikelihood, byte_count)."""
+    lls = [ll for ll, _ in items]
+    nbytes = [n for _, n in items]
+    return float(-sum(lls) / max(sum(nbytes), 1) / math.log(2))
+
+
+def matthews_corrcoef(items: Sequence[Tuple[int, int]]) -> float:
+    golds = np.asarray([g for g, _ in items])
+    preds = np.asarray([p for _, p in items])
+    tp = int(((golds == 1) & (preds == 1)).sum())
+    tn = int(((golds == 0) & (preds == 0)).sum())
+    fp = int(((golds == 0) & (preds == 1)).sum())
+    fn = int(((golds == 1) & (preds == 0)).sum())
+    denom = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return (tp * tn - fp * fn) / denom if denom else 0.0
+
+
+def f1_score(items: Sequence[Tuple[int, int]]) -> float:
+    golds = np.asarray([g for g, _ in items])
+    preds = np.asarray([p for _, p in items])
+    tp = int(((golds == 1) & (preds == 1)).sum())
+    fp = int(((golds == 0) & (preds == 1)).sum())
+    fn = int(((golds == 1) & (preds == 0)).sum())
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0
+
+
+def bootstrap_stderr(metric: Callable, items: List, iters: int = 1000,
+                     seed: int = 1234) -> float:
+    rnd = random.Random(seed)
+    n = len(items)
+    if n <= 1:
+        return 0.0
+    stats = []
+    for _ in range(min(iters, 1000)):
+        sample = [items[rnd.randrange(n)] for _ in range(n)]
+        stats.append(metric(sample))
+    return float(np.std(stats, ddof=1))
+
+
+def stderr_for(metric_name: str, metric: Callable, items: List) -> float:
+    if metric_name in ("acc", "acc_norm", "em", "exact_match", "mean"):
+        vals = np.asarray(items, dtype=np.float64)
+        if vals.size <= 1:
+            return 0.0
+        return float(vals.std(ddof=1) / math.sqrt(vals.size))
+    return bootstrap_stderr(metric, items)

@@ -46,7 +46,8 @@ def _plane_kernel(x_ref, q_ref, o_ref, *, bits: int, nw: int, acc_dtype):
     q = q_ref[:].astype(jnp.uint32)
     acc = None
     for p in range(v):
-        plane = ((q >> (bits * p)) & mask).astype(x_ref.dtype)
+        # uint32 -> float is not a legal cast on TPU; hop through int32
+        plane = ((q >> (bits * p)) & mask).astype(jnp.int32).astype(x_ref.dtype)
         xs = x_ref[:, p * nw:(p + 1) * nw]
         part = jnp.dot(xs, plane, preferred_element_type=acc_dtype)
         acc = part if acc is None else acc + part

@@ -144,7 +144,8 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
 
     acc = None
     for pl in range(v):
-        qpl = ((qw >> (p.bits * pl)) & mask).astype(dtype)  # [nw, out]
+        # (uint32 -> float is not a legal cast on TPU; hop through int32)
+        qpl = ((qw >> (p.bits * pl)) & mask).astype(jnp.int32).astype(dtype)
         part = jnp.dot(xr[:, pl, :], qpl, preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
 
