@@ -10,16 +10,23 @@ unpack a whole [sublane, lane] tile per instruction.  We therefore use a
   V = values per 32-bit word (10 for 3-bit, 8 for 4-bit)
   nw = padded_in // V          (number of packed words per column)
 
-  qweight[w, c] = sum_p  q[p * nw + w, c] << (bits * p)     p in [0, V)
+  qweight[w, c] = sum_p  q[p * nw + w, c] << offset(p)      p in [0, V)
 
-i.e. the input dimension is split into V *contiguous* chunks of nw rows and
-word ``w`` packs row ``w`` of every chunk.  Extracting "plane" p of the word
-array yields the contiguous row block [p*nw, (p+1)*nw) of the logical int
-matrix, so a dequant-matmul is simply
+with *paired half-word offsets*: the first V/2 planes live in the low 16
+bits (offset bits*p) and the last V/2 planes in the high 16 bits (offset
+16 + bits*(p - V/2)).  The input dimension is split into V *contiguous*
+chunks of nw rows and word ``w`` packs row ``w`` of every chunk, so a
+dequant-matmul is
 
-  y = sum_p  x[p*nw:(p+1)*nw] @ dequant((qweight >> bits*p) & mask)
+  y = sum_p  x[p*nw:(p+1)*nw] @ dequant((qweight >> offset(p)) & mask)
 
-with zero data movement: no transposes, no gathers, no cross-word straddling.
+with zero data movement: no transposes, no gathers, no cross-word
+straddling.  The half-word pairing exists for the decode kernel's fast
+path: ``((q >> bits*k) & 0x000m000m) | 0x43004300`` bitcast to bf16 yields
+TWO dequantized-plus-128 values (planes k and k+V/2) per VPU op, because
+TPU bitcast int32->bf16 interleaves sublanes (row 2i = low half, row 2i+1 =
+high half) — see kernels/gemv.py.
+
 The tail of the input dimension is padded; padded rows are filled with the
 per-channel zero-point so they dequantize to exactly 0 (the same trick the
 reference uses to null out outlier columns, owq/quant.py:307-309).
@@ -59,6 +66,14 @@ def values_per_word(bits: int) -> int:
     return _VPW[bits]
 
 
+def plane_offset(bits: int, p: int) -> int:
+    """Bit offset of plane p in the paired half-word layout."""
+    half = values_per_word(bits) // 2
+    if p < half:
+        return bits * p
+    return 16 + bits * (p - half)
+
+
 def padded_infeatures(infeatures: int, bits: int) -> Tuple[int, int]:
     """Return (in_padded, nw) for the plane-chunk layout."""
     v = values_per_word(bits)
@@ -82,7 +97,7 @@ def pack_np(q: np.ndarray, bits: int, zero: np.ndarray | None = None) -> np.ndar
         qp[infeat:] = (zero.astype(np.int64) & ((1 << bits) - 1))[None, :]
     words = np.zeros((nw, out), dtype=np.uint32)
     for p in range(v):
-        words |= qp[p * nw:(p + 1) * nw] << np.uint32(bits * p)
+        words |= qp[p * nw:(p + 1) * nw] << np.uint32(plane_offset(bits, p))
     return words.view(np.int32)
 
 
@@ -92,7 +107,7 @@ def unpack_np(words: np.ndarray, bits: int, infeatures: int) -> np.ndarray:
     nw = words.shape[0]
     mask = np.uint32((1 << bits) - 1)
     w = words.view(np.uint32)
-    planes = [(w >> np.uint32(bits * p)) & mask for p in range(v)]
+    planes = [(w >> np.uint32(plane_offset(bits, p))) & mask for p in range(v)]
     full = np.concatenate(planes, axis=0).astype(np.int32)
     return full[:infeatures]
 
@@ -106,7 +121,7 @@ def pack_int_weights(q: jnp.ndarray, bits: int) -> jnp.ndarray:
     qp = q.astype(jnp.uint32) & ((1 << bits) - 1)
     words = jnp.zeros((nw, out), dtype=jnp.uint32)
     for p in range(v):
-        words = words | (qp[p * nw:(p + 1) * nw] << (bits * p))
+        words = words | (qp[p * nw:(p + 1) * nw] << plane_offset(bits, p))
     return words.astype(jnp.int32)
 
 
@@ -116,5 +131,6 @@ def unpack_int_weights(words: jnp.ndarray, bits: int) -> jnp.ndarray:
     v = values_per_word(bits)
     w = words.astype(jnp.uint32)
     mask = jnp.uint32((1 << bits) - 1)
-    planes = [((w >> (bits * p)) & mask).astype(jnp.int32) for p in range(v)]
+    planes = [((w >> plane_offset(bits, p)) & mask).astype(jnp.int32)
+              for p in range(v)]
     return jnp.concatenate(planes, axis=0)

@@ -35,35 +35,72 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.packing import values_per_word
+from ..core.packing import plane_offset, values_per_word
 
 __all__ = ["quant_matmul", "packed_matmul_kernel"]
 
+_BF16_128 = 0x43004300  # bf16(128.0) in both halves of an int32 lane
+
 
 def _plane_kernel(x_ref, q_ref, o_ref, *, bits: int, nw: int, acc_dtype):
+    """Generic path: one shift+mask+convert per plane (any x dtype)."""
     v = values_per_word(bits)
     mask = jnp.uint32((1 << bits) - 1)
     q = q_ref[:].astype(jnp.uint32)
     acc = None
     for p in range(v):
         # uint32 -> float is not a legal cast on TPU; hop through int32
-        plane = ((q >> (bits * p)) & mask).astype(jnp.int32).astype(x_ref.dtype)
+        plane = ((q >> plane_offset(bits, p)) & mask
+                 ).astype(jnp.int32).astype(x_ref.dtype)
         xs = x_ref[:, p * nw:(p + 1) * nw]
         part = jnp.dot(xs, plane, preferred_element_type=acc_dtype)
         acc = part if acc is None else acc + part
     o_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "interpret"))
+def _paired_kernel(x_ref, q_ref, o_ref, *, bits: int, nw: int):
+    """Fast path: one shift+mask+or per TWO values via bf16 bitcast.
+
+    The paired half-word layout (core/packing.py) puts plane k in the low
+    16 bits and plane k+V/2 in the high 16 bits at the same in-half offset.
+    ``((q >> bits*k) & pair_mask) | bf16(128)`` therefore builds bf16 values
+    (128 + code) for both planes at once, and the TPU int32->bf16 bitcast
+    interleaves sublanes (row 2i = low half = plane k, row 2i+1 = high half
+    = plane k+V/2) — exactly the contraction layout the MXU wants when x is
+    pre-interleaved the same way (x_ref holds [pairs, 2nw]).
+
+    The uniform +128 offset is linear and is removed by the caller together
+    with the zero-point: y = s*acc - s*(z + 128)*sum(x).
+    """
+    v = values_per_word(bits)
+    half = v // 2
+    pair_mask = jnp.uint32(((1 << bits) - 1) * 0x00010001)
+    magic = jnp.uint32(_BF16_128)
+    q = q_ref[:].astype(jnp.uint32)
+    acc = None
+    for k in range(half):
+        pair = ((q >> (bits * k)) & pair_mask) | magic
+        wk = pltpu.bitcast(pair.astype(jnp.int32), jnp.bfloat16)  # [2nw, to]
+        xs = x_ref[:, k, :]                                        # [tb, 2nw]
+        part = jnp.dot(xs, wk, preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "interpret", "paired"))
 def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False, paired: bool = True
+                         ) -> jnp.ndarray:
     """Integer-plane product: x [rows, in_pad] @ codes [in_pad, out] -> f32.
 
-    (Scale/zero correction applied by the caller.)
+    With ``paired`` (bf16 bitcast fast path) the result includes a uniform
+    +128 per code; callers fold it into the zero-point correction.
+    (Scale/zero correction applied by the caller either way.)
     """
     rows, in_pad = x.shape
     nw, out = qweight.shape
-    assert in_pad == nw * values_per_word(bits)
+    v = values_per_word(bits)
+    assert in_pad == nw * v
 
     # row tile: decode uses a sublane-minimal tile, prefill a larger one
     tr = 8 if rows <= 8 else (128 if rows % 128 == 0 else 8)
@@ -71,8 +108,31 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
     if rows_pad != rows:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
     to = 128 if out % 128 == 0 else out
-
     grid = (out // to, rows_pad // tr)
+
+    if paired:
+        half = v // 2
+        # pre-interleave x chunks: pair k rows (2i, 2i+1) = (chunk_k[i],
+        # chunk_{k+half}[i]) to match the bitcast's sublane interleave
+        xr = x.reshape(rows_pad, v, nw).astype(jnp.bfloat16)
+        xp = jnp.stack([xr[:, :half, :], xr[:, half:, :]], axis=-1)
+        xp = xp.reshape(rows_pad, half, 2 * nw)
+        y = pl.pallas_call(
+            functools.partial(_paired_kernel, bits=bits, nw=nw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tr, half, 2 * nw), lambda j, i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nw, to), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tr, to), lambda j, i: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, out), jnp.float32),
+            interpret=interpret,
+        )(xp, qweight)
+        return y[:rows]
+
     y = pl.pallas_call(
         functools.partial(_plane_kernel, bits=bits, nw=nw,
                           acc_dtype=jnp.float32),
@@ -96,6 +156,10 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     """PackedLinear apply via the fused Pallas kernel (all input shapes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # the bf16-bitcast fast path relies on TPU sublane-interleaved bitcast
+    # semantics; the interpreter (and any non-TPU backend) uses the generic
+    # plane loop
+    paired = not interpret
     dtype = x.dtype
     in_pad = p.in_padded
     pad = in_pad - x.shape[-1]
@@ -104,10 +168,13 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     xp = jnp.pad(xf, ((0, 0), (0, pad))) if pad else xf
 
     acc = packed_matmul_kernel(xp, jax.lax.stop_gradient(p.qweight),
-                               bits=p.bits, interpret=interpret)
+                               bits=p.bits, interpret=interpret,
+                               paired=paired)
 
     scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
     zeros = jax.lax.stop_gradient(p.zeros).astype(jnp.float32)
+    if paired:
+        zeros = zeros + 128.0  # remove the bf16-bitcast +128 offset
     xsum = jnp.sum(xp.astype(jnp.float32), axis=-1, keepdims=True)
     y = acc * scales[None, :] - xsum * (scales * zeros)[None, :]
 

@@ -52,11 +52,16 @@ QUANTIZABLE = {
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Static-shape KV cache: k/v [L, B, S_max, H_kv, hd], scalar length."""
+    """Static-shape KV cache: k/v [L, B, S_max, H_kv, hd].
+
+    ``length`` is the number of tokens already cached — a scalar for
+    lockstep batches, or a vector [B] for per-slot lengths (continuous
+    batching: each slot advances independently).
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray
-    length: jnp.ndarray  # int32 scalar: tokens already cached
+    length: jnp.ndarray  # int32 scalar or [B]
 
     @property
     def max_len(self) -> int:
@@ -153,10 +158,18 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
 
     if kv is not None:
         k_cache, v_cache = kv
-        k_full = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
-                                              (0, cache_at, 0, 0))
-        v_full = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
-                                              (0, cache_at, 0, 0))
+        if cache_at.ndim == 0:
+            k_full = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_at, 0, 0))
+            v_full = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_at, 0, 0))
+        else:
+            # per-slot insertion points (continuous batching): scatter the
+            # T new entries of each batch row at its own offset
+            bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+            sidx = cache_at[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            k_full = k_cache.at[bidx, sidx].set(k.astype(k_cache.dtype))
+            v_full = v_cache.at[bidx, sidx].set(v.astype(v_cache.dtype))
         k_att, v_att = k_full.astype(x.dtype), v_full.astype(x.dtype)
     else:
         k_full, v_full = k, v
@@ -264,11 +277,12 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     B, T = input_ids.shape
     if cache is None:
         start = jnp.zeros((), jnp.int32)
+        start_vec = jnp.zeros((B,), jnp.int32)
     else:
         start = cache.length
+        start_vec = jnp.broadcast_to(jnp.atleast_1d(start), (B,))
     if positions is None:
-        positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
-        positions = jnp.broadcast_to(positions, (B, T))
+        positions = start_vec[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
 
     x = embed(params, cfg, input_ids, positions, dtype=dtype)
 
@@ -278,7 +292,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     else:
         S = cache.max_len
         kv_pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
-        kv_valid = (kv_pos < start + T).astype(jnp.int32)
+        kv_valid = (kv_pos < (start_vec[:, None] + T)).astype(jnp.int32)
     mask = causal_mask_bias(positions, kv_valid, kv_pos)
 
     rope = None

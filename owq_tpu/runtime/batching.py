@@ -1,0 +1,227 @@
+"""Continuous batching engine.
+
+Slot-based serving on static shapes (the TPU-native equivalent of vLLM-style
+continuous batching, scoped to the BASELINE "continuous-batching throughput"
+config):
+
+  * a fixed pool of B slots shares one [L, B, S, H, hd] KV cache with
+    per-slot lengths (KVCache vector-length mode),
+  * prompts are prefilled one request at a time into a free slot (prompt
+    lengths bucketed to bound compilation count), computing the prompt KV
+    in a cache-free forward and scattering it into the pool,
+  * every engine step decodes ALL active slots in one [B, 1] forward —
+    requests join and leave the batch without stalling the others,
+  * finished slots (EOS / token budget) are freed and refilled from the
+    queue on the next step.
+
+Everything device-side is jitted with static shapes; the host only does
+queue bookkeeping and token copies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.transformer import KVCache, block_forward, embed, forward, unembed
+from ..models.layers import alibi_bias, causal_mask_bias, rope_cos_sin
+
+__all__ = ["Engine", "Request"]
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    generated: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+    done: bool = False
+
+
+@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype"))
+def _prefill_kv(params, cfg: ModelConfig, ids: jnp.ndarray, length: jnp.ndarray,
+                kernel: str = "xla", dtype=jnp.bfloat16):
+    """Prompt forward without a cache; returns (last-valid logits [vocab],
+    k/v stacks [L, T, Hkv, hd]) for insertion into a slot.
+
+    ``ids`` is right-padded to a bucket size; ``length`` is the true prompt
+    length.  Padded positions only produce garbage K/V beyond ``length``,
+    which the per-slot mask never attends to.
+    """
+    T = ids.shape[1]
+    logits, _, kvs = _forward_collect(params, cfg, ids, kernel, dtype)
+    last = jnp.take_along_axis(
+        logits, (length - 1)[None, None, None], axis=1)[0, 0]
+    return last, kvs
+
+
+def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
+    """forward() variant that returns per-layer k/v for the tokens."""
+    B, T = ids.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    x = embed(params, cfg, ids, positions, dtype=dtype)
+    mask = causal_mask_bias(positions, jnp.ones((B, T), jnp.int32), positions)
+    rope = alibi = None
+    if cfg.pos_embedding == "rope":
+        rope = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    elif cfg.pos_embedding == "alibi":
+        alibi = alibi_bias(cfg.num_heads, positions)
+    ks, vs = [], []
+    for blk in params["layers"]:
+        x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=mask, rope=rope,
+                                     alibi=alibi, kernel=kernel)
+        ks.append(k[0])
+        vs.append(v[0])
+    logits = unembed(params, cfg, x)
+    return logits, x, (jnp.stack(ks), jnp.stack(vs))
+
+
+@partial(jax.jit, donate_argnames=("cache",))
+def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
+                 ) -> KVCache:
+    k_new, v_new = kvs
+    T = k_new.shape[1]
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new[:, None].astype(cache.k.dtype), (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new[:, None].astype(cache.v.dtype), (0, slot, 0, 0, 0))
+    lengths = cache.length.at[slot].set(length)
+    return KVCache(k=k, v=v, length=lengths)
+
+
+@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype"),
+         donate_argnames=("cache",))
+def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
+                active: jnp.ndarray, kernel: str = "xla", dtype=jnp.bfloat16):
+    """One decode step for every slot; inactive slots don't advance."""
+    logits, cache2 = forward(params, cfg, toks[:, None], cache=cache,
+                             kernel=kernel, dtype=dtype)
+    nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(jnp.int32)
+    # only active slots advance their length
+    new_len = jnp.where(active, cache2.length, cache.length)
+    return nxt, KVCache(k=cache2.k, v=cache2.v, length=new_len)
+
+
+class Engine:
+    def __init__(self, params, cfg: ModelConfig, *, max_batch: int = 8,
+                 max_len: int = 2048, kernel: str = "xla",
+                 eos_token_id: Optional[int] = None,
+                 cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                 prompt_buckets: Sequence[int] = (32, 128, 512, 2048)):
+        self.params = params
+        self.cfg = cfg
+        self.kernel = kernel
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.eos = eos_token_id
+        self.compute_dtype = compute_dtype
+        self.prompt_buckets = sorted(prompt_buckets)
+
+        shape = (cfg.num_layers, max_batch, max_len, cfg.num_kv_heads,
+                 cfg.head_dim)
+        self.cache = KVCache(
+            k=jnp.zeros(shape, cache_dtype), v=jnp.zeros(shape, cache_dtype),
+            length=jnp.zeros((max_batch,), jnp.int32))
+        self.cur_tok = np.zeros((max_batch,), np.int32)
+        self.slot_req: List[Optional[Request]] = [None] * max_batch
+        self.queue: deque = deque()
+        self.requests: Dict[int, Request] = {}
+        self._next_rid = 0
+        self.stats = {"generated_tokens": 0, "steps": 0, "prefills": 0}
+
+    # -- public api ----------------------------------------------------
+    def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        req = Request(rid, np.asarray(prompt_ids, np.int32).reshape(-1),
+                      max_new_tokens)
+        self.queue.append(req)
+        self.requests[rid] = req
+        return rid
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt of {n} tokens exceeds largest bucket")
+
+    def _admit(self) -> None:
+        for slot in range(self.max_batch):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            n = req.prompt.size
+            bucket = self._bucket(n)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :n] = req.prompt
+            last_logits, kvs = _prefill_kv(
+                self.params, self.cfg, jnp.asarray(ids),
+                jnp.asarray(n, jnp.int32), self.kernel, self.compute_dtype)
+            self.cache = _insert_slot(self.cache, kvs,
+                                      jnp.asarray(slot, jnp.int32),
+                                      jnp.asarray(n, jnp.int32))
+            first = int(jnp.argmax(last_logits.astype(jnp.float32)))
+            req.generated.append(first)
+            req.slot = slot
+            self.slot_req[slot] = req
+            self.cur_tok[slot] = first
+            self.stats["prefills"] += 1
+            self.stats["generated_tokens"] += 1
+            self._maybe_finish(req, first)
+
+    def _maybe_finish(self, req: Request, tok: int) -> None:
+        if ((self.eos is not None and tok == self.eos)
+                or len(req.generated) >= req.max_new_tokens):
+            req.done = True
+            if req.slot >= 0:
+                self.slot_req[req.slot] = None
+                req.slot = -1
+
+    def step(self) -> List[Request]:
+        """Admit + one decode step; returns requests finished this step."""
+        self._admit()
+        active_mask = np.asarray(
+            [r is not None for r in self.slot_req], bool)
+        if not active_mask.any():
+            return []
+        nxt, self.cache = _decode_all(
+            self.params, self.cfg, jnp.asarray(self.cur_tok), self.cache,
+            jnp.asarray(active_mask), self.kernel, self.compute_dtype)
+        nxt = np.asarray(nxt)
+        finished = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            tok = int(nxt[slot])
+            req.generated.append(tok)
+            self.cur_tok[slot] = tok
+            self.stats["generated_tokens"] += 1
+            self._maybe_finish(req, tok)
+            if req.done:
+                finished.append(req)
+        self.stats["steps"] += 1
+        return finished
+
+    def run(self, prompts: Sequence[np.ndarray], max_new_tokens: int = 128
+            ) -> Dict[int, List[int]]:
+        """Convenience: submit all prompts, run to completion."""
+        rids = [self.add_request(p, max_new_tokens) for p in prompts]
+        t0 = time.time()
+        while not all(self.requests[r].done for r in rids):
+            self.step()
+            if (not self.queue and not any(r is not None
+                                           for r in self.slot_req)):
+                break
+        self.stats["wall_s"] = time.time() - t0
+        self.stats["throughput_tok_s"] = (
+            self.stats["generated_tokens"] / max(self.stats["wall_s"], 1e-9))
+        return {rid: self.requests[rid].generated for rid in rids}

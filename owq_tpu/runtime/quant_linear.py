@@ -31,6 +31,7 @@ import numpy as np
 from ..core.packing import (
     pack_int_weights,
     padded_infeatures,
+    plane_offset,
     unpack_int_weights,
     values_per_word,
 )
@@ -145,7 +146,8 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     acc = None
     for pl in range(v):
         # (uint32 -> float is not a legal cast on TPU; hop through int32)
-        qpl = ((qw >> (p.bits * pl)) & mask).astype(jnp.int32).astype(dtype)
+        qpl = ((qw >> plane_offset(p.bits, pl)) & mask
+               ).astype(jnp.int32).astype(dtype)
         part = jnp.dot(xr[:, pl, :], qpl, preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
 
