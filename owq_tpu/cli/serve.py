@@ -1,0 +1,57 @@
+"""Serving demo CLI (the reference demo/ analogue).
+
+Single model:
+  python -m owq_tpu.cli.serve --load ckpt --tokenizer <hf_path>
+
+Two-model compare (FP16 vs OWQ side by side, demo_2model.py analogue):
+  python -m owq_tpu.cli.serve --model <hf_path> --load-b ckpt --tokenizer <hf_path>
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="owq-serve")
+    p.add_argument("--model", default="", help="model A: HF path / synthetic:<shape>")
+    p.add_argument("--load", default="", help="model A: checkpoint dir")
+    p.add_argument("--model-b", default="", help="model B (compare mode)")
+    p.add_argument("--load-b", default="", help="model B checkpoint dir")
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--kernel", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from ..serve.server import ModelWorker, serve
+    from .common import load_model
+
+    try:
+        tok = AutoTokenizer.from_pretrained(args.tokenizer, use_fast=False)
+    except Exception:
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    workers = []
+    params, cfg = load_model(args.model, dtype=jnp.bfloat16, load=args.load)
+    workers.append(ModelWorker(params, cfg, tok, kernel=args.kernel,
+                               max_len=args.max_len, name="a"))
+    if args.model_b or args.load_b:
+        params_b, cfg_b = load_model(args.model_b, dtype=jnp.bfloat16,
+                                     load=args.load_b)
+        workers.append(ModelWorker(params_b, cfg_b, tok, kernel=args.kernel,
+                                   max_len=args.max_len, name="b"))
+    serve(workers, host=args.host, port=args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

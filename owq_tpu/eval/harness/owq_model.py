@@ -26,8 +26,11 @@ class OwqLM(JaxLM):
 
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(tokenizer or pretrained,
-                                            use_fast=False)
+        try:
+            tok = AutoTokenizer.from_pretrained(tokenizer or pretrained,
+                                                use_fast=False)
+        except Exception:
+            tok = AutoTokenizer.from_pretrained(tokenizer or pretrained)
         super().__init__(params, cfg, tok, batch_size=int(batch_size),
                          max_length=int(max_length) if max_length else None,
                          kernel=kernel)

@@ -288,7 +288,11 @@ def pack_linear(W: np.ndarray, scale: np.ndarray, zero: np.ndarray,
     if in_pad > infeat:
         qT[infeat:] = zero.astype(np.int32)[None, :]
 
-    qweight = np.asarray(pack_int_weights(jnp.asarray(qT), bits))
+    from ..native import fast_pack
+
+    qweight = fast_pack(qT, bits)  # C++ fast path (None when unavailable)
+    if qweight is None:
+        qweight = np.asarray(pack_int_weights(jnp.asarray(qT), bits))
     return PackedLinear(
         qweight=jnp.asarray(qweight),
         scales=jnp.asarray(scale),
