@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="true_sequential")
     p.add_argument("--trust_remote_code", action="store_true")
     p.add_argument("--seqlen", type=int, default=None)
+    p.add_argument("--resume-dir", default=None,
+                   help="per-layer reconstruction checkpoints for resume")
     p.add_argument("--eval-datasets", nargs="+",
                    default=["wikitext2", "ptb", "c4"])
     p.add_argument("--eval-batch", type=int, default=4)
@@ -92,7 +94,8 @@ def main(argv=None) -> int:
             groupsize=args.groupsize, actorder=args.act_order,
             true_sequential=args.true_sequential,
             no_frob_norm=args.no_frob_norm,
-            owq_layers=owq_layer_mask(arch, args.layers), dtype=dtype)
+            owq_layers=owq_layer_mask(arch, args.layers), dtype=dtype,
+            resume_dir=args.resume_dir)
         print(f"Running Time : {round(time.time() - tick, 1)}")
     elif args.nearest and args.wbits < 16:
         from ..models.transformer import QUANTIZABLE

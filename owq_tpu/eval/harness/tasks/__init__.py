@@ -317,6 +317,9 @@ def wikitext_detokenize(s: str) -> str:
     return s.strip()
 
 
+from . import extended  # noqa: E402,F401  (registers MMLU/GLUE/gen tasks)
+
+
 @register_task("wikitext")
 class WikiText(PerplexityTask):
     VERSION = 1

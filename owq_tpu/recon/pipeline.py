@@ -162,10 +162,15 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                    no_frob_norm: bool = False,
                    owq_layers: Optional[Dict[str, bool]] = None,
                    chunk: int = 16, dtype=jnp.float32,
-                   verbose: bool = True,
+                   verbose: bool = True, resume_dir: Optional[str] = None,
                    ) -> Tuple[Dict[str, Any], Dict[str, QuantInfo]]:
     """Quantize all decoder blocks in place (fake-quant weights) and return
     (params, {"<layer_idx>.<name>": QuantInfo}).
+
+    ``resume_dir``: directory for per-block reconstruction checkpoints —
+    each finished block is saved there and skipped on restart (the
+    reference restarts multi-hour runs from scratch; SURVEY.md §5 flags
+    per-layer resume as the cheap win).
     """
     spec = QuantSpec(wbits, sym)
     mse = tuning == "mse"
@@ -179,8 +184,22 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
     x, aux = calibration_inputs(params, cfg, input_ids, dtype=dtype)
     ns = x.shape[0]
     quantizers: Dict[str, QuantInfo] = {}
+    if resume_dir:
+        import os
+
+        os.makedirs(resume_dir, exist_ok=True)
 
     for li, blk in enumerate(params["layers"]):
+        if resume_dir and _load_block_resume(resume_dir, li, blk, quantizers,
+                                             wbits, sym):
+            if verbose:
+                print(f"layer {li}: restored from {resume_dir}")
+            outs = []
+            for s in range(0, ns, chunk):
+                outs.append(_block_out(blk, cfg, x[s:s + chunk], aux["mask"],
+                                       aux["rope"], aux["alibi"]))
+            x = jnp.concatenate(outs, axis=0)
+            continue
         for group in groups:
             taps = tuple(n for n in group if n in names)
             # Hessian accumulation over calibration chunks
@@ -220,6 +239,9 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                     print(f"quantized layer {key}  n_out={n_out_dict[n]} "
                           f"loss={float(res.loss):.4f}  ({time.time()-t0:.2f}s)")
 
+        if resume_dir:
+            _save_block_resume(resume_dir, li, blk, quantizers, names)
+
         # propagate activations through the (now quantized) block
         outs = []
         for s in range(0, ns, chunk):
@@ -228,3 +250,48 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
         x = jnp.concatenate(outs, axis=0)
 
     return params, quantizers
+
+
+def _save_block_resume(resume_dir: str, li: int, blk, quantizers, names):
+    import os
+
+    arrays = {}
+    for n in names:
+        key = f"{li}.{n}"
+        if key not in quantizers:
+            continue
+        info = quantizers[key]
+        lin = _get_linear(blk, n)
+        tag = n.replace(".", "_")
+        arrays[f"{tag}__Q"] = np.asarray(lin.w, np.float32)
+        arrays[f"{tag}__scale"] = info.scale
+        arrays[f"{tag}__zero"] = info.zero
+        arrays[f"{tag}__out_ids"] = info.out_ids
+        arrays[f"{tag}__loss"] = np.float32(info.loss)
+    # np.savez appends .npz when missing — keep the suffix on the temp name
+    tmp = os.path.join(resume_dir, f"layer_{li}.tmp.npz")
+    np.savez(tmp, **arrays)
+    os.replace(tmp, os.path.join(resume_dir, f"layer_{li}.npz"))
+
+
+def _load_block_resume(resume_dir: str, li: int, blk, quantizers,
+                       wbits: int, sym: bool) -> bool:
+    import os
+
+    path = os.path.join(resume_dir, f"layer_{li}.npz")
+    if not os.path.exists(path):
+        return False
+    data = np.load(path)
+    tags = sorted({k.split("__")[0] for k in data.files})
+    for tag in tags:
+        n = tag.replace("_", ".", 1)
+        lin = _get_linear(blk, n)
+        Q = data[f"{tag}__Q"]
+        _set_linear(blk, n, DenseLinear(w=jnp.asarray(Q, lin.w.dtype),
+                                        b=lin.b))
+        out_ids = data[f"{tag}__out_ids"]
+        quantizers[f"{li}.{n}"] = QuantInfo(
+            scale=data[f"{tag}__scale"], zero=data[f"{tag}__zero"],
+            out_ids=out_ids, n_out=int(out_ids.size), bits=wbits, sym=sym,
+            loss=float(data[f"{tag}__loss"]))
+    return True

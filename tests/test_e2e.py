@@ -101,3 +101,42 @@ def test_true_sequential_and_frob(calib, stream):
         calib, target_bit=None, target_rank=2, true_sequential=True)
     ppl = eval_ppl(params_q, cfg, stream, seqlen=32, batch=4)
     assert np.isfinite(ppl)
+
+
+def test_resume_quantization(tmp_path, calib):
+    """Per-layer resume: interrupted run restarts from saved blocks."""
+    import jax.numpy as jnp
+    from owq_tpu.recon import pipeline as pl_mod
+
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    params, cfg = import_hf_model(model)
+    arch = arch_for_model("opt")
+    rdir = str(tmp_path / "resume")
+
+    p1, q1 = quantize_model(
+        import_hf_model(model)[0], cfg, arch, calib, wbits=3, target_rank=2,
+        tuning="minmax", verbose=False, resume_dir=rdir)
+
+    # fresh params + resume dir -> identical result without re-running GPTQ
+    calls = {"n": 0}
+    orig = pl_mod.gptq_quantize
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    pl_mod.gptq_quantize = counting
+    try:
+        p2, q2 = quantize_model(
+            import_hf_model(model)[0], cfg, arch, calib, wbits=3,
+            target_rank=2, tuning="minmax", verbose=False, resume_dir=rdir)
+    finally:
+        pl_mod.gptq_quantize = orig
+    assert calls["n"] == 0  # everything restored
+    import numpy as np
+
+    for key in q1:
+        np.testing.assert_allclose(q1[key].scale, q2[key].scale, rtol=1e-6)
+    w1 = np.asarray(p1["layers"][0]["attn"]["q"].w)
+    w2 = np.asarray(p2["layers"][0]["attn"]["q"].w)
+    np.testing.assert_allclose(w1, w2, rtol=1e-6)
