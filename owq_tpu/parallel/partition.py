@@ -171,6 +171,45 @@ def make_tp_forward(mesh: Mesh, cfg: ModelConfig, params: Dict[str, Any],
     return jax.jit(fwd)
 
 
+def make_tp_decode(mesh: Mesh, cfg: ModelConfig, params: Dict[str, Any],
+                   kernel: str = "xla", dtype=jnp.bfloat16):
+    """shard_map'd cached decode/prefill step for tensor-parallel serving.
+
+    The KV cache shards on the head axis (each device holds its local
+    heads' cache); activations stay replicated between blocks via the two
+    per-block psums.  Returns (step_fn, init_cache_fn):
+
+      step_fn(params, ids [B,T], cache) -> (logits [B, vocab], cache)
+    """
+    from ..models.transformer import KVCache, forward, init_cache
+
+    tp = mesh.shape[TP_AXIS]
+    cfg_local = local_config(cfg, tp)
+    pspecs = param_pspecs(params)
+    cache_spec = KVCache(k=P(None, DP_AXIS, None, TP_AXIS, None),
+                         v=P(None, DP_AXIS, None, TP_AXIS, None),
+                         length=P())
+
+    def local_step(p, ids, cache):
+        logits, cache = forward(p, cfg_local, ids, cache=cache,
+                                kernel=kernel, dtype=dtype, tp_axis=TP_AXIS)
+        return logits[:, -1], cache
+
+    step = shard_map(local_step, mesh=mesh,
+                     in_specs=(pspecs, P(DP_AXIS, None), cache_spec),
+                     out_specs=(P(DP_AXIS, None), cache_spec),
+                     check_vma=False)
+    jstep = jax.jit(step)
+
+    def make_cache(batch: int, max_len: int, cache_dtype=jnp.bfloat16):
+        c = init_cache(cfg, batch, max_len, dtype=cache_dtype)
+        return jax.device_put(c, jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), cache_spec,
+            is_leaf=lambda x: isinstance(x, P)))
+
+    return jstep, make_cache
+
+
 def make_tp_train_step(mesh: Mesh, cfg: ModelConfig, params: Dict[str, Any],
                        kernel: str = "xla", dtype=jnp.float32,
                        lr: float = 1e-4):

@@ -117,3 +117,38 @@ def test_tp_train_step_updates_weak_columns_only(rng):
     # scales frozen (stop_gradient on the dequantized base)
     np.testing.assert_array_equal(np.asarray(old_lin.scales),
                                   np.asarray(new_lin.scales))
+
+
+def test_tp_cached_decode_matches(rng):
+    """TP decode through a head-sharded KV cache == single-device decode."""
+    from owq_tpu.parallel import make_tp_decode
+
+    packed, cfg = _packed_tiny_llama(rng, kv_heads=2)
+    ids = rng.integers(0, 97, size=(1, 8)).astype(np.int32)
+
+    # single-device reference: prefill 5 + decode 3
+    from owq_tpu.models import init_cache
+    from owq_tpu.runtime.generate import decode_step, prefill
+
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    ref_logits, cache = prefill(packed, cfg, jnp.asarray(ids[:, :5]), cache)
+    refs = [np.asarray(ref_logits)]
+    for t in range(5, 8):
+        lg, cache = decode_step(packed, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                cache)
+        refs.append(np.asarray(lg))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(packed), cfg, 2)
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh)
+        step, make_cache = make_tp_decode(mesh, cfg, params_tp,
+                                          dtype=jnp.float32)
+        tcache = make_cache(1, 16, cache_dtype=jnp.float32)
+        lg, tcache = step(params_tp, jnp.asarray(ids[:, :5]), tcache)
+        np.testing.assert_allclose(np.asarray(lg), refs[0], atol=2e-4,
+                                   rtol=1e-3)
+        for i, t in enumerate(range(5, 8)):
+            lg, tcache = step(params_tp, jnp.asarray(ids[:, t:t + 1]), tcache)
+            np.testing.assert_allclose(np.asarray(lg), refs[i + 1],
+                                       atol=3e-4, rtol=1e-3)
