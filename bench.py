@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8,
                     help="engine slot count (with --engine)")
     ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="best-of-N timing (shared-TPU contention)")
     args = ap.parse_args()
 
     from functools import partial
@@ -113,7 +115,7 @@ def main() -> None:
                            size=(1, args.tokens)).astype(np.int32)
         stats = benchmark_decode(params, cfg, ids, kernel=kernel,
                                  cache_dtype=jnp.bfloat16,
-                                 max_len=args.tokens)
+                                 max_len=args.tokens, repeats=args.repeats)
         result = {
             "metric": f"{name}_{args.bits}.01bit_decode",
             "value": round(stats["tokens_per_s"], 2),

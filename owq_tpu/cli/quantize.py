@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seqlen", type=int, default=None)
     p.add_argument("--resume-dir", default=None,
                    help="per-layer reconstruction checkpoints for resume")
+    p.add_argument("--offload", action="store_true",
+                   help="host-RAM streaming for models larger than HBM")
     p.add_argument("--eval-datasets", nargs="+",
                    default=["wikitext2", "ptb", "c4"])
     p.add_argument("--eval-batch", type=int, default=4)
@@ -95,7 +97,7 @@ def main(argv=None) -> int:
             true_sequential=args.true_sequential,
             no_frob_norm=args.no_frob_norm,
             owq_layers=owq_layer_mask(arch, args.layers), dtype=dtype,
-            resume_dir=args.resume_dir)
+            resume_dir=args.resume_dir, offload=args.offload)
         print(f"Running Time : {round(time.time() - tick, 1)}")
     elif args.nearest and args.wbits < 16:
         from ..models.transformer import QUANTIZABLE

@@ -163,6 +163,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                    owq_layers: Optional[Dict[str, bool]] = None,
                    chunk: int = 16, dtype=jnp.float32,
                    verbose: bool = True, resume_dir: Optional[str] = None,
+                   offload: bool = False,
                    ) -> Tuple[Dict[str, Any], Dict[str, QuantInfo]]:
     """Quantize all decoder blocks in place (fake-quant weights) and return
     (params, {"<layer_idx>.<name>": QuantInfo}).
@@ -171,6 +172,12 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
     each finished block is saved there and skipped on restart (the
     reference restarts multi-hour runs from scratch; SURVEY.md §5 flags
     per-layer resume as the cheap win).
+
+    ``offload``: host-RAM streaming for models larger than one chip's HBM —
+    the TPU analogue of the reference's CPU<->GPU block shuttle
+    (main.py:92-161): blocks and activations live on host; only the block
+    under reconstruction, its Hessians and one activation chunk are on
+    device at a time.
     """
     spec = QuantSpec(wbits, sym)
     mse = tuning == "mse"
@@ -188,17 +195,32 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
         import os
 
         os.makedirs(resume_dir, exist_ok=True)
+    if offload:
+        x = np.asarray(x)
 
-    for li, blk in enumerate(params["layers"]):
+    def to_host(tree):
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(a) if hasattr(a, "dtype") else a, tree)
+
+    for li in range(len(params["layers"])):
+        if offload:
+            blk = jax.device_put(params["layers"][li])
+            params["layers"][li] = blk  # replaced with host copy at the end
+        else:
+            blk = params["layers"][li]
         if resume_dir and _load_block_resume(resume_dir, li, blk, quantizers,
                                              wbits, sym):
             if verbose:
                 print(f"layer {li}: restored from {resume_dir}")
             outs = []
             for s in range(0, ns, chunk):
-                outs.append(_block_out(blk, cfg, x[s:s + chunk], aux["mask"],
-                                       aux["rope"], aux["alibi"]))
-            x = jnp.concatenate(outs, axis=0)
+                y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
+                               aux["mask"], aux["rope"], aux["alibi"])
+                outs.append(np.asarray(y) if offload else y)
+            x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
+            if offload:
+                params["layers"][li] = to_host(blk)
+                del blk
             continue
         for group in groups:
             taps = tuple(n for n in group if n in names)
@@ -245,9 +267,13 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
         # propagate activations through the (now quantized) block
         outs = []
         for s in range(0, ns, chunk):
-            outs.append(_block_out(blk, cfg, x[s:s + chunk], aux["mask"],
-                                   aux["rope"], aux["alibi"]))
-        x = jnp.concatenate(outs, axis=0)
+            y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]), aux["mask"],
+                           aux["rope"], aux["alibi"])
+            outs.append(np.asarray(y) if offload else y)
+        x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
+        if offload:
+            params["layers"][li] = to_host(blk)
+            del blk
 
     return params, quantizers
 

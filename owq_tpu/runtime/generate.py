@@ -125,7 +125,7 @@ def _bench_scan(params, cfg: ModelConfig, toks, cache: KVCache, kernel: str):
 
 def benchmark_decode(params, cfg: ModelConfig, input_ids: np.ndarray, *,
                      kernel: str = "xla", cache_dtype=jnp.bfloat16,
-                     max_len: Optional[int] = None, repeats: int = 2,
+                     max_len: Optional[int] = None, repeats: int = 3,
                      ) -> Dict[str, float]:
     """Reference-protocol token-latency benchmark (main.py:305-353).
 

@@ -140,3 +140,20 @@ def test_resume_quantization(tmp_path, calib):
     w1 = np.asarray(p1["layers"][0]["attn"]["q"].w)
     w2 = np.asarray(p2["layers"][0]["attn"]["q"].w)
     np.testing.assert_allclose(w1, w2, rtol=1e-6)
+
+
+def test_offload_quantization_matches(calib):
+    """Host-offload streaming produces the same result as on-device."""
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    _, cfg = import_hf_model(model)
+    arch = arch_for_model("opt")
+    p1, q1 = quantize_model(import_hf_model(model)[0], cfg, arch, calib,
+                            wbits=3, target_rank=2, tuning="minmax",
+                            verbose=False)
+    p2, q2 = quantize_model(import_hf_model(model)[0], cfg, arch, calib,
+                            wbits=3, target_rank=2, tuning="minmax",
+                            verbose=False, offload=True)
+    w1 = np.asarray(p1["layers"][1]["mlp"]["fc2"].w)
+    w2 = np.asarray(p2["layers"][1]["mlp"]["fc2"].w)
+    np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
+    assert isinstance(p2["layers"][0]["attn"]["q"].w, np.ndarray)
