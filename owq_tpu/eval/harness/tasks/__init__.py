@@ -318,6 +318,7 @@ def wikitext_detokenize(s: str) -> str:
 
 
 from . import extended  # noqa: E402,F401  (registers MMLU/GLUE/gen tasks)
+from . import more  # noqa: E402,F401  (ANLI/RACE/multilingual/translation)
 
 
 @register_task("wikitext")
