@@ -36,8 +36,9 @@ from .layers import (
 )
 from ..runtime.quant_linear import DenseLinear, PackedLinear, ShardedPackedLinear
 
-__all__ = ["KVCache", "block_forward", "forward", "embed", "unembed",
-           "init_cache", "QUANTIZABLE"]
+__all__ = ["KVCache", "QuantKVCache", "block_forward", "forward",
+           "embed", "unembed", "init_cache", "init_quant_cache",
+           "QUANTIZABLE"]
 
 # dotted linear names per family (quantization targets)
 QUANTIZABLE = {
@@ -73,6 +74,46 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((), jnp.int32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantKVCache:
+    """Int8 KV cache with per-(token, head) absmax scales.
+
+    Halves serving cache memory vs bf16 (the KV cache, not the weights,
+    bounds batch x context on long-context serving).  Quantization is
+    symmetric absmax over the head dim at write time; dequantization fuses
+    into the attention reads.  Same interface as KVCache.
+    """
+
+    k: jnp.ndarray        # int8 [L, B, S, Hkv, hd]
+    v: jnp.ndarray
+    k_scale: jnp.ndarray  # f32 [L, B, S, Hkv]
+    v_scale: jnp.ndarray
+    length: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_quant_cache(cfg: ModelConfig, batch: int, max_len: int) -> QuantKVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    sshape = shape[:-1]
+    return QuantKVCache(
+        k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+        k_scale=jnp.ones(sshape, jnp.float32),
+        v_scale=jnp.ones(sshape, jnp.float32),
+        length=jnp.zeros((), jnp.int32))
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """[B, T, H, hd] -> (int8 codes, f32 scales [B, T, H])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None] * 127.0)
+    return q.astype(jnp.int8), scale
 
 
 def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
@@ -157,20 +198,33 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         q, k = apply_rope(q, k, *rope)
 
     if kv is not None:
-        k_cache, v_cache = kv
-        if cache_at.ndim == 0:
-            k_full = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_at, 0, 0))
-            v_full = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_at, 0, 0))
+        quantized = len(kv) == 4
+        if quantized:
+            k_cache, v_cache, ks_cache, vs_cache = kv
+            (k_w, k_s), (v_w, v_s) = _quantize_kv(k), _quantize_kv(v)
         else:
-            # per-slot insertion points (continuous batching): scatter the
-            # T new entries of each batch row at its own offset
+            k_cache, v_cache = kv
+            k_w, v_w = k.astype(k_cache.dtype), v.astype(v_cache.dtype)
+        if cache_at.ndim == 0:
+            upd = lambda c, n: jax.lax.dynamic_update_slice(
+                c, n, (0, cache_at) + (0,) * (c.ndim - 2))
+        else:
             bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
             sidx = cache_at[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-            k_full = k_cache.at[bidx, sidx].set(k.astype(k_cache.dtype))
-            v_full = v_cache.at[bidx, sidx].set(v.astype(v_cache.dtype))
-        k_att, v_att = k_full.astype(x.dtype), v_full.astype(x.dtype)
+            upd = lambda c, n: c.at[bidx, sidx].set(n)
+        k_full = upd(k_cache, k_w)
+        v_full = upd(v_cache, v_w)
+        if quantized:
+            ks_full = upd(ks_cache, k_s)
+            vs_full = upd(vs_cache, v_s)
+            k_att = (k_full.astype(jnp.float32)
+                     * (ks_full[..., None] / 127.0)).astype(x.dtype)
+            v_att = (v_full.astype(jnp.float32)
+                     * (vs_full[..., None] / 127.0)).astype(x.dtype)
+            k_full = (k_full, ks_full)
+            v_full = (v_full, vs_full)
+        else:
+            k_att, v_att = k_full.astype(x.dtype), v_full.astype(x.dtype)
     else:
         k_full, v_full = k, v
         k_att, v_att = k, v
@@ -304,18 +358,36 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         # bias depends on key positions; invalid slots are masked anyway
         alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid)
 
-    new_k, new_v = None, None
+    quant_cache = isinstance(cache, QuantKVCache)
+    new_k, new_v, new_ks, new_vs = None, None, None, None
     for i, blk in enumerate(params["layers"]):
-        kv = None if cache is None else (cache.k[i], cache.v[i])
+        if cache is None:
+            kv = None
+        elif quant_cache:
+            kv = (cache.k[i], cache.v[i], cache.k_scale[i], cache.v_scale[i])
+        else:
+            kv = (cache.k[i], cache.v[i])
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=mask, rope=rope, alibi=alibi,
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis)
         if cache is not None:
-            new_k = cache.k.at[i].set(kf) if new_k is None else new_k.at[i].set(kf)
-            new_v = cache.v.at[i].set(vf) if new_v is None else new_v.at[i].set(vf)
+            if quant_cache:
+                (kq, ks), (vq, vs) = kf, vf
+                new_k = (cache.k if new_k is None else new_k).at[i].set(kq)
+                new_v = (cache.v if new_v is None else new_v).at[i].set(vq)
+                new_ks = (cache.k_scale if new_ks is None else new_ks
+                          ).at[i].set(ks)
+                new_vs = (cache.v_scale if new_vs is None else new_vs
+                          ).at[i].set(vs)
+            else:
+                new_k = (cache.k if new_k is None else new_k).at[i].set(kf)
+                new_v = (cache.v if new_v is None else new_v).at[i].set(vf)
 
     logits = unembed(params, cfg, x)
     if cache is None:
         return logits, None
+    if quant_cache:
+        return logits, QuantKVCache(k=new_k, v=new_v, k_scale=new_ks,
+                                    v_scale=new_vs, length=start + T)
     return logits, KVCache(k=new_k, v=new_v, length=start + T)

@@ -80,3 +80,24 @@ def test_kv_cache_decode_matches_full_forward(rng, family):
                                   cache)
         np.testing.assert_allclose(np.asarray(step)[0, 0], full[0, t],
                                    atol=3e-4, rtol=1e-3)
+
+
+def test_int8_kv_cache_close_to_fp(rng):
+    """Quantized KV cache decode stays close to the fp cache path."""
+    from owq_tpu.models import init_quant_cache
+
+    model = hf_tiny.tiny_llama()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+
+    cache = init_quant_cache(cfg, batch=1, max_len=16)
+    pre, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    # int8 KV: small quantization error, but same argmax behavior expected
+    np.testing.assert_allclose(np.asarray(pre), full[:, :6], atol=0.05,
+                               rtol=0.1)
+    for t in range(6, 10):
+        step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                  cache)
+        assert np.argmax(np.asarray(step)[0, 0]) == np.argmax(full[0, t])

@@ -79,8 +79,14 @@ def main():
         return jax.jit(f)
 
     def build_2d(TO, KC):
-        """k-chunked accumulation: grid (out, k), output revisited over k."""
+        """k-chunked accumulation: grid (out, k), output revisited over k.
+
+        x is pre-reshaped [R, v, nw] so the per-k activation block is a
+        static BlockSpec slice (Mosaic rejects traced in-kernel slices of
+        the flat layout)."""
         nw_c = nw // KC
+        if nw_c % 8:
+            raise ValueError("k-chunk not sublane aligned")
 
         def kern(x_ref, q_ref, o_ref):
             k = pl.program_id(1)
@@ -94,30 +100,31 @@ def main():
             for p in range(v):
                 plane = (jax.lax.shift_right_logical(q, plane_offset(bits, p))
                          & jnp.int32(7)).astype(jnp.bfloat16)
-                xs = x_ref[:, pl.ds(p * nw + k * nw_c, nw_c)]
-                acc = acc + jnp.dot(xs, plane,
+                acc = acc + jnp.dot(x_ref[:, p, :], plane,
                                     preferred_element_type=jnp.float32)
             o_ref[:] = acc
 
-        def f(x, qw):
+        xr3 = x.reshape(R, v, nw)
+
+        def f(x_unused, qw):
             return pl.pallas_call(
                 kern, grid=(out // TO, KC),
-                in_specs=[pl.BlockSpec((R, in_pad), lambda j, k: (0, 0),
+                in_specs=[pl.BlockSpec((R, v, nw_c), lambda j, k: (0, 0, k),
                                        memory_space=pltpu.VMEM),
                           pl.BlockSpec((nw_c, TO), lambda j, k: (k, j),
                                        memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec((R, TO), lambda j, k: (0, j),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((R, out), jnp.float32),
-                cost_estimate=cost)(x, qw)
+                cost_estimate=cost)(xr3, qw)
         return jax.jit(f)
 
     variants = {
         "1d_TO512": build_1d(512),
         "1d_TO256": build_1d(256),
         "2d_TO512_K4": build_2d(512, 4),
+        "2d_TO1024_K2": build_2d(1024, 2),
         "2d_TO1024_K4": build_2d(1024, 4),
-        "2d_TO2048_K8": build_2d(2048, 8),
     }
 
     def one_pass(f):
