@@ -44,8 +44,10 @@ class ModelConfig:
     mlp_bias: bool = False
     gated_mlp: bool = True          # llama SwiGLU vs plain 2-layer MLP
     # Tensor parallelism: a shard-local config divides head counts but the
-    # per-head dim stays global, so it must be pinned explicitly.
+    # per-head dim stays global, so it must be pinned explicitly; tp_size
+    # records the shard count (ALiBi slopes need the global head count).
     head_dim_override: Optional[int] = None
+    tp_size: int = 1
 
     @property
     def head_dim(self) -> int:

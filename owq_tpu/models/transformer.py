@@ -356,7 +356,17 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
                             dtype=jnp.float32)
     elif cfg.pos_embedding == "alibi":
         # bias depends on key positions; invalid slots are masked anyway
-        alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid)
+        if tp_axis is None or cfg.tp_size == 1:
+            alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid)
+        else:
+            # shard-local slice of the global slope schedule
+            from .layers import alibi_slopes
+
+            slopes = alibi_slopes(cfg.num_heads * cfg.tp_size)
+            off = jax.lax.axis_index(tp_axis) * cfg.num_heads
+            local = jax.lax.dynamic_slice(slopes, (off,), (cfg.num_heads,))
+            kvp = (kv_pos * kv_valid).astype(jnp.float32)
+            alibi = local[None, :, None, None] * kvp[:, None, None, :]
 
     quant_cache = isinstance(cache, QuantKVCache)
     new_k, new_v, new_ks, new_vs = None, None, None, None

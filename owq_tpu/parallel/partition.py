@@ -47,7 +47,12 @@ _COL_PARALLEL = {"attn.q", "attn.k", "attn.v", "attn.qkv", "mlp.gate",
 
 
 def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
-    """Per-shard config: local head counts, global head_dim pinned."""
+    """Per-shard config: local head counts, global head_dim pinned.
+
+    Fused-QKV families (bloom/falcon) are split into separate q/k/v at
+    shard time (see _split_fused_qkv), so the local config clears
+    fused_qkv; MQA (1 kv head) replicates k/v on every shard.
+    """
     if cfg.num_heads % tp or (cfg.num_kv_heads % tp and cfg.num_kv_heads > 1):
         raise ValueError(
             f"heads {cfg.num_heads}/{cfg.num_kv_heads} not divisible by tp={tp}")
@@ -57,10 +62,64 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
         num_kv_heads=max(cfg.num_kv_heads // tp, 1),
         intermediate_size=cfg.intermediate_size // tp,
         head_dim_override=cfg.head_dim,
+        fused_qkv=False,
+        tp_size=tp,
     )
 
 
-def _shard_block(blk: Dict[str, Any], tp: int) -> Dict[str, Any]:
+def _select_cols(lin, cols):
+    """Column (output-feature) subset of a dense or packed linear."""
+    import numpy as np
+
+    cols = jnp.asarray(np.asarray(cols, np.int32))
+    if isinstance(lin, PackedLinear):
+        return PackedLinear(
+            qweight=jnp.take(lin.qweight, cols, axis=1),
+            scales=jnp.take(lin.scales, cols),
+            zeros=jnp.take(lin.zeros, cols),
+            oweight=jnp.take(lin.oweight, cols, axis=1),
+            out_ids=lin.out_ids,
+            bias=None if lin.bias is None else jnp.take(lin.bias, cols),
+            bits=lin.bits, in_features=lin.in_features)
+    return DenseLinear(
+        w=jnp.take(lin.w, cols, axis=1),
+        b=None if lin.b is None else jnp.take(lin.b, cols))
+
+
+def _split_fused_qkv(blk: Dict[str, Any], cfg: ModelConfig) -> None:
+    """Replace attn.qkv with separate q/k/v linears (layout-aware)."""
+    import numpy as np
+
+    attn = blk["attn"]
+    if "qkv" not in attn:
+        return
+    lin = attn.pop("qkv")
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    idx = np.arange(lin.out_features)
+    if cfg.family == "bloom":
+        # [H, 3, hd] interleave
+        i3 = idx.reshape(H, 3, hd)
+        qc, kc, vc = i3[:, 0].ravel(), i3[:, 1].ravel(), i3[:, 2].ravel()
+    elif Hkv == 1:
+        # falcon MQA: [H*hd | hd | hd]
+        qc = idx[: H * hd]
+        kc = idx[H * hd: H * hd + hd]
+        vc = idx[H * hd + hd:]
+    else:
+        # falcon GQA/new-arch: [Hkv, H//Hkv + 2, hd]
+        g = idx.reshape(Hkv, H // Hkv + 2, hd)
+        qc = g[:, :-2].ravel()
+        kc = g[:, -2].ravel()
+        vc = g[:, -1].ravel()
+    attn["q"] = _select_cols(lin, qc)
+    attn["k"] = _select_cols(lin, kc)
+    attn["v"] = _select_cols(lin, vc)
+
+
+def _shard_block(blk: Dict[str, Any], cfg: ModelConfig, tp: int
+                 ) -> Dict[str, Any]:
+    if cfg.fused_qkv:
+        _split_fused_qkv(blk, cfg)
     for part in ("attn", "mlp"):
         for leaf, lin in list(blk.get(part, {}).items()):
             name = f"{part}.{leaf}"
@@ -76,12 +135,19 @@ def shard_model_tp(params: Dict[str, Any], cfg: ModelConfig, tp: int
                    ) -> Tuple[Dict[str, Any], ModelConfig]:
     """Transform params for tp-way tensor parallelism (host-side, in place)."""
     for blk in params["layers"]:
-        _shard_block(blk, tp)
+        _shard_block(blk, cfg, tp)
     return params, local_config(cfg, tp)
 
 
-def _linear_spec(name: str, lin) -> Any:
+def _linear_spec(name: str, lin, replicate: bool = False) -> Any:
     """PartitionSpec pytree for one linear."""
+    if replicate:
+        if isinstance(lin, PackedLinear):
+            return PackedLinear(
+                qweight=P(), scales=P(), zeros=P(), oweight=P(), out_ids=P(),
+                bias=None if lin.bias is None else P(),
+                bits=lin.bits, in_features=lin.in_features)
+        return DenseLinear(w=P(), b=None if lin.b is None else P())
     if name in _ROW_PARALLEL:
         if isinstance(lin, ShardedPackedLinear):
             return ShardedPackedLinear(
@@ -102,8 +168,14 @@ def _linear_spec(name: str, lin) -> Any:
                        b=None if lin.b is None else P(TP_AXIS))
 
 
-def param_pspecs(params: Dict[str, Any]) -> Any:
-    """PartitionSpec pytree mirroring a TP-sharded param tree."""
+def param_pspecs(params: Dict[str, Any],
+                 cfg: Optional[ModelConfig] = None) -> Any:
+    """PartitionSpec pytree mirroring a TP-sharded param tree.
+
+    With a (global) cfg for an MQA family (1 kv head), k/v are replicated
+    instead of head-sharded.
+    """
+    mqa = cfg is not None and cfg.num_kv_heads == 1
 
     def norm_spec(n):
         if n is None:
@@ -131,16 +203,21 @@ def param_pspecs(params: Dict[str, Any]) -> Any:
             if key.startswith("ln"):
                 bspec[key] = norm_spec(val)
             else:
-                bspec[key] = {leaf: _linear_spec(f"{key}.{leaf}", lin)
-                              for leaf, lin in val.items()}
+                bspec[key] = {
+                    leaf: _linear_spec(
+                        f"{key}.{leaf}", lin,
+                        replicate=(mqa and key == "attn"
+                                   and leaf in ("k", "v")))
+                    for leaf, lin in val.items()}
         blocks.append(bspec)
     specs["layers"] = blocks
     return specs
 
 
-def place_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def place_params(params: Dict[str, Any], mesh: Mesh,
+                 cfg: Optional[ModelConfig] = None) -> Dict[str, Any]:
     """device_put the param tree according to its TP partition specs."""
-    specs = param_pspecs(params)
+    specs = param_pspecs(params, cfg)
 
     def put(leaf, spec):
         if leaf is None:
@@ -157,7 +234,7 @@ def make_tp_forward(mesh: Mesh, cfg: ModelConfig, params: Dict[str, Any],
     """shard_map'd full-sequence forward: (params, ids [B,T]) -> logits."""
     tp = mesh.shape[TP_AXIS]
     cfg_local = local_config(cfg, tp)
-    pspecs = param_pspecs(params)
+    pspecs = param_pspecs(params, cfg)
 
     def local_fwd(p, ids):
         logits, _ = forward(p, cfg_local, ids, kernel=kernel, dtype=dtype,
@@ -185,7 +262,7 @@ def make_tp_decode(mesh: Mesh, cfg: ModelConfig, params: Dict[str, Any],
 
     tp = mesh.shape[TP_AXIS]
     cfg_local = local_config(cfg, tp)
-    pspecs = param_pspecs(params)
+    pspecs = param_pspecs(params, cfg)
     cache_spec = KVCache(k=P(None, DP_AXIS, None, TP_AXIS, None),
                          v=P(None, DP_AXIS, None, TP_AXIS, None),
                          length=P())
@@ -222,7 +299,7 @@ def make_tp_train_step(mesh: Mesh, cfg: ModelConfig, params: Dict[str, Any],
     """
     tp = mesh.shape[TP_AXIS]
     cfg_local = local_config(cfg, tp)
-    pspecs = param_pspecs(params)
+    pspecs = param_pspecs(params, cfg)
 
     def local_step(p, ids):
         def loss_fn(p):

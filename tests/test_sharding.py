@@ -152,3 +152,22 @@ def test_tp_cached_decode_matches(rng):
             lg, tcache = step(params_tp, jnp.asarray(ids[:, t:t + 1]), tcache)
             np.testing.assert_allclose(np.asarray(lg), refs[i + 1],
                                        atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("family", ["bloom", "falcon"])
+def test_tp_fused_qkv_families(rng, family):
+    """BLOOM (alibi + fused interleaved qkv) and Falcon (MQA + parallel
+    block) under tensor parallelism."""
+    model = (hf_tiny.tiny_bloom(hidden=32, layers=2, heads=4) if family ==
+             "bloom" else hf_tiny.tiny_falcon(hidden=32, layers=2, heads=4))
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(2, 9)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh, cfg)
+        fwd = make_tp_forward(mesh, cfg, params_tp)
+        got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=3e-4, rtol=1e-3)
