@@ -319,6 +319,7 @@ def wikitext_detokenize(s: str) -> str:
 
 from . import extended  # noqa: E402,F401  (registers MMLU/GLUE/gen tasks)
 from . import more  # noqa: E402,F401  (ANLI/RACE/multilingual/translation)
+from . import bigbench  # noqa: E402,F401  (bigbench MC subset + json tasks)
 
 
 @register_task("wikitext")

@@ -165,3 +165,30 @@ def test_caching_lm(tmp_path):
     r2 = lm.loglikelihood(reqs)
     assert calls["n"] == 2  # served from cache
     assert r1 == r2
+
+
+def test_json_task(tmp_path):
+    """JSON-defined custom task (reference tasks/json.py analogue)."""
+    import json
+
+    docs = [{"context": f"Q{i}:", "choices": ["alpha", "zzz"], "gold": 0}
+            for i in range(4)]
+    path = tmp_path / "task.json"
+    path.write_text(json.dumps(docs))
+
+    from owq_tpu.eval.harness.registry import get_task
+
+    task = get_task("json", data_dir=str(path))
+    out = evaluate(FixedLM(), {"custom": task}, num_fewshot=0)
+    assert out["results"]["custom"]["acc"] == 1.0
+
+
+def test_overlap_scan():
+    from owq_tpu.eval.overlap import decontaminate_docs
+
+    train = ["the quick brown fox jumps over the lazy dog every day"]
+    evals = ["totally unrelated document about mathematics and physics",
+             "someone said the quick brown fox jumps over the lazy dog "
+             "every day again"]
+    clean, dirty = decontaminate_docs(train, evals, ngram_n=5, window=2)
+    assert clean == [0] and dirty == [1]
