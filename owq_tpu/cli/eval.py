@@ -18,6 +18,8 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default=None)
     p.add_argument("--kernel", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--offload", action="store_true",
+                   help="layer-wise host-RAM streaming (>HBM models)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -39,7 +41,8 @@ def main(argv=None) -> int:
                              model=args.model, train=False,
                              vocab_size=cfg.vocab_size)
         ppl = eval_ppl(params, cfg, stream, seqlen, batch=args.batch,
-                       kernel=args.kernel, verbose=True)
+                       kernel=args.kernel, verbose=True,
+                       offload=args.offload)
         print(f"{dataset}: {ppl:.4f}")
     return 0
 

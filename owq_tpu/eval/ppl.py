@@ -35,13 +35,23 @@ def window_nll(params: Dict[str, Any], cfg: ModelConfig, ids: jnp.ndarray,
 
 def eval_ppl(params: Dict[str, Any], cfg: ModelConfig, tokens: np.ndarray,
              seqlen: int, *, batch: int = 1, kernel: str = "xla",
-             verbose: bool = False) -> float:
-    """Perplexity over a flat token stream (reference window protocol)."""
+             verbose: bool = False, offload: bool = False) -> float:
+    """Perplexity over a flat token stream (reference window protocol).
+
+    ``offload``: layer-wise streaming for models larger than one chip's HBM
+    (the reference's eval_ppl block shuttle, main.py:167-267): weights and
+    activations stay in host RAM; one block + one window chunk are on
+    device at a time.
+    """
     tokens = np.asarray(tokens).reshape(-1)
     nwin = tokens.size // seqlen
     if nwin == 0:
         raise ValueError(f"stream of {tokens.size} tokens < seqlen {seqlen}")
     windows = tokens[: nwin * seqlen].reshape(nwin, seqlen).astype(np.int32)
+
+    if offload:
+        return _eval_ppl_layerwise(params, cfg, windows, seqlen, batch=batch,
+                                   kernel=kernel, verbose=verbose)
 
     total = 0.0
     for s in range(0, nwin, batch):
@@ -56,6 +66,47 @@ def eval_ppl(params: Dict[str, Any], cfg: ModelConfig, tokens: np.ndarray,
         if verbose:
             done = min(s + batch, nwin)
             print(f"  ppl windows {done}/{nwin}", end="\r")
+    if verbose:
+        print()
+    return float(np.exp(total / (nwin * seqlen)))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _final_nll(params, cfg: ModelConfig, x, ids):
+    from ..models.transformer import unembed
+
+    logits = unembed(params, cfg, x)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
+    return jnp.mean(nll, axis=-1) * ids.shape[1]
+
+
+def _eval_ppl_layerwise(params, cfg, windows: np.ndarray, seqlen: int, *,
+                        batch: int = 1, kernel: str = "xla",
+                        verbose: bool = False) -> float:
+    from ..recon.pipeline import _block_out, calibration_inputs
+
+    nwin = windows.shape[0]
+    x, aux = calibration_inputs(params, cfg, windows, dtype=jnp.float32)
+    x = np.asarray(x)
+    for li in range(len(params["layers"])):
+        blk = jax.device_put(params["layers"][li])
+        outs = []
+        for s in range(0, nwin, batch):
+            y = _block_out(blk, cfg, jnp.asarray(x[s:s + batch]), aux["mask"],
+                           aux["rope"], aux["alibi"])
+            outs.append(np.asarray(y))
+        x = np.concatenate(outs, axis=0)
+        del blk
+        if verbose:
+            print(f"  layer {li + 1}/{len(params['layers'])}", end="\r")
+    head = {k: v for k, v in params.items() if k != "layers"}
+    head = jax.device_put(head)
+    total = 0.0
+    for s in range(0, nwin, batch):
+        nll = _final_nll(head, cfg, jnp.asarray(x[s:s + batch]),
+                         jnp.asarray(windows[s:s + batch]))
+        total += float(np.asarray(nll).sum())
     if verbose:
         print()
     return float(np.exp(total / (nwin * seqlen)))

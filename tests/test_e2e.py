@@ -157,3 +157,11 @@ def test_offload_quantization_matches(calib):
     w2 = np.asarray(p2["layers"][1]["mlp"]["fc2"].w)
     np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
     assert isinstance(p2["layers"][0]["attn"]["q"].w, np.ndarray)
+
+
+def test_layerwise_offload_ppl_matches(calib, stream):
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    params, cfg = import_hf_model(model)
+    p1 = eval_ppl(params, cfg, stream, seqlen=32, batch=4)
+    p2 = eval_ppl(params, cfg, stream, seqlen=32, batch=4, offload=True)
+    assert abs(p1 - p2) / p1 < 1e-4
