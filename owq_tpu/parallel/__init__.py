@@ -8,3 +8,6 @@ from .partition import (
     place_params,
     shard_model_tp,
 )
+from .sequence import SP_AXIS, make_sp_prefill
+from .pipeline import StagedModel, stage_model
+from .multihost import initialize as distributed_initialize, is_primary, pod_mesh

@@ -171,3 +171,21 @@ def test_tp_fused_qkv_families(rng, family):
         fwd = make_tp_forward(mesh, cfg, params_tp)
         got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
     np.testing.assert_allclose(got, np.asarray(ref), atol=3e-4, rtol=1e-3)
+
+
+def test_sequence_parallel_prefill_matches(rng):
+    """SP prefill over 4 sequence shards == single-device forward."""
+    from jax.sharding import Mesh
+    from owq_tpu.parallel.sequence import SP_AXIS, make_sp_prefill
+
+    model = hf_tiny.tiny_llama(hidden=32, inter=64, layers=2, heads=4,
+                               kv_heads=2, max_pos=64)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(2, 16)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (SP_AXIS,))
+    with mesh:
+        fwd = make_sp_prefill(mesh, cfg)
+        got = np.asarray(fwd(params, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
