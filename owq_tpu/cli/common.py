@@ -12,9 +12,10 @@ from ..models.config import ARCH_REGISTRY, ModelConfig, arch_for_model
 
 
 def interpret_dtype(name: Optional[str]):
+    # TPU-native half precision is bf16; fp16 checkpoints load as bf16.
+    # None/"auto" also default to bf16 (the serving dtype).
     if name in (None, "auto", "float16", "fp16", "bfloat16", "bf16"):
-        # TPU-native half precision is bf16; fp16 checkpoints load as bf16
-        return jnp.bfloat16 if name not in (None, "auto") else jnp.bfloat16
+        return jnp.bfloat16
     if name in ("float", "float32", "fp32", "fp"):
         return jnp.float32
     raise ValueError(f"unknown dtype {name}")

@@ -141,9 +141,22 @@ def main(argv=None) -> int:
             f.write(f"{args.model} wbits={args.wbits} "
                     f"target_bit={args.target_bit}: {results}\n")
 
-    if args.save and quantizers is not None:
+    if args.save:
         from ..runtime.checkpoint import pack_model, save_checkpoint
 
+        if quantizers is None:
+            # RTN / --load runs carry no reconstruction state: only a fake
+            # (fake-quant weights) checkpoint is possible.  (The reference
+            # crashes with a NameError here, SURVEY.md §8; we save what we
+            # can and say so.)
+            if args.packing:
+                raise ValueError(
+                    "--packing requires a GPTQ reconstruction run "
+                    "(packed checkpoints need per-layer quantizer state); "
+                    "use --fake, or drop --nearest/--load")
+            save_checkpoint(args.save + "_fake", params, cfg, packed=False)
+            print(f"fake quantized model saved to {args.save}_fake")
+            return 0
         if args.fake:
             save_checkpoint(args.save + "_fake", params, cfg,
                             quantizers=quantizers, packed=False)

@@ -139,9 +139,11 @@ class JaxLM(LM):
             maxlen = 0
             for ctx, cont in chunk:
                 ids = (ctx + cont)[-(self.max_length + 1):]
-                cont_len = min(len(cont), len(ids))
+                # keep at least one context token so every continuation
+                # token has a scoring position
+                cont_len = min(len(cont), len(ids) - 1)
                 rows.append(ids)
-                spans.append((len(ids) - 1 - cont_len + 1, cont_len))
+                spans.append((len(ids) - cont_len, cont_len))
                 maxlen = max(maxlen, len(ids))
             batch = np.zeros((len(rows), maxlen), np.int32)
             for i, ids in enumerate(rows):
@@ -193,6 +195,8 @@ class JaxLM(LM):
             if isinstance(until, dict):
                 until = until.get("until", [])
             ctx = self.tok_encode(context)[-(self.max_length // 2):]
+            if not ctx:
+                ctx = [self.eot_token_id]
             max_new = min(256, self.max_length - len(ctx))
             toks = generate(self.params, self.cfg,
                             np.asarray([ctx], np.int32), max_new,

@@ -30,17 +30,21 @@ class CachingLM(LM):
                                   (k,)).fetchone()
             if row is not None:
                 hits[k] = json.loads(row[0])
-        missing = [r for k, r in zip(keys, requests) if k not in hits]
-        if missing:
-            fresh = getattr(self.lm, kind)(missing)
-            it = iter(fresh)
-            for k, r in zip(keys, requests):
-                if k not in hits:
-                    v = next(it)
-                    hits[k] = v
-                    self.db.execute(
-                        "INSERT OR REPLACE INTO cache VALUES (?, ?)",
-                        (k, json.dumps(v)))
+        # dedupe on key: a request repeated within one batch must be
+        # computed once and every occurrence must get that same result
+        missing_keys: List[str] = []
+        missing_reqs: List = []
+        for k, r in zip(keys, requests):
+            if k not in hits and k not in missing_keys:
+                missing_keys.append(k)
+                missing_reqs.append(r)
+        if missing_reqs:
+            fresh = getattr(self.lm, kind)(missing_reqs)
+            for k, v in zip(missing_keys, fresh):
+                hits[k] = v
+                self.db.execute(
+                    "INSERT OR REPLACE INTO cache VALUES (?, ?)",
+                    (k, json.dumps(v)))
             self.db.commit()
         out = [hits[k] for k in keys]
         # loglikelihood results round-trip through json as lists
