@@ -28,6 +28,7 @@ row-tile sweep.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -37,21 +38,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.packing import plane_offset, values_per_word
 
+# Tuning knobs (e2e A/B via tools/bench_e2e.py; microbenchmarks of single
+# pallas calls are unreliable on relayed backends):
+_TO_OVERRIDE = int(os.environ.get("OWQ_GEMV_TO", "0"))
+_PAIRED = os.environ.get("OWQ_GEMV_PAIRED", "") == "1"
+_USE_COST = os.environ.get("OWQ_GEMV_NO_COST", "") != "1"
+_USE_DMA = os.environ.get("OWQ_GEMV_DMA", "") == "1"
+
 __all__ = ["quant_matmul", "packed_matmul_kernel"]
 
 _BF16_128 = 0x43004300  # bf16(128.0) in both halves of an int32 lane
 
 
 def _plane_kernel(x_ref, q_ref, o_ref, *, bits: int, nw: int, acc_dtype):
-    """Generic path: one shift+mask+convert per plane (any x dtype)."""
+    """Generic path: one shift+mask+convert per plane (any x dtype).
+
+    Two planes get a free op: plane 0 sits at offset 0 (no shift) and the
+    top plane of the high half reaches bit 31's zeroed spare bit(s), so a
+    logical shift alone isolates it (no mask).
+    """
     v = values_per_word(bits)
-    mask = jnp.uint32((1 << bits) - 1)
-    q = q_ref[:].astype(jnp.uint32)
+    mask = jnp.int32((1 << bits) - 1)
+    q = q_ref[:]
+    top = plane_offset(bits, v - 1)
     acc = None
     for p in range(v):
-        # uint32 -> float is not a legal cast on TPU; hop through int32
-        plane = ((q >> plane_offset(bits, p)) & mask
-                 ).astype(jnp.int32).astype(x_ref.dtype)
+        off = plane_offset(bits, p)
+        if off == 0:
+            field = q & mask
+        elif off + bits >= 32:
+            field = jax.lax.shift_right_logical(q, off)
+        else:
+            field = jax.lax.shift_right_logical(q, off) & mask
+        plane = field.astype(x_ref.dtype)
         xs = x_ref[:, p * nw:(p + 1) * nw]
         part = jnp.dot(xs, plane, preferred_element_type=acc_dtype)
         acc = part if acc is None else acc + part
@@ -108,9 +127,10 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
     if rows_pad != rows:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
     # TO=512 + an explicit cost estimate measured fastest on v5e
-    # (min-of-6 interleaved: 477 GB/s effective vs 373 at 256 / 143 at 128)
-    for cand in (512, 256, 128):
-        if out % cand == 0:
+    # (e2e decode scan comparison; see tools/bench_e2e.py)
+    cands = (_TO_OVERRIDE,) if _TO_OVERRIDE else (512, 256, 128)
+    for cand in cands:
+        if cand and out % cand == 0:
             to = cand
             break
     else:
@@ -119,7 +139,7 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
     cost = pl.CostEstimate(
         flops=2 * rows_pad * in_pad * out,
         bytes_accessed=qweight.nbytes + x.nbytes + 4 * rows_pad * out,
-        transcendentals=0)
+        transcendentals=0) if _USE_COST else None
 
     if paired:
         half = v // 2
@@ -172,9 +192,9 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     # The bf16-bitcast paired path is numerically exact (verified on-chip)
     # but measured slower than the generic plane loop on v5e — the
     # interleaved bf16 operand forces a Mosaic relayout before the MXU.
-    # Keep the generic loop as default; paired stays available for future
-    # hardware where the bitcast layout feeds the MXU directly.
-    paired = False
+    # Keep the generic loop as default; OWQ_GEMV_PAIRED=1 re-enables the
+    # paired path for A/B runs on other hardware.
+    paired = _PAIRED and not interpret
     dtype = x.dtype
     in_pad = p.in_padded
     pad = in_pad - x.shape[-1]
@@ -182,9 +202,15 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     xf = x.reshape(-1, x.shape[-1])
     xp = jnp.pad(xf, ((0, 0), (0, pad))) if pad else xf
 
-    acc = packed_matmul_kernel(xp, jax.lax.stop_gradient(p.qweight),
-                               bits=p.bits, interpret=interpret,
-                               paired=paired)
+    if _USE_DMA and not interpret and xp.shape[0] <= 8:
+        from .gemv_dma import packed_matvec_dma
+
+        acc = packed_matvec_dma(xp, jax.lax.stop_gradient(p.qweight),
+                                bits=p.bits)
+    else:
+        acc = packed_matmul_kernel(xp, jax.lax.stop_gradient(p.qweight),
+                                   bits=p.bits, interpret=interpret,
+                                   paired=paired)
 
     scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
     zeros = jax.lax.stop_gradient(p.zeros).astype(jnp.float32)

@@ -133,6 +133,12 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
     """Family-specific fused-QKV layouts -> q [B,T,H,hd], k/v [B,T,Hkv,hd]."""
     B, T = fused.shape[:2]
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if cfg.family in ("llama", "opt"):
+        # runtime-fused projections (fuse_block_projections): plain concat
+        q = fused[..., : H * hd].reshape(B, T, H, hd)
+        k = fused[..., H * hd: (H + Hkv) * hd].reshape(B, T, Hkv, hd)
+        v = fused[..., (H + Hkv) * hd:].reshape(B, T, Hkv, hd)
+        return q, k, v
     if cfg.family == "bloom":
         f = fused.reshape(B, T, H, 3, hd)
         return f[:, :, :, 0], f[:, :, :, 1], f[:, :, :, 2]
@@ -264,8 +270,12 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         for name in ("mlp.gate", "mlp.up"):
             if name in taps:
                 tapped[name] = x_ln2
-        g = _lin(mlp["gate"], x_ln2, kernel)
-        u = _lin(mlp["up"], x_ln2, kernel)
+        if "gateup" in mlp:  # runtime-fused gate|up projection
+            gu = _lin(mlp["gateup"], x_ln2, kernel)
+            g, u = jnp.split(gu, 2, axis=-1)
+        else:
+            g = _lin(mlp["gate"], x_ln2, kernel)
+            u = _lin(mlp["up"], x_ln2, kernel)
         h = activation(g, cfg.activation) * u
         if "mlp.down" in taps:
             tapped["mlp.down"] = h

@@ -1,0 +1,93 @@
+"""Runtime projection fusion: fewer, larger kernel launches per block.
+
+Decode is launch-overhead sensitive: fusing q|k|v into one packed matmul
+and gate|up into another cuts per-block quantized-matmul calls from 7 to 4
+(qkv, o, gateup, down) with identical math.  Fusion is a pure post-pack
+transformation — quantization still runs per-linear like the reference
+(each keeps its own scales/zeros/weak columns); the fused module
+concatenates along the output axis and block-diagonalizes the weak-column
+side matrix over the union of outlier indices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from .quant_linear import DenseLinear, PackedLinear
+
+__all__ = ["fuse_linears", "fuse_block_projections"]
+
+
+def fuse_linears(lins: List[Any]):
+    """Concat linears along the output axis (same input dim required)."""
+    if all(isinstance(l, DenseLinear) for l in lins):
+        has_bias = any(l.b is not None for l in lins)
+        b = None
+        if has_bias:
+            b = jnp.concatenate([
+                l.b if l.b is not None else
+                jnp.zeros((l.out_features,), l.w.dtype) for l in lins])
+        return DenseLinear(w=jnp.concatenate([l.w for l in lins], axis=1), b=b)
+
+    assert all(isinstance(l, PackedLinear) for l in lins), \
+        "cannot fuse mixed dense/packed linears"
+    bits = lins[0].bits
+    infeat = lins[0].in_features
+    assert all(l.bits == bits and l.in_features == infeat for l in lins)
+
+    # union of weak-column indices; block-diagonal side matrix
+    all_ids = sorted(set(int(i) for l in lins
+                         for i in np.asarray(l.out_ids)))
+    union = np.asarray(all_ids, np.int32)
+    pos = {int(i): k for k, i in enumerate(union)}
+    parts = []
+    for l in lins:
+        ow = np.zeros((len(union), l.out_features), np.float32)
+        lids = np.asarray(l.out_ids)
+        if lids.size:
+            rows = [pos[int(i)] for i in lids]
+            ow[rows] = np.asarray(l.oweight, np.float32)
+        parts.append(ow)
+    oweight = np.concatenate(parts, axis=1) if union.size else \
+        np.zeros((0, sum(l.out_features for l in lins)), np.float32)
+
+    has_bias = any(l.bias is not None for l in lins)
+    bias = None
+    if has_bias:
+        bias = jnp.concatenate([
+            l.bias if l.bias is not None else
+            jnp.zeros((l.out_features,), l.scales.dtype) for l in lins])
+
+    return PackedLinear(
+        qweight=jnp.concatenate([l.qweight for l in lins], axis=1),
+        scales=jnp.concatenate([l.scales for l in lins]),
+        zeros=jnp.concatenate([l.zeros for l in lins]),
+        oweight=jnp.asarray(oweight, dtype=lins[0].oweight.dtype),
+        out_ids=jnp.asarray(union),
+        bias=bias, bits=bits, in_features=infeat)
+
+
+def fuse_block_projections(params: Dict[str, Any], cfg: ModelConfig
+                           ) -> Tuple[Dict[str, Any], ModelConfig]:
+    """Fuse q|k|v and gate|up in every block (llama/opt-style separates).
+
+    Returns (params, cfg) with cfg.fused_qkv set; falcon/bloom are already
+    fused.  Not composable with tensor parallelism's shard transform (TP
+    splits fused projections back apart anyway).
+    """
+    if cfg.fused_qkv:
+        return params, cfg
+    for blk in params["layers"]:
+        attn = blk["attn"]
+        if all(k in attn for k in ("q", "k", "v")):
+            attn["qkv"] = fuse_linears([attn.pop("q"), attn.pop("k"),
+                                        attn.pop("v")])
+        mlp = blk["mlp"]
+        if cfg.gated_mlp and "gate" in mlp and "up" in mlp:
+            mlp["gateup"] = fuse_linears([mlp.pop("gate"), mlp.pop("up")])
+    return params, dataclasses.replace(cfg, fused_qkv=True)

@@ -165,3 +165,40 @@ def test_layerwise_offload_ppl_matches(calib, stream):
     p1 = eval_ppl(params, cfg, stream, seqlen=32, batch=4)
     p2 = eval_ppl(params, cfg, stream, seqlen=32, batch=4, offload=True)
     assert abs(p1 - p2) / p1 < 1e-4
+
+
+def test_fused_projections_match(calib):
+    """q|k|v + gate|up fusion is numerically identical."""
+    import copy
+
+    from owq_tpu.runtime.fuse import fuse_block_projections
+
+    _, params_q, cfg, quantizers = quantized_tiny_opt(
+        calib, target_bit=None, target_rank=2)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+    ids = calib[:2, :12]
+    ref, _ = forward(packed, cfg, jnp.asarray(ids))
+
+    fused, cfg2 = fuse_block_projections(copy.deepcopy(packed), cfg)
+    assert cfg2.fused_qkv
+    assert "qkv" in fused["layers"][0]["attn"]
+    got, _ = forward(fused, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_projections_llama(rng_mod=np.random.default_rng(9)):
+    """Gated-MLP fusion path (llama)."""
+    import copy
+
+    from owq_tpu.runtime.fuse import fuse_block_projections
+
+    model = hf_tiny.tiny_llama(hidden=32, inter=64, layers=2)
+    params, cfg = import_hf_model(model)
+    ids = rng_mod.integers(0, 97, size=(1, 8)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+    fused, cfg2 = fuse_block_projections(copy.deepcopy(params), cfg)
+    assert "gateup" in fused["layers"][0]["mlp"]
+    got, _ = forward(fused, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
