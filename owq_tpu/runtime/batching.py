@@ -98,14 +98,20 @@ def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
     return KVCache(k=k, v=v, length=lengths)
 
 
-@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype"),
+@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype", "temperature",
+                                   "top_p"),
          donate_argnames=("cache",))
 def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
-                active: jnp.ndarray, kernel: str = "xla", dtype=jnp.bfloat16):
+                active: jnp.ndarray, key, kernel: str = "xla",
+                dtype=jnp.bfloat16, temperature: float = 0.0,
+                top_p: float = 1.0):
     """One decode step for every slot; inactive slots don't advance."""
+    from .generate import _sample
+
     logits, cache2 = forward(params, cfg, toks[:, None], cache=cache,
                              kernel=kernel, dtype=dtype)
-    nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(jnp.int32)
+    nxt = _sample(logits[:, -1].astype(jnp.float32), key, temperature,
+                  top_p).astype(jnp.int32)
     # only active slots advance their length
     new_len = jnp.where(active, cache2.length, cache.length)
     return nxt, KVCache(k=cache2.k, v=cache2.v, length=new_len)
@@ -116,6 +122,7 @@ class Engine:
                  max_len: int = 2048, kernel: str = "xla",
                  eos_token_id: Optional[int] = None,
                  cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                 temperature: float = 0.0, top_p: float = 1.0, seed: int = 0,
                  prompt_buckets: Sequence[int] = (32, 128, 512, 2048)):
         self.params = params
         self.cfg = cfg
@@ -124,6 +131,9 @@ class Engine:
         self.max_len = max_len
         self.eos = eos_token_id
         self.compute_dtype = compute_dtype
+        self.temperature = temperature
+        self.top_p = top_p
+        self._key = jax.random.PRNGKey(seed)
         self.prompt_buckets = sorted(prompt_buckets)
 
         shape = (cfg.num_layers, max_batch, max_len, cfg.num_kv_heads,
@@ -193,9 +203,11 @@ class Engine:
             [r is not None for r in self.slot_req], bool)
         if not active_mask.any():
             return []
+        self._key, sub = jax.random.split(self._key)
         nxt, self.cache = _decode_all(
             self.params, self.cfg, jnp.asarray(self.cur_tok), self.cache,
-            jnp.asarray(active_mask), self.kernel, self.compute_dtype)
+            jnp.asarray(active_mask), sub, self.kernel, self.compute_dtype,
+            self.temperature, self.top_p)
         nxt = np.asarray(nxt)
         finished = []
         for slot, req in enumerate(self.slot_req):
