@@ -72,7 +72,13 @@ def _plane_kernel(x_ref, q_ref, o_ref, *, bits: int, nw: int, acc_dtype):
             field = jax.lax.shift_right_logical(q, off) & mask
         plane = field.astype(x_ref.dtype)
         xs = x_ref[:, p * nw:(p + 1) * nw]
-        part = jnp.dot(xs, plane, preferred_element_type=acc_dtype)
+        # TPU f32 matmuls default to bf16-reduced passes; the exact path
+        # (f32 activations, the reference's non-faster kernels) needs full
+        # precision.  bf16 operands are multiplied exactly regardless.
+        prec = (jax.lax.Precision.HIGHEST
+                if x_ref.dtype == jnp.float32 else None)
+        part = jnp.dot(xs, plane, preferred_element_type=acc_dtype,
+                       precision=prec)
         acc = part if acc is None else acc + part
     o_ref[:] = acc
 
@@ -222,7 +228,9 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     if p.n_out > 0:
         xo = jnp.take(xf, p.out_ids, axis=-1)
         y = y + jnp.dot(xo, p.oweight.astype(dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=(jax.lax.Precision.HIGHEST
+                                   if dtype == jnp.float32 else None))
     y = y.astype(dtype)
     if p.bias is not None:
         y = y + p.bias.astype(dtype)

@@ -143,12 +143,16 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     qw = jax.lax.stop_gradient(p.qweight).astype(jnp.uint32)
     mask = jnp.uint32((1 << p.bits) - 1)
 
+    # TPU f32 matmuls default to bf16-reduced passes; keep the exact path
+    # (f32 activations) at full precision
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     acc = None
     for pl in range(v):
         # (uint32 -> float is not a legal cast on TPU; hop through int32)
         qpl = ((qw >> plane_offset(p.bits, pl)) & mask
                ).astype(jnp.int32).astype(dtype)
-        part = jnp.dot(xr[:, pl, :], qpl, preferred_element_type=jnp.float32)
+        part = jnp.dot(xr[:, pl, :], qpl, preferred_element_type=jnp.float32,
+                       precision=prec)
         acc = part if acc is None else acc + part
 
     scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
@@ -161,7 +165,9 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     if p.n_out > 0:
         xo = jnp.take(x, p.out_ids, axis=-1)
         y = y + jnp.dot(xo, p.oweight.astype(dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=(jax.lax.Precision.HIGHEST
+                                   if dtype == jnp.float32 else None))
     y = y.astype(dtype)
     if p.bias is not None:
         y = y + p.bias.astype(dtype)
