@@ -109,7 +109,9 @@ def main() -> None:
             "unit": "tokens/s/chip",
             "vs_baseline": round(tps / roofline_tps, 4),
         }
-        stats = {"median_s": 1.0 / max(tps, 1e-9), "min_s": 0.0}
+        # aggregate throughput only; per-request latency is not measured
+        # in engine mode
+        stats = {"median_s": float("nan"), "min_s": float("nan")}
     else:
         ids = rng.integers(0, cfg.vocab_size,
                            size=(1, args.tokens)).astype(np.int32)
@@ -124,12 +126,13 @@ def main() -> None:
         }
     detail = {
         "kernel": kernel,
-        "median_ms": round(stats["median_s"] * 1e3, 3),
-        "min_ms": round(stats["min_s"] * 1e3, 3),
         "weight_bytes": wbytes,
         "roofline_tokens_per_s": round(roofline_tps, 2),
         "device": str(jax.devices()[0]),
     }
+    if stats["median_s"] == stats["median_s"]:  # not NaN (engine mode)
+        detail["median_ms"] = round(stats["median_s"] * 1e3, 3)
+        detail["min_ms"] = round(stats["min_s"] * 1e3, 3)
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))
 

@@ -26,6 +26,15 @@ def load_model(model: str, *, dtype=jnp.float32, load: str = "",
     """Load (params, cfg): from a packed/fake checkpoint dir, a synthetic
     spec ("synthetic:llama-7b[:bits]"), or a local HF checkpoint."""
     if load:
+        if load.endswith((".pth", ".pt")):
+            # packed checkpoint produced by the CUDA reference
+            from transformers import AutoConfig
+
+            from ..runtime.convert import load_reference_checkpoint
+
+            hf_cfg = AutoConfig.from_pretrained(
+                model, trust_remote_code=trust_remote_code)
+            return load_reference_checkpoint(load, hf_cfg)
         from ..runtime.checkpoint import load_checkpoint
 
         params, cfg, _ = load_checkpoint(load)

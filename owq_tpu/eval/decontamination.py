@@ -65,7 +65,10 @@ class Janitor:
     def register_contaminant(self, text: str) -> None:
         from ..native import janitor_lib
 
-        lib = janitor_lib()
+        # the C++ fast path normalizes byte-wise (ASCII alnum); route
+        # non-ASCII text through the Unicode-aware Python path so hashes
+        # stay consistent regardless of which side registered them
+        lib = janitor_lib() if text.isascii() else None
         if lib is not None:
             import ctypes
 
@@ -86,7 +89,7 @@ class Janitor:
             return [text]
         from ..native import janitor_lib
 
-        lib = janitor_lib()
+        lib = janitor_lib() if text.isascii() else None
         if lib is not None:
             parts = self._clean_native(lib, text)
         else:

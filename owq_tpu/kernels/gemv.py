@@ -211,6 +211,7 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     if _USE_DMA and not interpret and xp.shape[0] <= 8:
         from .gemv_dma import packed_matvec_dma
 
+        paired = False  # the DMA kernel has no +128 bf16-bitcast offset
         acc = packed_matvec_dma(xp, jax.lax.stop_gradient(p.qweight),
                                 bits=p.bits)
     else:
