@@ -49,8 +49,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8,
                     help="engine slot count (with --engine)")
     ap.add_argument("--requests", type=int, default=16)
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="best-of-N timing (shared-TPU contention)")
+    ap.add_argument("--repeats", type=int, default=6,
+                    help="best-of-N timing (the shared TPU pool has noisy\n                    neighbors: identical programs measure 1-3x apart\n                    between runs; only the best sample reflects the\n                    hardware)")
     args = ap.parse_args()
 
     from functools import partial

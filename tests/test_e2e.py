@@ -202,3 +202,40 @@ def test_fused_projections_llama(rng_mod=np.random.default_rng(9)):
     got, _ = forward(fused, cfg2, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(actorder=True),
+    dict(sym=True),
+    dict(groupsize=128),
+    dict(no_frob_norm=True),
+])
+def test_quantize_flag_combinations(calib, stream, kwargs):
+    """Reference CLI flag surface: act-order / sym / groupsize / no-frob."""
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    params, cfg = import_hf_model(model)
+    arch = arch_for_model("opt")
+    params, quantizers = quantize_model(
+        params, cfg, arch, calib, wbits=4, target_rank=2, tuning="minmax",
+        verbose=False, **kwargs)
+    ppl = eval_ppl(params, cfg, stream, seqlen=32, batch=4)
+    assert np.isfinite(ppl)
+    assert all(np.isfinite(q.loss) for q in quantizers.values())
+
+
+def test_quantize_2bit_fake(calib, stream):
+    """2-bit: reconstruction + fake-quant works (packing is 3/4-bit only,
+    like the reference, quant.py:265)."""
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    params, cfg = import_hf_model(model)
+    arch = arch_for_model("opt")
+    params, quantizers = quantize_model(
+        params, cfg, arch, calib, wbits=2, target_rank=2, tuning="minmax",
+        verbose=False)
+    ppl = eval_ppl(params, cfg, stream, seqlen=32, batch=4)
+    assert np.isfinite(ppl)
+    from owq_tpu.runtime.quant_linear import pack_linear
+
+    with pytest.raises(ValueError):
+        pack_linear(np.zeros((8, 32), np.float32), np.ones(8), np.zeros(8),
+                    np.zeros(0, np.int32), 2)
