@@ -127,20 +127,33 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
     v = values_per_word(bits)
     assert in_pad == nw * v
 
-    # row tile: decode uses a sublane-minimal tile, prefill a larger one
-    tr = 8 if rows <= 8 else (128 if rows % 128 == 0 else 8)
+    # Tile selection under the ~16MB VMEM budget: prefer TO=512 (fastest
+    # measured on v5e, see tools/bench_e2e.py) and large row tiles for
+    # prefill, shrinking until double-buffered x/q blocks + in-kernel
+    # plane temporaries fit (wide layers like llama's 11008-dim down-proj
+    # OOM VMEM at tr=128 x TO=512).
+    def vmem_bytes(tr_, to_):
+        return (2 * (tr_ * in_pad * 2 + nw * to_ * 4)   # x + q, 2 buffers
+                + nw * to_ * 2                           # plane temp (bf16)
+                + 2 * tr_ * to_ * 4)                     # out, 2 buffers
+
+    budget = 11 << 20
+    to_cands = ((_TO_OVERRIDE,) if _TO_OVERRIDE else (512, 256, 128))
+    tr_cands = (8,) if rows <= 8 else (128, 64, 32, 16, 8)
+    tr, to = tr_cands[-1], None
+    for tr_ in tr_cands:
+        for to_ in to_cands:
+            if to_ and out % to_ == 0 and vmem_bytes(tr_, to_) <= budget:
+                tr, to = tr_, to_
+                break
+        if to is not None:
+            break
+    if to is None:
+        to = out if out < 128 else 128
+        tr = 8
     rows_pad = -(-rows // tr) * tr
     if rows_pad != rows:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
-    # TO=512 + an explicit cost estimate measured fastest on v5e
-    # (e2e decode scan comparison; see tools/bench_e2e.py)
-    cands = (_TO_OVERRIDE,) if _TO_OVERRIDE else (512, 256, 128)
-    for cand in cands:
-        if cand and out % cand == 0:
-            to = cand
-            break
-    else:
-        to = out
     grid = (out // to, rows_pad // tr)
     cost = pl.CostEstimate(
         flops=2 * rows_pad * in_pad * out,
