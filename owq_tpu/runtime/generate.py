@@ -23,19 +23,23 @@ from ..models.transformer import KVCache, forward, init_cache
 __all__ = ["prefill", "decode_step", "generate", "benchmark_decode"]
 
 
-@partial(jax.jit, static_argnames=("cfg", "kernel"))
+@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype"))
 def prefill(params, cfg: ModelConfig, ids: jnp.ndarray, cache: KVCache,
-            kernel: str = "xla") -> Tuple[jnp.ndarray, KVCache]:
+            kernel: str = "xla", dtype=jnp.float32
+            ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt through the model; returns (last-position logits, cache)."""
-    logits, cache = forward(params, cfg, ids, cache=cache, kernel=kernel)
+    logits, cache = forward(params, cfg, ids, cache=cache, kernel=kernel,
+                            dtype=dtype)
     return logits[:, -1], cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "kernel"))
+@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype"))
 def decode_step(params, cfg: ModelConfig, tok: jnp.ndarray, cache: KVCache,
-                kernel: str = "xla") -> Tuple[jnp.ndarray, KVCache]:
+                kernel: str = "xla", dtype=jnp.float32
+                ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step.  tok: [B, 1] -> (logits [B, vocab], cache)."""
-    logits, cache = forward(params, cfg, tok, cache=cache, kernel=kernel)
+    logits, cache = forward(params, cfg, tok, cache=cache, kernel=kernel,
+                            dtype=dtype)
     return logits[:, -1], cache
 
 
@@ -55,15 +59,16 @@ def _sample(logits: jnp.ndarray, key, temperature: float, top_p: float
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "kernel", "temperature",
-                                   "top_p"))
+                                   "top_p", "dtype"))
 def _scan_decode(params, cfg: ModelConfig, first_tok, cache: KVCache, key,
-                 steps: int, kernel: str, temperature: float, top_p: float):
+                 steps: int, kernel: str, temperature: float, top_p: float,
+                 dtype=jnp.float32):
     """On-device decode loop: lax.scan over steps, no host round-trips."""
 
     def step(carry, _):
         tok, cache, key = carry
         logits, cache = forward(params, cfg, tok[:, None], cache=cache,
-                                kernel=kernel)
+                                kernel=kernel, dtype=dtype)
         key, sub = jax.random.split(key)
         nxt = _sample(logits[:, -1], sub, temperature, top_p)
         return (nxt, cache, key), nxt
@@ -76,27 +81,34 @@ def _scan_decode(params, cfg: ModelConfig, first_tok, cache: KVCache, key,
 def generate(params, cfg: ModelConfig, prompt_ids: np.ndarray,
              max_new_tokens: int, *, max_len: Optional[int] = None,
              temperature: float = 0.0, top_p: float = 1.0, seed: int = 0,
-             kernel: str = "xla", cache_dtype=jnp.bfloat16,
+             kernel: str = "xla", cache_dtype=jnp.bfloat16, dtype=None,
              ) -> np.ndarray:
-    """Generate continuations.  prompt_ids: [B, T] -> [B, max_new_tokens]."""
+    """Generate continuations.  prompt_ids: [B, T] -> [B, max_new_tokens].
+
+    ``dtype`` is the activation compute dtype; defaults to ``cache_dtype``
+    (bf16 serving by default, f32 when an exact cache is requested).
+    """
+    dtype = dtype or cache_dtype
     prompt_ids = np.asarray(prompt_ids)
     B, T = prompt_ids.shape
     max_len = max_len or (T + max_new_tokens)
     cache = init_cache(cfg, B, max_len, dtype=cache_dtype)
     logits, cache = prefill(params, cfg, jnp.asarray(prompt_ids), cache,
-                            kernel=kernel)
+                            kernel=kernel, dtype=dtype)
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     first = _sample(logits, sub, temperature, top_p)
     if max_new_tokens == 1:
         return np.asarray(first)[:, None]
     rest, _ = _scan_decode(params, cfg, first, cache, key,
-                           max_new_tokens - 1, kernel, temperature, top_p)
+                           max_new_tokens - 1, kernel, temperature, top_p,
+                           dtype)
     return np.concatenate([np.asarray(first)[:, None], np.asarray(rest)], axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "kernel"))
-def _bench_scan(params, cfg: ModelConfig, toks, cache: KVCache, kernel: str):
+@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype"))
+def _bench_scan(params, cfg: ModelConfig, toks, cache: KVCache, kernel: str,
+                dtype=jnp.bfloat16):
     """Teacher-forced decode over toks [1, n] as one on-device lax.scan.
 
     Feeds token i, scores token i+1; returns total NLL (scalar).  A single
@@ -111,7 +123,7 @@ def _bench_scan(params, cfg: ModelConfig, toks, cache: KVCache, kernel: str):
         nll, cache = carry
         logits, cache = forward(params, cfg,
                                 jax.lax.dynamic_slice(toks, (0, i), (1, 1)),
-                                cache=cache, kernel=kernel)
+                                cache=cache, kernel=kernel, dtype=dtype)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         tgt = jax.lax.dynamic_slice(toks, (0, jnp.minimum(i + 1, n - 1)),
                                     (1, 1))[0, 0]
@@ -138,17 +150,18 @@ def benchmark_decode(params, cfg: ModelConfig, input_ids: np.ndarray, *,
     n = input_ids.shape[1]
     max_len = max_len or n
     toks = jax.device_put(jnp.asarray(input_ids))
+    dtype = cache_dtype  # serving activations match the cache dtype
 
     # compile + warmup
     cache = init_cache(cfg, 1, max_len, dtype=cache_dtype)
-    nll = _bench_scan(params, cfg, toks, cache, kernel)
+    nll = _bench_scan(params, cfg, toks, cache, kernel, dtype)
     ppl = float(np.exp(float(nll) / n))
 
     best = float("inf")
     for _ in range(repeats):
         cache = init_cache(cfg, 1, max_len, dtype=cache_dtype)
         t0 = time.perf_counter()
-        nll = _bench_scan(params, cfg, toks, cache, kernel)
+        nll = _bench_scan(params, cfg, toks, cache, kernel, dtype)
         _ = float(nll)  # forces completion
         best = min(best, time.perf_counter() - t0)
 
