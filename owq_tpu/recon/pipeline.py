@@ -235,6 +235,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
 
             for n in taps:
                 H = (2.0 / ns) * hessians[n]
+                hessians[n] = None  # free the accumulator (HBM pressure
+                # matters at 70B-class widths: down-proj H is ~0.5GB f32)
                 lin = _get_linear(blk, n)
                 W = lin.w.T.astype(jnp.float32)  # [out, in]
 
@@ -244,12 +246,14 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                               else find_params_minmax(W, spec))
                     Wq = fake_quant(W, fs[:, None], fz[:, None], spec)
                     frob = jnp.sum((W - Wq) ** 2, axis=0)
+                    del fs, fz, Wq
 
                 t0 = time.time()
                 res = gptq_quantize(W, H, spec, n_out_dict[n],
                                     frob_norm=frob, percdamp=percdamp,
                                     actorder=actorder, mse=mse,
                                     groupsize=groupsize)
+                del W, H, frob
                 key = f"{li}.{n}"
                 quantizers[key] = QuantInfo(
                     scale=np.asarray(res.scale), zero=np.asarray(res.zero),
@@ -260,6 +264,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                 if verbose:
                     print(f"quantized layer {key}  n_out={n_out_dict[n]} "
                           f"loss={float(res.loss):.4f}  ({time.time()-t0:.2f}s)")
+                del res
 
         if resume_dir:
             _save_block_resume(resume_dir, li, blk, quantizers, names)
