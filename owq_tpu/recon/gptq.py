@@ -86,11 +86,31 @@ def select_outliers(H: jnp.ndarray, n_out: int, *, actorder: bool = False,
     return ids, jnp.sort(outliers).astype(jnp.int32)
 
 
-def _cholesky_inv_upper(H: jnp.ndarray) -> jnp.ndarray:
-    """Upper-triangular U with U^T U = H^{-1} (owq/recon.py:116-119)."""
+def _cholesky_inv_upper(H: jnp.ndarray, block_threshold: int = 4096,
+                        blk: int = 1024) -> jnp.ndarray:
+    """Upper-triangular U with U^T U = H^{-1} (owq/recon.py:116-119).
+
+    For wide layers the identity RHS is solved in column blocks: XLA's
+    triangular solve materializes O(n * rhs_cols) temporaries, which at
+    11008^2 (llama down-proj) needs >20GB HBM when solved in one shot.
+    """
+    n = H.shape[0]
     L = jnp.linalg.cholesky(H)
-    eye = jnp.eye(H.shape[0], dtype=H.dtype)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), eye)
+    if n <= block_threshold:
+        eye = jnp.eye(n, dtype=H.dtype)
+        Hinv = jax.scipy.linalg.cho_solve((L, True), eye)
+    else:
+        n_pad = -(-n // blk) * blk
+
+        def solve_block(start):
+            cols = (jax.lax.broadcasted_iota(jnp.int32, (n, blk), 1)
+                    + start) == jax.lax.broadcasted_iota(jnp.int32, (n, blk), 0)
+            return jax.scipy.linalg.cho_solve((L, True),
+                                              cols.astype(H.dtype))
+
+        blocks = jax.lax.map(solve_block,
+                             jnp.arange(0, n_pad, blk, dtype=jnp.int32))
+        Hinv = jnp.moveaxis(blocks, 0, 1).reshape(n, n_pad)[:, :n]
     # Symmetrize before the second factorization for numerical hygiene.
     Hinv = 0.5 * (Hinv + Hinv.T)
     return jnp.linalg.cholesky(Hinv).T

@@ -111,3 +111,17 @@ def test_dead_columns(rng):
     res = gptq_quantize(W, H, QuantSpec(3, False), 0, mse=False, blocksize=32)
     Q = np.asarray(res.Q)
     assert np.isfinite(Q).all()
+
+
+def test_blocked_cholesky_inverse_matches(rng):
+    """Column-blocked identity solve (wide-layer HBM path) == direct."""
+    import jax.numpy as jnp
+
+    from owq_tpu.recon.gptq import _cholesky_inv_upper
+
+    X = rng.standard_normal((40, 96)).astype(np.float32)
+    H = X.T @ X + 0.1 * np.eye(96, dtype=np.float32)
+    direct = np.asarray(_cholesky_inv_upper(jnp.asarray(H)))
+    blocked = np.asarray(_cholesky_inv_upper(jnp.asarray(H),
+                                             block_threshold=16, blk=32))
+    np.testing.assert_allclose(blocked, direct, atol=1e-4, rtol=1e-3)
