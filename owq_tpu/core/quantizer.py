@@ -135,8 +135,23 @@ def find_params_mse(x: jnp.ndarray, spec: QuantSpec, num: int = 100,
     grids additionally scans every integer zero-point offset.  Scored with
     the p-power loss (p=2.4 by default, as in the reference).
 
+    Channels are independent, so large matrices are processed in row
+    chunks via lax.map (the grid search's temporaries would otherwise
+    multiply a [4096, 11008] weight several times over in HBM).
+
     x: [channels, k] float; returns (scale[channels], zero[channels]).
     """
+    rows, cols = x.shape
+    _CHUNK_ELEMS = 8 << 20
+    if rows * cols > _CHUNK_ELEMS and rows > 8:
+        blk = max(8, min(rows, _CHUNK_ELEMS // max(cols, 1)) // 8 * 8)
+        rows_pad = -(-rows // blk) * blk
+        xp = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
+        chunks = xp.reshape(rows_pad // blk, blk, cols)
+        s, z = jax.lax.map(
+            lambda xb: find_params_mse(xb, spec, num=num, norm=norm), chunks)
+        return s.reshape(rows_pad)[:rows], z.reshape(rows_pad)[:rows]
+
     x = x.astype(jnp.float32)
     minq, maxq = float(spec.minq), float(spec.maxq)
     xmin, xmax = _channel_range(x)
