@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fake", action="store_true")
     p.add_argument("--packing", action="store_true")
     p.add_argument("--benchmark", type=int, default=0)
+    p.add_argument("--faster", action="store_true",
+                   help="use the fused Pallas kernels (the reference's "
+                        "faster-kernel flag; default on TPU backends)")
     p.add_argument("--act-order", action="store_true", dest="act_order")
     p.add_argument("--true-sequential", action="store_true",
                    dest="true_sequential")
@@ -118,7 +121,8 @@ def main(argv=None) -> int:
         bench_ids = get_loaders(args.dataset, nsamples=1, seed=args.seed,
                                 seqlen=seqlen, model=args.model, train=True,
                                 vocab_size=cfg.vocab_size)[0][: args.benchmark]
-        stats = benchmark_decode(params, cfg, bench_ids)
+        stats = benchmark_decode(params, cfg, bench_ids,
+                                 kernel="pallas" if args.faster else "xla")
         print(f"Median(second): {stats['median_s']}")
         print(f"Min(second): {stats['min_s']}")
         print(f"PPL: {stats['ppl']}")
