@@ -99,22 +99,37 @@ def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("cfg", "kernel", "dtype", "temperature",
-                                   "top_p"),
+                                   "top_p", "steps"),
          donate_argnames=("cache",))
 def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
                 active: jnp.ndarray, key, kernel: str = "xla",
                 dtype=jnp.bfloat16, temperature: float = 0.0,
-                top_p: float = 1.0):
-    """One decode step for every slot; inactive slots don't advance."""
+                top_p: float = 1.0, steps: int = 1):
+    """``steps`` decode steps for every slot as one on-device scan.
+
+    Multi-step scanning amortizes the host round trip per engine tick
+    (dominant on relayed backends); the host truncates each slot's token
+    window at EOS/budget afterwards.  Inactive slots don't advance their
+    lengths.  Returns (tokens [B, steps], cache).
+    """
     from .generate import _sample
 
-    logits, cache2 = forward(params, cfg, toks[:, None], cache=cache,
-                             kernel=kernel, dtype=dtype)
-    nxt = _sample(logits[:, -1].astype(jnp.float32), key, temperature,
-                  top_p).astype(jnp.int32)
-    # only active slots advance their length
-    new_len = jnp.where(active, cache2.length, cache.length)
-    return nxt, KVCache(k=cache2.k, v=cache2.v, length=new_len)
+    start_len = cache.length
+
+    def one(carry, _):
+        toks, cache, key = carry
+        logits, cache = forward(params, cfg, toks[:, None], cache=cache,
+                                kernel=kernel, dtype=dtype)
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits[:, -1].astype(jnp.float32), sub, temperature,
+                      top_p).astype(jnp.int32)
+        return (nxt, cache, key), nxt
+
+    (_, cache2, _), toks_out = jax.lax.scan(one, (toks, cache, key), None,
+                                            length=steps)
+    new_len = jnp.where(active, cache2.length, start_len)
+    return (jnp.moveaxis(toks_out, 0, 1),
+            KVCache(k=cache2.k, v=cache2.v, length=new_len))
 
 
 class Engine:
@@ -196,40 +211,55 @@ class Engine:
                 self.slot_req[req.slot] = None
                 req.slot = -1
 
-    def step(self) -> List[Request]:
-        """Admit + one decode step; returns requests finished this step."""
+    def step(self, max_steps: int = 1) -> List[Request]:
+        """Admit + up to ``max_steps`` decode steps (one device dispatch +
+        one host sync); returns requests finished in the window.
+
+        The window is clipped to the smallest remaining token budget among
+        active slots so no slot overruns; EOS inside the window truncates
+        that slot's tokens (the extra scanned steps for that slot are
+        discarded and its slot is refilled on the next tick).
+        """
         self._admit()
+        active = [r for r in self.slot_req if r is not None]
+        if not active:
+            return []
+        steps = max(1, min([max_steps]
+                           + [r.max_new_tokens - len(r.generated)
+                              for r in active]))
         active_mask = np.asarray(
             [r is not None for r in self.slot_req], bool)
-        if not active_mask.any():
-            return []
         self._key, sub = jax.random.split(self._key)
-        nxt, self.cache = _decode_all(
+        toks, self.cache = _decode_all(
             self.params, self.cfg, jnp.asarray(self.cur_tok), self.cache,
             jnp.asarray(active_mask), sub, self.kernel, self.compute_dtype,
-            self.temperature, self.top_p)
-        nxt = np.asarray(nxt)
+            self.temperature, self.top_p, steps)
+        toks = np.asarray(toks)  # [B, steps]
         finished = []
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            tok = int(nxt[slot])
-            req.generated.append(tok)
-            self.cur_tok[slot] = tok
-            self.stats["generated_tokens"] += 1
-            self._maybe_finish(req, tok)
-            if req.done:
-                finished.append(req)
-        self.stats["steps"] += 1
+            for j in range(steps):
+                tok = int(toks[slot, j])
+                req.generated.append(tok)
+                self.cur_tok[slot] = tok
+                self.stats["generated_tokens"] += 1
+                self._maybe_finish(req, tok)
+                if req.done:
+                    finished.append(req)
+                    break
+        self.stats["steps"] += steps
         return finished
 
-    def run(self, prompts: Sequence[np.ndarray], max_new_tokens: int = 128
-            ) -> Dict[int, List[int]]:
-        """Convenience: submit all prompts, run to completion."""
+    def run(self, prompts: Sequence[np.ndarray], max_new_tokens: int = 128,
+            window: int = 8) -> Dict[int, List[int]]:
+        """Convenience: submit all prompts, run to completion.
+
+        ``window`` decode steps run per host sync (see step())."""
         rids = [self.add_request(p, max_new_tokens) for p in prompts]
         t0 = time.time()
         while not all(self.requests[r].done for r in rids):
-            self.step()
+            self.step(window)
             if (not self.queue and not any(r is not None
                                            for r in self.slot_req)):
                 break
