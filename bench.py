@@ -97,7 +97,8 @@ def main() -> None:
         eng = Engine(params, cfg, max_batch=args.batch,
                      max_len=args.tokens + 32, kernel=kernel,
                      prompt_buckets=(32,))
-        eng.run(prompts[:2], max_new_tokens=4)  # warmup/compile
+        # warmup must compile the same decode window as the measured run
+        eng.run(prompts[:2], max_new_tokens=16)
         eng2 = Engine(params, cfg, max_batch=args.batch,
                       max_len=args.tokens + 32, kernel=kernel,
                       prompt_buckets=(32,))

@@ -227,6 +227,9 @@ class Engine:
         steps = max(1, min([max_steps]
                            + [r.max_new_tokens - len(r.generated)
                               for r in active]))
+        # quantize to a power of two: every distinct step count compiles its
+        # own scan, so cap the variants at log2(window)
+        steps = 1 << (steps.bit_length() - 1)
         active_mask = np.asarray(
             [r is not None for r in self.slot_req], bool)
         self._key, sub = jax.random.split(self._key)
