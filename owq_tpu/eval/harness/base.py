@@ -187,24 +187,55 @@ class JaxLM(LM):
             out.append(sum(ll for ll, _ in scored))
         return out
 
-    def greedy_until(self, requests):
-        from ...runtime.generate import generate
+    def greedy_until(self, requests, max_new: int = 256):
+        """Batched generation through the continuous-batching engine:
+        requests share decode steps; stop strings terminate their request
+        at each host sync window."""
+        from ...runtime.batching import Engine
 
-        outs = []
+        prepped = []
         for context, until in requests:
             if isinstance(until, dict):
                 until = until.get("until", [])
             ctx = self.tok_encode(context)[-(self.max_length // 2):]
             if not ctx:
                 ctx = [self.eot_token_id]
-            max_new = min(256, self.max_length - len(ctx))
-            toks = generate(self.params, self.cfg,
-                            np.asarray([ctx], np.int32), max_new,
-                            kernel=self.kernel)
-            text = self.tok.decode(toks[0].tolist())
-            for stop in until or []:
+            prepped.append((ctx, list(until or [])))
+
+        eng = Engine(self.params, self.cfg, max_batch=self.batch_size,
+                     max_len=self.max_length, kernel=self.kernel,
+                     eos_token_id=self.eot_token_id or None)
+        rids = [eng.add_request(np.asarray(ctx, np.int32),
+                                min(max_new, self.max_length - len(ctx)))
+                for ctx, _ in prepped]
+        texts = [None] * len(requests)
+
+        def flush(i):
+            rid = rids[i]
+            toks = eng.requests[rid].generated
+            text = self.tok.decode(toks)
+            for stop in prepped[i][1]:
                 idx = text.find(stop)
                 if idx >= 0:
                     text = text[:idx]
-            outs.append(text)
-        return outs
+                    if not eng.requests[rid].done:
+                        eng.finish_request(rid)
+            texts[i] = text
+
+        while not all(eng.requests[r].done for r in rids):
+            eng.step(8)
+            for i, rid in enumerate(rids):
+                if eng.requests[rid].generated and texts[i] is None:
+                    # check stop strings each window; freeze text when done
+                    rid_req = eng.requests[rid]
+                    partial = self.tok.decode(rid_req.generated)
+                    stopped = any(s in partial for s in prepped[i][1])
+                    if stopped or rid_req.done:
+                        flush(i)
+            if (not eng.queue and not any(r is not None
+                                          for r in eng.slot_req)):
+                break
+        for i, rid in enumerate(rids):
+            if texts[i] is None:
+                flush(i)
+        return texts

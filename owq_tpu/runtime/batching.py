@@ -206,10 +206,16 @@ class Engine:
     def _maybe_finish(self, req: Request, tok: int) -> None:
         if ((self.eos is not None and tok == self.eos)
                 or len(req.generated) >= req.max_new_tokens):
-            req.done = True
-            if req.slot >= 0:
-                self.slot_req[req.slot] = None
-                req.slot = -1
+            self.finish_request(req.rid)
+
+    def finish_request(self, rid: int) -> None:
+        """Externally terminate a request (e.g. a stop string matched) and
+        free its slot for the queue."""
+        req = self.requests[rid]
+        req.done = True
+        if req.slot >= 0:
+            self.slot_req[req.slot] = None
+            req.slot = -1
 
     def step(self, max_steps: int = 1) -> List[Request]:
         """Admit + up to ``max_steps`` decode steps (one device dispatch +

@@ -192,3 +192,25 @@ def test_overlap_scan():
              "every day again"]
     clean, dirty = decontaminate_docs(train, evals, ngram_n=5, window=2)
     assert clean == [0] and dirty == [1]
+
+
+def test_greedy_until_batched(tiny_lm):
+    """Batched greedy_until via the engine: stops honored, order kept."""
+    reqs = [("abcd", ["XYZ"]), ("efgh", []), ("ij", ["Q"])]
+    outs = tiny_lm.greedy_until(reqs)
+    assert len(outs) == 3 and all(isinstance(o, str) for o in outs)
+    # parity with per-request generation for the no-stop request
+    from owq_tpu.runtime.generate import generate
+    import numpy as np
+
+    ctx = tiny_lm.tok_encode("efgh")
+    want = generate(tiny_lm.params, tiny_lm.cfg,
+                    np.asarray([ctx], np.int32), 8,
+                    max_len=tiny_lm.max_length,
+                    cache_dtype=jnp.bfloat16)[0].tolist()
+    # engine stops at the stub eos token; compare decoded text prefixes
+    if tiny_lm.eot_token_id in want:
+        want = want[: want.index(tiny_lm.eot_token_id) + 1]
+    want_text = tiny_lm.tok.decode(want)
+    n = min(len(want_text), len(outs[1]))
+    assert n > 0 and outs[1][:n] == want_text[:n]
