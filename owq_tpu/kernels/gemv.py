@@ -151,13 +151,20 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
     if to is None:
         to = out if out < 128 else 128
         tr = 8
+    # Output widths that no tile divides (possible on toy/synthetic shapes;
+    # real model dims are 128-multiples) are zero-padded so the grid covers
+    # every column — a partial grid leaves the tail of the output buffer
+    # unwritten (garbage under jit).
+    out_pad = -(-out // to) * to
+    if out_pad != out:
+        qweight = jnp.pad(qweight, ((0, 0), (0, out_pad - out)))
     rows_pad = -(-rows // tr) * tr
     if rows_pad != rows:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
-    grid = (out // to, rows_pad // tr)
+    grid = (out_pad // to, rows_pad // tr)
     cost = pl.CostEstimate(
-        flops=2 * rows_pad * in_pad * out,
-        bytes_accessed=qweight.nbytes + x.nbytes + 4 * rows_pad * out,
+        flops=2 * rows_pad * in_pad * out_pad,
+        bytes_accessed=qweight.nbytes + x.nbytes + 4 * rows_pad * out_pad,
         transcendentals=0) if _USE_COST else None
 
     if paired:
@@ -178,11 +185,11 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
             ],
             out_specs=pl.BlockSpec((tr, to), lambda j, i: (i, j),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows_pad, out), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, out_pad), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
         )(xp, qweight)
-        return y[:rows]
+        return y[:rows, :out]
 
     y = pl.pallas_call(
         functools.partial(_plane_kernel, bits=bits, nw=nw,
@@ -196,11 +203,11 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
         ],
         out_specs=pl.BlockSpec((tr, to), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, out_pad), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
     )(x, qweight)
-    return y[:rows]
+    return y[:rows, :out]
 
 
 def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None

@@ -86,6 +86,8 @@ def build_synthetic(cfg: ModelConfig, *, bits: Optional[int] = 3,
     target_bit sets the weak-column budget via the reference formula
     (main.py:76-86); default 3.01/4.01-style 1% effective overhead.
     """
+    if bits is not None and bits >= 16:
+        bits = None  # "16-bit" synthetic == dense fp model
     if target_bit is None and bits is not None:
         target_bit = bits + 0.01
     key = jax.random.PRNGKey(seed)

@@ -67,3 +67,15 @@ def test_kernel_3d_input(rng):
     got = np.asarray(quant_matmul(p, jnp.asarray(x), interpret=True))
     assert got.shape == (2, 3, 128)
     np.testing.assert_allclose(got, x @ Wfake.T, atol=1e-5)
+
+
+def test_kernel_output_width_not_tile_multiple(rng):
+    """out widths no tile divides (synthetic 688-dim ffn) must be padded:
+    a partial grid would leave the output tail unwritten (garbage under
+    jit on hardware)."""
+    out, infeat = 688, 256
+    p, Wfake, _ = make_packed(rng, out, infeat, 3, 4)
+    x = rng.standard_normal((9, infeat)).astype(np.float32)
+    got = np.asarray(quant_matmul(p, jnp.asarray(x), interpret=True))
+    assert got.shape == (9, out)
+    np.testing.assert_allclose(got, x @ Wfake.T, atol=1e-4)

@@ -60,20 +60,33 @@ def main() -> int:
     rel = np.abs((b - 128.0 * xs[:, None]) - a).max() / (np.abs(a).max() + 1e-9)
     check("paired_path_parity", rel < 1e-4, f"rel={rel:.2e}")
 
-    # 3. packed model: pallas vs xla kernel paths agree end-to-end
+    # 3. packed model: pallas vs xla kernel logits agree (exact f32 mode;
+    # token-level comparison is meaningless on a random model whose logits
+    # are near-ties everywhere)
+    from owq_tpu.models.transformer import forward
+
     cfg = synthetic_config("llama-tiny", max_pos=64)
     params = jax.jit(partial(build_synthetic, cfg, bits=3,
-                             dtype=jnp.bfloat16))()
+                             dtype=jnp.float32))()
     prompt = rng.integers(0, cfg.vocab_size, size=(1, 8)).astype(np.int32)
-    t_pallas = generate(params, cfg, prompt, 12, kernel="pallas")[0].tolist()
-    t_xla = generate(params, cfg, prompt, 12, kernel="xla")[0].tolist()
-    agree = sum(int(a == b) for a, b in zip(t_pallas, t_xla))
-    check("pallas_vs_xla_decode", agree >= 10,
-          f"{agree}/12 tokens agree (bf16 rounding may flip late tokens)")
+
+    @partial(jax.jit, static_argnames=("kern",))
+    def logits_of(params, ids, kern):
+        return forward(params, cfg, ids, kernel=kern, dtype=jnp.float32)[0]
+
+    lp = np.asarray(logits_of(params, jnp.asarray(prompt), "pallas"))
+    lx = np.asarray(logits_of(params, jnp.asarray(prompt), "xla"))
+    rel = np.abs(lp - lx).max() / (np.abs(lx).max() + 1e-9)
+    # Per-linear parity is ~1e-6 (step 1); norm/softmax chains amplify the
+    # residual rounding over the blocks, so the model-level gate is 1e-3.
+    check("pallas_vs_xla_logits", rel < 1e-3, f"rel={rel:.2e}")
 
     # 4. decode determinism (greedy twice -> identical)
-    t2 = generate(params, cfg, prompt, 12, kernel="pallas")[0].tolist()
-    check("decode_determinism", t2 == t_pallas)
+    t1 = generate(params, cfg, prompt, 12, kernel="pallas",
+                  cache_dtype=jnp.float32)[0].tolist()
+    t2 = generate(params, cfg, prompt, 12, kernel="pallas",
+                  cache_dtype=jnp.float32)[0].tolist()
+    check("decode_determinism", t2 == t1)
 
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
