@@ -131,14 +131,22 @@ def main(argv=None) -> int:
     results = []
     if not args.no_eval:
         for dataset in args.eval_datasets:
-            stream = get_loaders(dataset, seed=args.seed, seqlen=seqlen,
-                                 model=args.model, train=False,
-                                 vocab_size=cfg.vocab_size)
-            print(dataset)
-            ppl = eval_ppl(params, cfg, stream, seqlen, batch=args.eval_batch,
-                           verbose=True)
-            print(ppl)
-            results.append((dataset, ppl))
+            # An eval failure (missing tokenizer/dataset in an offline env)
+            # must not lose the reconstruction: --save still runs below.
+            try:
+                stream = get_loaders(dataset, seed=args.seed, seqlen=seqlen,
+                                     model=args.model, train=False,
+                                     vocab_size=cfg.vocab_size)
+                print(dataset)
+                ppl = eval_ppl(params, cfg, stream, seqlen,
+                               batch=args.eval_batch, verbose=True)
+                print(ppl)
+                results.append((dataset, ppl))
+            except Exception as e:  # noqa: BLE001
+                if not args.save:
+                    raise
+                print(f"eval on {dataset} failed ({type(e).__name__}: {e}); "
+                      f"continuing to --save")
 
     if args.logfile and results:
         with open(args.logfile, "a") as f:

@@ -64,3 +64,17 @@ def test_cli_validation_errors(hf_dir):
     with pytest.raises(AssertionError):
         qmain([hf_dir, "synthetic", "--wbits", "3", "--target_bit", "4.5",
                "--seqlen", "32"])  # target_bit outside [wbits, wbits+1)
+
+
+def test_quantize_eval_failure_still_saves(tmp_path, hf_dir):
+    """An eval crash (e.g. unreachable dataset/tokenizer) must not lose the
+    reconstruction when --save was requested."""
+    from owq_tpu.cli.quantize import main as qmain
+
+    ckpt = str(tmp_path / "q")
+    rc = qmain([hf_dir, "synthetic", "--wbits", "3", "--target_bit", "3.2",
+                "--nsamples", "2", "--seqlen", "32",
+                "--eval-datasets", "wikitext2",   # needs HF: fails offline
+                "--save", ckpt, "--packing"])
+    assert rc == 0
+    assert (tmp_path / "q" / "manifest.json").exists()
