@@ -7,6 +7,11 @@ _LAZY = {
     "make_table": "harness.evaluator",
     "Janitor": "decontamination",
     "scan_tasks": "overlap",
+    "Archive": "archiver",
+    "Reader": "archiver",
+    "TextArchive": "archiver",
+    "TextReader": "archiver",
+    "read_corpus": "archiver",
 }
 
 

@@ -214,3 +214,38 @@ def test_greedy_until_batched(tiny_lm):
     want_text = tiny_lm.tok.decode(want)
     n = min(len(want_text), len(outs[1]))
     assert n > 0 and outs[1][:n] == want_text[:n]
+
+
+def test_archiver_roundtrip(tmp_path):
+    """zstd jsonl archive write/read parity (reference archiver.py) and
+    feeding the overlap scanner from an archive."""
+    from owq_tpu.eval.archiver import Archive, Reader, read_corpus
+    from owq_tpu.eval.overlap import decontaminate_docs
+
+    path = str(tmp_path / "corpus.jsonl.zst")
+    docs = ["the quick brown fox " * 6, "unrelated training text " * 6,
+            ["para one", "para two"]]
+    ar = Archive(path)
+    for i, d in enumerate(docs):
+        ar.add_data(d, meta={"i": i})
+    ar.commit()
+
+    got = list(Reader().read(path, get_meta=True))
+    assert len(got) == 3
+    assert got[0][0] == docs[0] and got[0][1] == {"i": 0}
+    assert got[2][0] == "para one\n\npara two"  # autojoin_paragraphs
+
+    evals = [docs[0] + " tail", "completely novel evaluation document " * 4]
+    clean, dirty = decontaminate_docs(read_corpus([path]), evals)
+    assert dirty == [0] and clean == [1]
+
+
+def test_text_archive_roundtrip(tmp_path):
+    from owq_tpu.eval.archiver import TextArchive, TextReader
+
+    path = str(tmp_path / "frags.txt")
+    ta = TextArchive(path)
+    ta.add_data("alpha")
+    ta.add_data("beta\n")
+    ta.commit()
+    assert list(TextReader(path).read()) == ["alpha", "beta"]
