@@ -14,7 +14,53 @@ from typing import Callable, List, Sequence, Tuple
 import numpy as np
 
 __all__ = ["mean", "perplexity", "weighted_perplexity", "bits_per_byte",
-           "matthews_corrcoef", "f1_score", "bootstrap_stderr", "stderr_for"]
+           "matthews_corrcoef", "f1_score", "bootstrap_stderr", "stderr_for",
+           "bleu", "chrf", "ter"]
+
+
+def _translation_streams(items):
+    """items: (refs, pred) pairs where refs is a str or list of str.
+
+    Returns (preds, ref_streams) in sacrebleu corpus convention:
+    ref_streams[r][i] = r-th reference for prediction i (None-padded).
+    """
+    preds = [p for _, p in items]
+    ref_lists = [[r] if isinstance(r, str) else list(r) for r, _ in items]
+    depth = max(len(r) for r in ref_lists) if ref_lists else 1
+    streams = [[r[k] if k < len(r) else None for r in ref_lists]
+               for k in range(depth)]
+    return preds, streams
+
+
+def _translation_module():
+    """Prefer sacrebleu (the reference's scorer) when importable; our
+    native implementation (translation.py) is parity-tested against it."""
+    try:
+        import sacrebleu
+
+        return sacrebleu
+    except ImportError:
+        from . import translation
+
+        return translation
+
+
+def bleu(items) -> float:
+    """Corpus BLEU over (refs, pred) items — higher is better."""
+    preds, refs = _translation_streams(items)
+    return float(_translation_module().corpus_bleu(preds, refs).score)
+
+
+def chrf(items) -> float:
+    """Corpus chrF over (refs, pred) items — higher is better."""
+    preds, refs = _translation_streams(items)
+    return float(_translation_module().corpus_chrf(preds, refs).score)
+
+
+def ter(items) -> float:
+    """Corpus TER over (refs, pred) items — lower is better."""
+    preds, refs = _translation_streams(items)
+    return float(_translation_module().corpus_ter(preds, refs).score)
 
 
 def mean(items: Sequence[float]) -> float:

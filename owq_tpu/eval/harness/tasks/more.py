@@ -1,6 +1,7 @@
 """Additional task families: ANLI, RACE, SWAG, multilingual (XCOPA/XNLI/
 XStoryCloze/PAWS-X/multilingual LAMBADA), science/medical QA, and
-translation (sacrebleu-gated) — further closing the reference registry."""
+translation (native BLEU scorer, sacrebleu-parity-tested) — further
+closing the reference registry."""
 
 from __future__ import annotations
 
@@ -285,17 +286,9 @@ for _l in MLAMBADA_LANGS:
 
 
 # --------------------------------------------------------------------------
-# translation (sacrebleu-gated, like the reference's translation tasks)
+# translation (reference scores via sacrebleu; ours via eval.harness.metrics
+# which prefers sacrebleu and falls back to the parity-tested native scorer)
 # --------------------------------------------------------------------------
-
-def _have_sacrebleu() -> bool:
-    try:
-        import sacrebleu  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
 
 class _WMT(Task):
     VERSION = 0
@@ -303,9 +296,6 @@ class _WMT(Task):
     SRC, DST = "de", "en"
 
     def download(self, data_dir=None):
-        if not _have_sacrebleu():
-            raise ImportError(
-                "translation tasks need the sacrebleu package")
         self.data = _load(*self.DATASET, data_dir=data_dir)
 
     def has_validation_docs(self):
@@ -336,12 +326,7 @@ class _WMT(Task):
         return {"bleu": ([doc[self.DST]], results[0].strip())}
 
     def aggregation(self):
-        import sacrebleu
-
-        def bleu(items):
-            refs = [[r[0] for r, _ in items]]
-            preds = [p for _, p in items]
-            return sacrebleu.corpus_bleu(preds, refs).score
+        from ..metrics import bleu
 
         return {"bleu": bleu}
 
