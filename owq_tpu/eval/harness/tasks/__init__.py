@@ -320,6 +320,9 @@ def wikitext_detokenize(s: str) -> str:
 from . import extended  # noqa: E402,F401  (registers MMLU/GLUE/gen tasks)
 from . import more  # noqa: E402,F401  (ANLI/RACE/multilingual/translation)
 from . import bigbench  # noqa: E402,F401  (bigbench MC subset + json tasks)
+from . import minimal_pairs  # noqa: E402,F401  (BLiMP + CrowS-Pairs)
+from . import chinese  # noqa: E402,F401  (CMMLU + C-Eval)
+from . import pile  # noqa: E402,F401  (Pile per-subset perplexity)
 
 
 @register_task("wikitext")
