@@ -323,6 +323,7 @@ from . import bigbench  # noqa: E402,F401  (bigbench MC subset + json tasks)
 from . import minimal_pairs  # noqa: E402,F401  (BLiMP + CrowS-Pairs)
 from . import chinese  # noqa: E402,F401  (CMMLU + C-Eval)
 from . import pile  # noqa: E402,F401  (Pile per-subset perplexity)
+from . import gpt3_style  # noqa: E402,F401  (arithmetic/unscramble/mgsm/xwinograd/wmt)
 
 
 @register_task("wikitext")

@@ -323,15 +323,16 @@ class _WMT(Task):
         return [Request("greedy_until", (ctx, ["\n"]))]
 
     def process_results(self, doc, results):
-        return {"bleu": ([doc[self.DST]], results[0].strip())}
+        item = ([doc[self.DST]], results[0].strip())
+        return {"bleu": item, "chrf": item, "ter": item}
 
     def aggregation(self):
-        from ..metrics import bleu
+        from ..metrics import bleu, chrf, ter
 
-        return {"bleu": bleu}
+        return {"bleu": bleu, "chrf": chrf, "ter": ter}
 
     def higher_is_better(self):
-        return {"bleu": True}
+        return {"bleu": True, "chrf": True, "ter": False}
 
 
 for pair, src, dst in [(("wmt16", "de-en"), "de", "en"),
