@@ -46,5 +46,6 @@ def get_task_dict(names: Sequence[str], data_dir: Optional[str] = None):
 def get_model(name: str):
     from .dummy import DummyLM  # registers
     from . import owq_model  # noqa: F401  (registers "owq")
+    from . import hf_model  # noqa: F401  (registers "hf"/"hf-causal")
 
     return MODEL_REGISTRY[name]

@@ -37,12 +37,16 @@ class ModelConfig:
     do_layer_norm_before: bool = True
     # Family structure flags
     pos_embedding: str = "rope"     # rope | learned | alibi
-    norm_type: str = "rmsnorm"      # rmsnorm | layernorm
+    norm_type: str = "rmsnorm"      # rmsnorm | layernorm | rmsnorm1p (gemma)
     parallel_block: bool = False    # falcon: attn + mlp share one LN
+    parallel_dual_norm: bool = False  # neox: parallel block, mlp has own LN
     fused_qkv: bool = False         # bloom/falcon fused query_key_value
     attn_bias: bool = False
     mlp_bias: bool = False
     gated_mlp: bool = True          # llama SwiGLU vs plain 2-layer MLP
+    sliding_window: Optional[int] = None  # mistral/qwen2 local attention
+    rotary_pct: float = 1.0         # neox partial rotary (fraction of hd)
+    embed_scale: Optional[float] = None   # gemma sqrt(hidden) embed scaling
     # Tensor parallelism: a shard-local config divides head counts but the
     # per-head dim stays global, so it must be pinned explicitly; tp_size
     # records the shard count (ALiBi slopes need the global head count).
@@ -106,7 +110,22 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
         ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25, "mlp.fc2": 0.25},
         sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
     ),
+    # neox/pythia: bloom-shaped linear set (fused qkv, 2-layer MLP)
+    "neox": ArchSpec(
+        family="neox",
+        map_layer={"qkv": "attn.qkv", "dense": "attn.o",
+                   "fc1": "mlp.fc1", "fc2": "mlp.fc2"},
+        ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
+    ),
 }
+
+# llama-shaped families share the llama quantization spec (same linear set,
+# same outlier ratios — the reference's per-family ratios keyed on shape,
+# model_config.json:28).
+for _alias in ("mistral", "qwen2", "gemma"):
+    ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
+                                                family=_alias)
 
 
 def arch_for_model(model_name: str) -> ArchSpec:
@@ -120,6 +139,14 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["bloom"]
     if "falcon" in name:
         return ARCH_REGISTRY["falcon"]
+    if "mistral" in name or "zephyr" in name:
+        return ARCH_REGISTRY["mistral"]
+    if "qwen" in name:
+        return ARCH_REGISTRY["qwen2"]
+    if "gemma" in name:
+        return ARCH_REGISTRY["gemma"]
+    if "neox" in name or "pythia" in name:
+        return ARCH_REGISTRY["neox"]
     raise NotImplementedError(f"{model_name} model family is not implemented.")
 
 
@@ -186,6 +213,78 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             attn_bias=True,
             mlp_bias=True,
             gated_mlp=False,
+        )
+    if mt in ("mistral", "qwen2"):
+        # llama wiring; mistral adds sliding-window attention, qwen2 adds
+        # q/k/v projection biases (picked up from the state dict directly).
+        window = getattr(hf_config, "sliding_window", None)
+        if mt == "qwen2" and not getattr(hf_config, "use_sliding_window", False):
+            window = None
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            sliding_window=window,
+            head_dim_override=getattr(hf_config, "head_dim", None),
+        )
+    if mt in ("gemma", "gemma2"):
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=True,
+            activation=(getattr(hf_config, "hidden_activation", None)
+                        or hf_config.hidden_act),
+            pos_embedding="rope",
+            norm_type="rmsnorm1p",
+            gated_mlp=True,
+            head_dim_override=hf_config.head_dim,
+            embed_scale=float(hf_config.hidden_size) ** 0.5,
+        )
+    if mt == "gpt_neox":
+        return ModelConfig(
+            family="neox",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.layer_norm_eps,
+            rope_theta=getattr(hf_config, "rotary_emb_base", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="layernorm",
+            parallel_block=hf_config.use_parallel_residual,
+            parallel_dual_norm=hf_config.use_parallel_residual,
+            fused_qkv=True,
+            attn_bias=getattr(hf_config, "attention_bias", True),
+            mlp_bias=True,
+            gated_mlp=False,
+            rotary_pct=getattr(hf_config, "rotary_pct", 1.0),
         )
     if mt in ("falcon", "RefinedWeb", "RefinedWebModel"):
         n_kv = hf_config.num_attention_heads

@@ -107,6 +107,29 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             })
         p["layers"] = layers
 
+    elif fam == "neox":
+        base = "gpt_neox."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_in.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "final_layer_norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "attn": {
+                    "qkv": _linear(sd, lp + "attention.query_key_value", dtype),
+                    "o": _linear(sd, lp + "attention.dense", dtype),
+                },
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.dense_h_to_4h", dtype),
+                    "fc2": _linear(sd, lp + "mlp.dense_4h_to_h", dtype),
+                },
+            })
+        p["layers"] = layers
+        if "embed_out.weight" in sd:
+            p["lm_head"] = _linear(sd, "embed_out", dtype)
+
     elif fam in ("bloom", "falcon"):
         base = "transformer."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "word_embeddings.weight"]), dtype)

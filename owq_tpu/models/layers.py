@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "layernorm", "rmsnorm", "activation",
+    "layernorm", "rmsnorm", "rmsnorm1p", "activation",
     "rope_cos_sin", "apply_rope", "alibi_slopes", "alibi_bias",
     "attention_core", "causal_mask_bias",
 ]
@@ -37,6 +37,17 @@ def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
     y = (x32 * jax.lax.rsqrt(var + eps)).astype(dt)
     return y * w.astype(dt)
+
+
+def rmsnorm1p(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    # HF GemmaRMSNorm: all math in f32 (including the (1 + w) multiply),
+    # cast to input dtype only at the end — a different cast order than
+    # LlamaRMSNorm, which matters in bf16.
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * (1.0 + w.astype(jnp.float32))).astype(dt)
 
 
 def activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
@@ -73,12 +84,23 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
                sin: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q/k: [B, T, H, hd]; cos/sin: [B, T, hd] (broadcast over heads)."""
+    """q/k: [B, T, H, hd]; cos/sin: [B, T, rot] (broadcast over heads).
+
+    When rot < hd (partial rotary, e.g. GPT-NeoX rotary_pct), only the
+    first ``rot`` lanes are rotated; the rest pass through unchanged.
+    """
+    rot = cos.shape[-1]
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
-    q2 = q * cos + _rotate_half(q) * sin
-    k2 = k * cos + _rotate_half(k) * sin
-    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+    def rope1(x):
+        xr = x[..., :rot]
+        y = xr * cos + _rotate_half(xr) * sin
+        if rot < x.shape[-1]:
+            y = jnp.concatenate([y, x[..., rot:]], axis=-1)
+        return y.astype(x.dtype)
+
+    return rope1(q), rope1(k)
 
 
 # --- alibi -----------------------------------------------------------------
@@ -109,15 +131,20 @@ def alibi_bias(n_heads: int, kv_positions: jnp.ndarray) -> jnp.ndarray:
 # --- attention -------------------------------------------------------------
 
 def causal_mask_bias(q_positions: jnp.ndarray, kv_valid: jnp.ndarray,
-                     kv_positions: jnp.ndarray) -> jnp.ndarray:
+                     kv_positions: jnp.ndarray,
+                     window: Optional[int] = None) -> jnp.ndarray:
     """Additive mask [B, 1, T, S]: 0 where attendable, -inf-ish elsewhere.
 
     q_positions: [B, T] absolute positions of the query tokens.
     kv_valid:    [B, S] 1/0 validity of cache slots.
     kv_positions:[B, S] absolute positions of cache slots.
+    window: sliding-window size (Mistral semantics: a query at position p
+    attends to keys in [p - window + 1, p]).
     """
     ok = (kv_positions[:, None, :] <= q_positions[:, :, None]) & (
         kv_valid[:, None, :] > 0)
+    if window is not None:
+        ok &= kv_positions[:, None, :] > q_positions[:, :, None] - window
     bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
     return bias[:, None, :, :]
 

@@ -32,6 +32,7 @@ from .layers import (
     causal_mask_bias,
     layernorm,
     rmsnorm,
+    rmsnorm1p,
     rope_cos_sin,
 )
 from ..runtime.quant_linear import DenseLinear, PackedLinear, ShardedPackedLinear
@@ -47,6 +48,7 @@ QUANTIZABLE = {
               "mlp.down"),
     "bloom": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
     "falcon": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "neox": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
 }
 
 
@@ -119,6 +121,8 @@ def _quantize_kv(x: jnp.ndarray):
 def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.norm_type == "rmsnorm":
         return rmsnorm(x, p["w"], cfg.norm_eps)
+    if cfg.norm_type == "rmsnorm1p":
+        return rmsnorm1p(x, p["w"], cfg.norm_eps)
     return layernorm(x, p["w"], p["b"], cfg.norm_eps)
 
 
@@ -139,7 +143,7 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
         k = fused[..., H * hd: (H + Hkv) * hd].reshape(B, T, Hkv, hd)
         v = fused[..., (H + Hkv) * hd:].reshape(B, T, Hkv, hd)
         return q, k, v
-    if cfg.family == "bloom":
+    if cfg.family in ("bloom", "neox"):
         f = fused.reshape(B, T, H, 3, hd)
         return f[:, :, :, 0], f[:, :, :, 1], f[:, :, :, 2]
     # falcon
@@ -243,8 +247,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     attn_out = _lin(attn_p["o"], ctx, kernel)
 
     if cfg.parallel_block:
-        # falcon-style: mlp reads the same LN output; one residual add
-        mlp_in = x_ln
+        # falcon-style: mlp reads the same LN output; one residual add.
+        # neox-style (parallel_dual_norm): mlp has its own LN over the
+        # block input — x + attn(ln1(x)) + mlp(ln2(x)).
+        mlp_in = _norm(blk["ln2"], cfg, res) if cfg.parallel_dual_norm else x_ln
         if "mlp.fc1" in taps:
             tapped["mlp.fc1"] = mlp_in
         h = activation(_lin(blk["mlp"]["fc1"], mlp_in, kernel), cfg.activation)
@@ -302,6 +308,8 @@ def embed(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
           positions: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Token (+learned position) embedding and input projection/norm."""
     x = jnp.take(params["embed_tokens"], input_ids, axis=0).astype(dtype)
+    if cfg.embed_scale is not None:  # gemma sqrt(hidden) normalizer
+        x = x * jnp.asarray(cfg.embed_scale, dtype)
     if params.get("project_in") is not None:
         x = params["project_in"].apply(x)
     if cfg.pos_embedding == "learned":
@@ -357,12 +365,15 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         S = cache.max_len
         kv_pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
         kv_valid = (kv_pos < (start_vec[:, None] + T)).astype(jnp.int32)
-    mask = causal_mask_bias(positions, kv_valid, kv_pos)
+    mask = causal_mask_bias(positions, kv_valid, kv_pos,
+                            window=cfg.sliding_window)
 
     rope = None
     alibi = None
     if cfg.pos_embedding == "rope":
-        rope = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+        rot = int(cfg.head_dim * cfg.rotary_pct)
+        rot -= rot % 2  # rotate an even number of lanes
+        rope = rope_cos_sin(positions, rot, cfg.rope_theta,
                             dtype=jnp.float32)
     elif cfg.pos_embedding == "alibi":
         # bias depends on key positions; invalid slots are masked anyway

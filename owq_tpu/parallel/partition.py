@@ -96,7 +96,7 @@ def _split_fused_qkv(blk: Dict[str, Any], cfg: ModelConfig) -> None:
     lin = attn.pop("qkv")
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     idx = np.arange(lin.out_features)
-    if cfg.family == "bloom":
+    if cfg.family in ("bloom", "neox"):
         # [H, 3, hd] interleave
         i3 = idx.reshape(H, 3, hd)
         qc, kc, vc = i3[:, 0].ravel(), i3[:, 1].ravel(), i3[:, 2].ravel()

@@ -230,6 +230,10 @@ def _reference_name_map(cfg):
                    "self_attention.dense": ("attn", "o"),
                    "mlp.dense_h_to_4h": ("mlp", "fc1"),
                    "mlp.dense_4h_to_h": ("mlp", "fc2")},
+        "neox": {"attention.query_key_value": ("attn", "qkv"),
+                 "attention.dense": ("attn", "o"),
+                 "mlp.dense_h_to_4h": ("mlp", "fc1"),
+                 "mlp.dense_4h_to_h": ("mlp", "fc2")},
     }
     leaves = leaf_maps[cfg.family]
 

@@ -64,6 +64,71 @@ def tiny_falcon(vocab=97, hidden=32, layers=2, heads=4, multi_query=True,
     return model
 
 
+def tiny_mistral(vocab=97, hidden=32, inter=56, layers=2, heads=4, kv_heads=2,
+                 max_pos=64, sliding_window=None, seed=0):
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = MistralConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, sliding_window=sliding_window,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = MistralForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_qwen2(vocab=97, hidden=32, inter=56, layers=2, heads=4, kv_heads=2,
+               max_pos=64, seed=0):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, use_sliding_window=False,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Qwen2ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_gemma(vocab=97, hidden=32, inter=56, layers=2, heads=4, kv_heads=2,
+               head_dim=16, max_pos=64, seed=0):
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GemmaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        hidden_activation="gelu_pytorch_tanh",
+        attn_implementation="eager",
+    )
+    model = GemmaForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_neox(vocab=97, hidden=32, inter=64, layers=2, heads=4, max_pos=64,
+              rotary_pct=0.25, parallel=True, seed=0):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GPTNeoXConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        max_position_embeddings=max_pos, rotary_pct=rotary_pct,
+        use_parallel_residual=parallel, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = GPTNeoXForCausalLM(cfg).eval()
+    return model
+
+
 def hf_logits(model, ids: np.ndarray) -> np.ndarray:
     with torch.no_grad():
         out = model(torch.from_numpy(ids))

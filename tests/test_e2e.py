@@ -223,6 +223,34 @@ def test_quantize_flag_combinations(calib, stream, kwargs):
     assert all(np.isfinite(q.loss) for q in quantizers.values())
 
 
+@pytest.mark.parametrize("family", ["mistral", "neox", "gemma"])
+def test_quantize_new_families(calib, family):
+    """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
+    beyond-reference families; fused-qkv taps and llama-shaped taps both."""
+    makers = {
+        "mistral": lambda: hf_tiny.tiny_mistral(hidden=32, inter=56, layers=2,
+                                                heads=4, kv_heads=2,
+                                                sliding_window=16),
+        "neox": lambda: hf_tiny.tiny_neox(hidden=32, inter=64, layers=2,
+                                          heads=4, rotary_pct=0.25),
+        "gemma": lambda: hf_tiny.tiny_gemma(hidden=32, inter=56, layers=2,
+                                            heads=4, kv_heads=2, head_dim=16),
+    }
+    model = makers[family]()
+    params, cfg = import_hf_model(model)
+    ref, _ = forward(params, cfg, jnp.asarray(calib[:2]))
+    params_q, quantizers = quantize_model(
+        params, cfg, arch_for_model(family), calib, wbits=3, target_rank=2,
+        tuning="minmax", verbose=False)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+    got, _ = forward(packed, cfg, jnp.asarray(calib[:2]))
+    assert np.isfinite(np.asarray(got)).all()
+    # quantized logits stay correlated with fp logits on a tiny model
+    a = np.asarray(ref).ravel()
+    b = np.asarray(got).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.9
+
+
 def test_quantize_2bit_fake(calib, stream):
     """2-bit: reconstruction + fake-quant works (packing is 3/4-bit only,
     like the reference, quant.py:265)."""

@@ -148,6 +148,36 @@ def test_jaxlm_greedy_until(tiny_lm):
     assert isinstance(outs[0], str)
 
 
+def test_hf_adapter_matches_jax_adapter(tiny_lm):
+    """The torch "hf" adapter and the JAX "owq" path must agree on the same
+    underlying model — cross-implementation oracle for the whole scoring
+    stack (tokenize -> batch -> logprob -> greedy match)."""
+    from owq_tpu.eval.harness.hf_model import HFLM
+
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2, vocab=97,
+                             max_pos=64)
+    hf_lm = HFLM(model=model, tok=CharTok(), batch_size=4, max_length=48)
+
+    reqs = [("hello wor", "ld"), ("a", "bc"), ("longer context here", " yes"),
+            ("", "empty context")]
+    ours = tiny_lm.loglikelihood(reqs)
+    theirs = hf_lm.loglikelihood(reqs)
+    np.testing.assert_allclose([r[0] for r in ours],
+                               [r[0] for r in theirs], atol=2e-3, rtol=1e-3)
+    assert [r[1] for r in ours] == [r[1] for r in theirs]
+
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    (ll_ours,) = tiny_lm.loglikelihood_rolling([text])
+    (ll_hf,) = hf_lm.loglikelihood_rolling([text])
+    assert abs(ll_ours - ll_hf) < max(2e-3 * abs(ll_hf), 5e-2)
+
+
+def test_hf_adapter_registered():
+    from owq_tpu.eval.harness.registry import get_model
+
+    assert get_model("hf") is get_model("hf-causal")
+
+
 def test_caching_lm(tmp_path):
     calls = {"n": 0}
 

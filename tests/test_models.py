@@ -63,6 +63,51 @@ def test_falcon_parity(rng):
     _parity(model, ids)
 
 
+def test_mistral_parity_sliding_window(rng):
+    # window=5 over a 16-token prompt: local attention actually bites
+    model = hf_tiny.tiny_mistral(sliding_window=5)
+    ids = rng.integers(0, 97, size=(2, 16))
+    params, cfg = _parity(model, ids)
+    assert cfg.sliding_window == 5
+
+
+def test_mistral_parity_no_window(rng):
+    model = hf_tiny.tiny_mistral(sliding_window=None)
+    ids = rng.integers(0, 97, size=(1, 12))
+    _parity(model, ids)
+
+
+def test_qwen2_parity_qkv_bias(rng):
+    model = hf_tiny.tiny_qwen2()
+    # qwen2 ships q/k/v biases; make sure they're nonzero in this fixture
+    assert model.model.layers[0].self_attn.q_proj.bias is not None
+    ids = rng.integers(0, 97, size=(2, 11))
+    _parity(model, ids)
+
+
+def test_gemma_parity(rng):
+    # rmsnorm1p + sqrt(hidden) embed scale + head_dim override + tied head
+    model = hf_tiny.tiny_gemma()
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids, atol=5e-4)
+    assert cfg.norm_type == "rmsnorm1p" and cfg.embed_scale is not None
+    assert cfg.head_dim == 16
+
+
+def test_neox_parity_parallel_residual(rng):
+    # pythia-style: partial rotary (pct=0.25) + dual-norm parallel block
+    model = hf_tiny.tiny_neox(rotary_pct=0.25, parallel=True)
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.family == "neox" and cfg.rotary_pct == 0.25
+
+
+def test_neox_parity_sequential(rng):
+    model = hf_tiny.tiny_neox(rotary_pct=1.0, parallel=False)
+    ids = rng.integers(0, 97, size=(1, 9))
+    _parity(model, ids)
+
+
 @pytest.mark.parametrize("family", ["opt", "llama"])
 def test_kv_cache_decode_matches_full_forward(rng, family):
     """Prefill+decode through the cache must equal one full forward."""
@@ -75,6 +120,43 @@ def test_kv_cache_decode_matches_full_forward(rng, family):
     cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
     pre, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
     np.testing.assert_allclose(np.asarray(pre), full[:, :6], atol=2e-4, rtol=1e-3)
+    for t in range(6, 10):
+        step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                  cache)
+        np.testing.assert_allclose(np.asarray(step)[0, 0], full[0, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_sliding_window_cache_decode_matches_full(rng):
+    """Sliding-window attention must be consistent between the uncached
+    full forward and the prefill+decode cache path (the window is applied
+    by absolute positions, so cached keys outside it are masked)."""
+    model = hf_tiny.tiny_mistral(sliding_window=5)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    pre, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :7]), cache)
+    np.testing.assert_allclose(np.asarray(pre), full[:, :7], atol=2e-4,
+                               rtol=1e-3)
+    for t in range(7, 12):
+        step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                  cache)
+        np.testing.assert_allclose(np.asarray(step)[0, 0], full[0, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_neox_cache_decode_matches_full(rng):
+    """Partial-rotary decode through the KV cache == full forward."""
+    model = hf_tiny.tiny_neox(rotary_pct=0.25, parallel=True)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    pre, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(pre), full[:, :6], atol=2e-4,
+                               rtol=1e-3)
     for t in range(6, 10):
         step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
                                   cache)

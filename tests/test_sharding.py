@@ -154,12 +154,24 @@ def test_tp_cached_decode_matches(rng):
                                        atol=3e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("family", ["bloom", "falcon"])
+@pytest.mark.parametrize("family", ["bloom", "falcon", "neox", "mistral",
+                                    "gemma"])
 def test_tp_fused_qkv_families(rng, family):
-    """BLOOM (alibi + fused interleaved qkv) and Falcon (MQA + parallel
-    block) under tensor parallelism."""
-    model = (hf_tiny.tiny_bloom(hidden=32, layers=2, heads=4) if family ==
-             "bloom" else hf_tiny.tiny_falcon(hidden=32, layers=2, heads=4))
+    """Structure-diverse families under tensor parallelism: BLOOM (alibi +
+    fused interleaved qkv), Falcon (MQA + parallel block), NeoX (dual-norm
+    parallel block + partial rotary + fused qkv), Mistral (sliding window),
+    Gemma (rmsnorm1p + embed scale + tied head)."""
+    makers = {
+        "bloom": lambda: hf_tiny.tiny_bloom(hidden=32, layers=2, heads=4),
+        "falcon": lambda: hf_tiny.tiny_falcon(hidden=32, layers=2, heads=4),
+        "neox": lambda: hf_tiny.tiny_neox(hidden=32, layers=2, heads=4,
+                                          rotary_pct=0.25, parallel=True),
+        "mistral": lambda: hf_tiny.tiny_mistral(hidden=32, layers=2, heads=4,
+                                                kv_heads=2, sliding_window=4),
+        "gemma": lambda: hf_tiny.tiny_gemma(hidden=32, layers=2, heads=4,
+                                            kv_heads=2, head_dim=16),
+    }
+    model = makers[family]()
     params, cfg = import_hf_model(model)
     ids = rng.integers(0, 97, size=(2, 9)).astype(np.int32)
     ref, _ = forward(params, cfg, jnp.asarray(ids))
