@@ -69,7 +69,6 @@ def main(argv=None) -> int:
     import numpy as np
 
     from ..models.config import arch_for_model
-    from ..models.transformer import QUANTIZABLE
     from ..eval.ppl import eval_ppl
     from ..recon.pipeline import quantize_model
     from ..recon.gptq import rtn_quantize
@@ -103,13 +102,13 @@ def main(argv=None) -> int:
             resume_dir=args.resume_dir, offload=args.offload)
         print(f"Running Time : {round(time.time() - tick, 1)}")
     elif args.nearest and args.wbits < 16:
-        from ..models.transformer import QUANTIZABLE
+        from ..models.transformer import quantizable_names
         from ..recon.pipeline import _get_linear, _set_linear
         from ..runtime.quant_linear import DenseLinear
 
         spec = QuantSpec(args.wbits, args.sym)
         for blk in params["layers"]:
-            for name in QUANTIZABLE[cfg.family]:
+            for name in quantizable_names(cfg):
                 lin = _get_linear(blk, name)
                 Q = rtn_quantize(lin.w.T, spec, mse=False)
                 _set_linear(blk, name, DenseLinear(w=Q.T.astype(lin.w.dtype),

@@ -46,7 +46,13 @@ class ModelConfig:
     gated_mlp: bool = True          # llama SwiGLU vs plain 2-layer MLP
     sliding_window: Optional[int] = None  # mistral/qwen2 local attention
     rotary_pct: float = 1.0         # neox partial rotary (fraction of hd)
+    rotary_dim: Optional[int] = None  # gptj: absolute rotary dims override
+    rope_style: str = "half"        # half (llama/neox) | interleaved (gptj)
+    pos_offset: int = 0             # opt learned-position offset (+2)
     embed_scale: Optional[float] = None   # gemma sqrt(hidden) embed scaling
+    # Mixture-of-experts (mixtral): 0 = dense mlp
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
     # Tensor parallelism: a shard-local config divides head counts but the
     # per-head dim stays global, so it must be pinned explicitly; tp_size
     # records the shard count (ALiBi slopes need the global head count).
@@ -118,12 +124,28 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
         ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25, "mlp.fc2": 0.25},
         sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
     ),
+    "gpt2": ArchSpec(
+        family="gpt2",
+        map_layer={"c_attn": "attn.qkv", "c_proj": "attn.o",
+                   "c_fc": "mlp.fc1", "fc2": "mlp.fc2"},
+        ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+    "gptj": ArchSpec(
+        family="gptj",
+        map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v",
+                   "out": "attn.o", "fc_in": "mlp.fc1", "fc_out": "mlp.fc2"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                    ("mlp.fc1",), ("mlp.fc2",)),
+    ),
 }
 
 # llama-shaped families share the llama quantization spec (same linear set,
 # same outlier ratios — the reference's per-family ratios keyed on shape,
 # model_config.json:28).
-for _alias in ("mistral", "qwen2", "gemma"):
+for _alias in ("mistral", "qwen2", "gemma", "mixtral"):
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
 
@@ -139,6 +161,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["bloom"]
     if "falcon" in name:
         return ARCH_REGISTRY["falcon"]
+    if "mixtral" in name:
+        return ARCH_REGISTRY["mixtral"]
     if "mistral" in name or "zephyr" in name:
         return ARCH_REGISTRY["mistral"]
     if "qwen" in name:
@@ -147,6 +171,10 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["gemma"]
     if "neox" in name or "pythia" in name:
         return ARCH_REGISTRY["neox"]
+    if "gpt-j" in name or "gptj" in name:
+        return ARCH_REGISTRY["gptj"]
+    if "gpt2" in name or "gpt-2" in name:
+        return ARCH_REGISTRY["gpt2"]
     raise NotImplementedError(f"{model_name} model family is not implemented.")
 
 
@@ -170,6 +198,7 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
                                         hf_config.hidden_size),
             do_layer_norm_before=hf_config.do_layer_norm_before,
             pos_embedding="learned",
+            pos_offset=2,  # HF OPTLearnedPositionalEmbedding
             norm_type="layernorm",
             attn_bias=getattr(hf_config, "enable_bias", True),
             mlp_bias=True,
@@ -240,6 +269,28 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             sliding_window=window,
             head_dim_override=getattr(hf_config, "head_dim", None),
         )
+    if mt == "mixtral":
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            sliding_window=getattr(hf_config, "sliding_window", None),
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+        )
     if mt in ("gemma", "gemma2"):
         return ModelConfig(
             family="llama",
@@ -261,6 +312,50 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             gated_mlp=True,
             head_dim_override=hf_config.head_dim,
             embed_scale=float(hf_config.hidden_size) ** 0.5,
+        )
+    if mt == "gpt2":
+        return ModelConfig(
+            family="gpt2",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.n_embd,
+            intermediate_size=hf_config.n_inner or 4 * hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            num_kv_heads=hf_config.n_head,
+            max_position_embeddings=hf_config.n_positions,
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=True,
+            activation=hf_config.activation_function,
+            pos_embedding="learned",
+            pos_offset=0,
+            norm_type="layernorm",
+            fused_qkv=True,
+            attn_bias=True,
+            mlp_bias=True,
+            gated_mlp=False,
+        )
+    if mt == "gptj":
+        return ModelConfig(
+            family="gptj",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.n_embd,
+            intermediate_size=hf_config.n_inner or 4 * hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            num_kv_heads=hf_config.n_head,
+            max_position_embeddings=hf_config.n_positions,
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            activation=hf_config.activation_function,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            rotary_dim=hf_config.rotary_dim,
+            norm_type="layernorm",
+            parallel_block=True,
+            attn_bias=False,
+            mlp_bias=True,
+            gated_mlp=False,
         )
     if mt == "gpt_neox":
         return ModelConfig(

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig, config_from_hf
-from .transformer import QUANTIZABLE
+from .transformer import QUANTIZABLE  # noqa: F401 (re-export convenience)
 from ..runtime.quant_linear import DenseLinear
 
 __all__ = ["import_hf_model", "load_hf_pretrained", "params_from_state_dict"]
@@ -90,6 +90,24 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         layers = []
         for i in range(cfg.num_layers):
             lp = f"{base}layers.{i}."
+            if cfg.num_experts:
+                # mixtral block_sparse_moe: gate (router) + per-expert
+                # w1 (gate) / w3 (up) / w2 (down)
+                moe = lp + "block_sparse_moe."
+                mlp = {
+                    "router": _linear(sd, moe + "gate", dtype),
+                    "experts": [
+                        {"gate": _linear(sd, f"{moe}experts.{e}.w1", dtype),
+                         "up": _linear(sd, f"{moe}experts.{e}.w3", dtype),
+                         "down": _linear(sd, f"{moe}experts.{e}.w2", dtype)}
+                        for e in range(cfg.num_experts)],
+                }
+            else:
+                mlp = {
+                    "gate": _linear(sd, lp + "mlp.gate_proj", dtype),
+                    "up": _linear(sd, lp + "mlp.up_proj", dtype),
+                    "down": _linear(sd, lp + "mlp.down_proj", dtype),
+                }
             layers.append({
                 "ln1": _ln(sd, lp + "input_layernorm", dtype),
                 "attn": {
@@ -99,10 +117,57 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                     "o": _linear(sd, lp + "self_attn.o_proj", dtype),
                 },
                 "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": mlp,
+            })
+        p["layers"] = layers
+
+    elif fam == "gpt2":
+        base = "transformer."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "wte.weight"]), dtype)
+        p["embed_positions"] = jnp.asarray(_np(sd[base + "wpe.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "ln_f", dtype)
+
+        def conv1d(prefix):  # HF Conv1D stores weight [in, out] already
+            w = jnp.asarray(_np(sd[prefix + ".weight"]), dtype)
+            b = sd.get(prefix + ".bias")
+            return DenseLinear(w=w, b=None if b is None else
+                               jnp.asarray(_np(b), dtype))
+
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}h.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "ln_1", dtype),
+                "attn": {
+                    "qkv": conv1d(lp + "attn.c_attn"),
+                    "o": conv1d(lp + "attn.c_proj"),
+                },
+                "ln2": _ln(sd, lp + "ln_2", dtype),
                 "mlp": {
-                    "gate": _linear(sd, lp + "mlp.gate_proj", dtype),
-                    "up": _linear(sd, lp + "mlp.up_proj", dtype),
-                    "down": _linear(sd, lp + "mlp.down_proj", dtype),
+                    "fc1": conv1d(lp + "mlp.c_fc"),
+                    "fc2": conv1d(lp + "mlp.c_proj"),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "gptj":
+        base = "transformer."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "wte.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "ln_f", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}h.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "ln_1", dtype),  # single LN (parallel)
+                "attn": {
+                    "q": _linear(sd, lp + "attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "attn.out_proj", dtype),
+                },
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.fc_in", dtype),
+                    "fc2": _linear(sd, lp + "mlp.fc_out", dtype),
                 },
             })
         p["layers"] = layers

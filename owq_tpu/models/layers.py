@@ -65,15 +65,21 @@ def activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 # --- rotary ----------------------------------------------------------------
 
 def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
-                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin tables for HF-style (half-rotated) RoPE.
+                 dtype=jnp.float32, style: str = "half"
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for RoPE.
 
     positions: [..., T] int -> cos/sin [..., T, head_dim].
+    style 'half' (llama/neox: table = [freqs | freqs]) or 'interleaved'
+    (gptj: table = repeat_interleave(freqs, 2)).
     """
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
                                 / head_dim))
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, hd/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    if style == "interleaved":
+        emb = jnp.repeat(freqs, 2, axis=-1)
+    else:
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 
 
@@ -82,20 +88,29 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
+def _rotate_every_two(x: jnp.ndarray) -> jnp.ndarray:
+    # gptj pairing: (x0,x1) -> (-x1, x0) for every adjacent pair
+    x1 = x[..., ::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
-               sin: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               sin: jnp.ndarray, style: str = "half"
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """q/k: [B, T, H, hd]; cos/sin: [B, T, rot] (broadcast over heads).
 
-    When rot < hd (partial rotary, e.g. GPT-NeoX rotary_pct), only the
-    first ``rot`` lanes are rotated; the rest pass through unchanged.
+    When rot < hd (partial rotary: GPT-NeoX rotary_pct, GPT-J rotary_dim),
+    only the first ``rot`` lanes are rotated; the rest pass through.
     """
     rot = cos.shape[-1]
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
+    rotate = _rotate_every_two if style == "interleaved" else _rotate_half
 
     def rope1(x):
         xr = x[..., :rot]
-        y = xr * cos + _rotate_half(xr) * sin
+        y = xr * cos + rotate(xr) * sin
         if rot < x.shape[-1]:
             y = jnp.concatenate([y, x[..., rot:]], axis=-1)
         return y.astype(x.dtype)

@@ -17,7 +17,8 @@ from .config import ModelConfig
 from ..core.packing import padded_infeatures
 from ..runtime.quant_linear import DenseLinear, PackedLinear
 
-__all__ = ["LLAMA_SHAPES", "OPT_SHAPES", "synthetic_config", "build_synthetic"]
+__all__ = ["LLAMA_SHAPES", "OPT_SHAPES", "synthetic_config",
+           "build_synthetic", "build_moe_synthetic"]
 
 # (hidden, intermediate, layers, heads, kv_heads, vocab)
 LLAMA_SHAPES = {
@@ -50,7 +51,7 @@ def synthetic_config(name: str, max_pos: int = 2048) -> ModelConfig:
             num_layers=l, num_heads=nh, num_kv_heads=nkv,
             max_position_embeddings=max_pos, tie_word_embeddings=True,
             activation="relu", word_embed_proj_dim=h,
-            pos_embedding="learned", norm_type="layernorm",
+            pos_embedding="learned", pos_offset=2, norm_type="layernorm",
             attn_bias=True, mlp_bias=True, gated_mlp=False)
     raise KeyError(name)
 
@@ -156,3 +157,51 @@ def build_synthetic(cfg: ModelConfig, *, bits: Optional[int] = 3,
         hk = jax.random.fold_in(key, 10_002)
         params["lm_head"] = _rand_dense(hk, h, cfg.vocab_size, dtype, False)
     return params
+
+
+def build_moe_synthetic(*, hidden: int = 64, inter: int = 96, layers: int = 2,
+                        heads: int = 4, kv_heads: int = 2, vocab: int = 256,
+                        num_experts: int = 4, topk: int = 2, seed: int = 0,
+                        dtype=jnp.float32):
+    """Tiny random dense-weight Mixtral-shaped MoE: (params, cfg).
+
+    Used by the multichip dry-run to exercise expert parallelism without HF
+    downloads."""
+    cfg = ModelConfig(
+        family="llama", vocab_size=vocab, hidden_size=hidden,
+        intermediate_size=inter, num_layers=layers, num_heads=heads,
+        num_kv_heads=kv_heads, max_position_embeddings=128, norm_eps=1e-6,
+        tie_word_embeddings=False, activation="silu", pos_embedding="rope",
+        norm_type="rmsnorm", gated_mlp=True, num_experts=num_experts,
+        num_experts_per_tok=topk)
+    key = jax.random.PRNGKey(seed)
+    h = hidden
+    blocks = []
+    for li in range(layers):
+        lk = jax.random.fold_in(key, li)
+        ks = jax.random.split(lk, 5 + 3 * num_experts)
+        attn = {"q": _rand_dense(ks[0], h, heads * cfg.head_dim, dtype, False),
+                "k": _rand_dense(ks[1], h, kv_heads * cfg.head_dim, dtype, False),
+                "v": _rand_dense(ks[2], h, kv_heads * cfg.head_dim, dtype, False),
+                "o": _rand_dense(ks[3], heads * cfg.head_dim, h, dtype, False)}
+        experts = []
+        for e in range(num_experts):
+            b = 5 + 3 * e
+            experts.append({"gate": _rand_dense(ks[b], h, inter, dtype, False),
+                            "up": _rand_dense(ks[b + 1], h, inter, dtype, False),
+                            "down": _rand_dense(ks[b + 2], inter, h, dtype, False)})
+        mlp = {"router": _rand_dense(ks[4], h, num_experts, dtype, False),
+               "experts": experts}
+        blocks.append({"ln1": {"w": jnp.ones((h,), dtype)}, "attn": attn,
+                       "ln2": {"w": jnp.ones((h,), dtype)}, "mlp": mlp})
+    ek = jax.random.fold_in(key, 10_000)
+    params = {
+        "embed_tokens": (jax.random.normal(ek, (vocab, h), jnp.float32)
+                         * 0.02).astype(dtype),
+        "project_in": None, "project_out": None, "embed_norm": None,
+        "layers": blocks,
+        "final_norm": {"w": jnp.ones((h,), dtype)},
+        "lm_head": _rand_dense(jax.random.fold_in(key, 10_002), h, vocab,
+                               dtype, False),
+    }
+    return params, cfg

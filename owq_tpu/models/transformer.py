@@ -37,9 +37,9 @@ from .layers import (
 )
 from ..runtime.quant_linear import DenseLinear, PackedLinear, ShardedPackedLinear
 
-__all__ = ["KVCache", "QuantKVCache", "block_forward", "forward",
-           "embed", "unembed", "init_cache", "init_quant_cache",
-           "QUANTIZABLE"]
+__all__ = ["KVCache", "QuantKVCache", "ExpertBank", "block_forward",
+           "forward", "embed", "unembed", "init_cache", "init_quant_cache",
+           "QUANTIZABLE", "quantizable_names"]
 
 # dotted linear names per family (quantization targets)
 QUANTIZABLE = {
@@ -49,7 +49,62 @@ QUANTIZABLE = {
     "bloom": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
     "falcon": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
     "neox": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "gpt2": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "gptj": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1", "mlp.fc2"),
 }
+
+
+def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
+    """Dotted quantization-target names for a config.
+
+    MoE models enumerate per-expert linears (the router stays fp, like the
+    reference keeps lm_head fp); dense models use the family table.
+    """
+    if cfg.num_experts:
+        names = ["attn.q", "attn.k", "attn.v", "attn.o"]
+        for e in range(cfg.num_experts):
+            names += [f"mlp.experts.{e}.gate", f"mlp.experts.{e}.up",
+                      f"mlp.experts.{e}.down"]
+        return tuple(names)
+    return QUANTIZABLE[cfg.family]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ExpertBank:
+    """Expert-parallel form of an MoE mlp: per-expert linears stacked along
+    a leading expert axis so a single array shards across the mesh
+    ('tp'/'ep' axis).  ``gate``/``up``/``down`` are DenseLinear/PackedLinear
+    whose arrays carry an extra leading [E_local] dim; ``index_expert``
+    slices one expert back out for the per-expert matmuls."""
+
+    gate: Any
+    up: Any
+    down: Any
+
+    @property
+    def n_local(self) -> int:
+        lin = self.gate
+        arr = lin.w if hasattr(lin, "w") else lin.qweight
+        return arr.shape[0]
+
+
+def stack_experts(experts: Sequence[Dict[str, Any]]) -> ExpertBank:
+    """List-of-expert-dicts (canonical form) -> stacked ExpertBank."""
+    def stack(lins):
+        proto = lins[0]
+        return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *lins)
+
+    return ExpertBank(gate=stack([e["gate"] for e in experts]),
+                      up=stack([e["up"] for e in experts]),
+                      down=stack([e["down"] for e in experts]))
+
+
+def index_expert(bank: ExpertBank, e: int) -> Dict[str, Any]:
+    """Slice expert ``e`` (static index) out of a stacked bank."""
+    pick = lambda lin: jax.tree_util.tree_map(lambda a: a[e], lin)
+    return {"gate": pick(bank.gate), "up": pick(bank.up),
+            "down": pick(bank.down)}
 
 
 @jax.tree_util.register_dataclass
@@ -118,6 +173,15 @@ def _quantize_kv(x: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
+def rope_tables(cfg: ModelConfig, positions: jnp.ndarray, dtype=jnp.float32):
+    """Config-aware cos/sin tables: partial rotary (rotary_pct/rotary_dim)
+    and pairing style (half vs gptj-interleaved) resolved in one place."""
+    rot = cfg.rotary_dim or int(cfg.head_dim * cfg.rotary_pct)
+    rot -= rot % 2
+    return rope_cos_sin(positions, rot, cfg.rope_theta, dtype=dtype,
+                        style=cfg.rope_style)
+
+
 def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.norm_type == "rmsnorm":
         return rmsnorm(x, p["w"], cfg.norm_eps)
@@ -137,8 +201,9 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
     """Family-specific fused-QKV layouts -> q [B,T,H,hd], k/v [B,T,Hkv,hd]."""
     B, T = fused.shape[:2]
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if cfg.family in ("llama", "opt"):
-        # runtime-fused projections (fuse_block_projections): plain concat
+    if cfg.family in ("llama", "opt", "gpt2"):
+        # gpt2 c_attn and runtime-fused projections
+        # (fuse_block_projections): plain [q | k | v] concat
         q = fused[..., : H * hd].reshape(B, T, H, hd)
         k = fused[..., H * hd: (H + Hkv) * hd].reshape(B, T, Hkv, hd)
         v = fused[..., (H + Hkv) * hd:].reshape(B, T, Hkv, hd)
@@ -205,7 +270,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         v = _lin(attn_p["v"], x_ln, kernel).reshape(B, T, Hkv, hd)
 
     if rope is not None:
-        q, k = apply_rope(q, k, *rope)
+        q, k = apply_rope(q, k, *rope, style=cfg.rope_style)
 
     if kv is not None:
         quantized = len(kv) == 4
@@ -272,6 +337,49 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     res = x
     x_ln2 = _norm(blk["ln2"], cfg, x) if pre_norm else x
     mlp = blk["mlp"]
+    if cfg.num_experts:
+        # Mixtral-style sparse MoE, computed densely: every (local) expert
+        # processes all tokens and is weighted by its routing probability
+        # (0 for tokens not routed to it).  Dense compute keeps the matmuls
+        # MXU-shaped and static; under expert parallelism each shard holds
+        # E/tp whole experts and the weighted sum is psum-reduced.
+        E, K = cfg.num_experts, cfg.num_experts_per_tok
+        logits = _lin(mlp["router"], x_ln2, kernel).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)               # [B,T,E]
+        topv, topi = jax.lax.top_k(probs, K)
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)    # HF renorm
+        experts = mlp["experts"]
+        bank = isinstance(experts, ExpertBank)
+        localE = experts.n_local if bank else len(experts)
+        off = 0
+        if tp_axis is not None and localE < E:
+            off = jax.lax.axis_index(tp_axis) * localE
+        mlp_out = jnp.zeros_like(res)
+        for le in range(localE):
+            exp = index_expert(experts, le) if bank else experts[le]
+            ge = off + le
+            w_e = jnp.sum(jnp.where(topi == ge, topv, 0.0), axis=-1)  # [B,T]
+            sw = jnp.sqrt(w_e)[..., None].astype(x_ln2.dtype)
+            # taps carry sqrt(route weight)-scaled activations so the
+            # accumulated Hessian is the routing-weighted input covariance
+            # (tokens this expert never sees contribute nothing)
+            for leaf in ("gate", "up"):
+                tn = f"mlp.experts.{ge}.{leaf}"
+                if tn in taps:
+                    tapped[tn] = x_ln2 * sw
+            h = (activation(_lin(exp["gate"], x_ln2, kernel), cfg.activation)
+                 * _lin(exp["up"], x_ln2, kernel))
+            tn = f"mlp.experts.{ge}.down"
+            if tn in taps:
+                tapped[tn] = h * sw
+            mlp_out = mlp_out + w_e[..., None].astype(res.dtype) * _lin(
+                exp["down"], h, kernel)
+        if tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        y = res + mlp_out
+        if not pre_norm:
+            y = _norm(blk["ln2"], cfg, y)
+        return y, (k_full, v_full), tapped
     if cfg.gated_mlp:
         for name in ("mlp.gate", "mlp.up"):
             if name in taps:
@@ -313,8 +421,10 @@ def embed(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     if params.get("project_in") is not None:
         x = params["project_in"].apply(x)
     if cfg.pos_embedding == "learned":
-        # OPT offsets learned positions by 2 (HF OPTLearnedPositionalEmbedding)
-        pos = jnp.take(params["embed_positions"], positions + 2, axis=0)
+        # OPT offsets learned positions by 2 (HF OPTLearnedPositionalEmbedding);
+        # GPT-2 uses plain wpe indexing (pos_offset=0)
+        pos = jnp.take(params["embed_positions"], positions + cfg.pos_offset,
+                       axis=0)
         x = x + pos.astype(dtype)
     if params.get("embed_norm") is not None:
         x = _norm(params["embed_norm"], cfg, x)
@@ -371,10 +481,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     rope = None
     alibi = None
     if cfg.pos_embedding == "rope":
-        rot = int(cfg.head_dim * cfg.rotary_pct)
-        rot -= rot % 2  # rotate an even number of lanes
-        rope = rope_cos_sin(positions, rot, cfg.rope_theta,
-                            dtype=jnp.float32)
+        rope = rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
         # bias depends on key positions; invalid slots are masked anyway
         if tp_axis is None or cfg.tp_size == 1:

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..models.config import ModelConfig
-from ..models.transformer import forward
+from ..models.transformer import ExpertBank, forward, stack_experts
 from ..runtime.quant_linear import (
     DenseLinear,
     PackedLinear,
@@ -56,11 +56,16 @@ def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
     if cfg.num_heads % tp or (cfg.num_kv_heads % tp and cfg.num_kv_heads > 1):
         raise ValueError(
             f"heads {cfg.num_heads}/{cfg.num_kv_heads} not divisible by tp={tp}")
+    if cfg.num_experts and cfg.num_experts % tp:
+        raise ValueError(
+            f"experts {cfg.num_experts} not divisible by tp={tp}")
     return dataclasses.replace(
         cfg,
         num_heads=cfg.num_heads // tp,
         num_kv_heads=max(cfg.num_kv_heads // tp, 1),
-        intermediate_size=cfg.intermediate_size // tp,
+        # MoE shards whole experts (EP), not the inner ffn dim
+        intermediate_size=(cfg.intermediate_size if cfg.num_experts
+                           else cfg.intermediate_size // tp),
         head_dim_override=cfg.head_dim,
         fused_qkv=False,
         tp_size=tp,
@@ -96,7 +101,12 @@ def _split_fused_qkv(blk: Dict[str, Any], cfg: ModelConfig) -> None:
     lin = attn.pop("qkv")
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     idx = np.arange(lin.out_features)
-    if cfg.family in ("bloom", "neox"):
+    if cfg.family in ("llama", "opt", "gpt2"):
+        # plain [q | k | v] concat (gpt2 c_attn / runtime-fused qkv)
+        qc = idx[: H * hd]
+        kc = idx[H * hd: (H + Hkv) * hd]
+        vc = idx[(H + Hkv) * hd:]
+    elif cfg.family in ("bloom", "neox"):
         # [H, 3, hd] interleave
         i3 = idx.reshape(H, 3, hd)
         qc, kc, vc = i3[:, 0].ravel(), i3[:, 1].ravel(), i3[:, 2].ravel()
@@ -120,6 +130,10 @@ def _shard_block(blk: Dict[str, Any], cfg: ModelConfig, tp: int
                  ) -> Dict[str, Any]:
     if cfg.fused_qkv:
         _split_fused_qkv(blk, cfg)
+    if isinstance(blk.get("mlp", {}).get("experts"), list):
+        # expert parallelism: stack whole experts along a leading axis that
+        # shards across the 'tp' axis; router stays replicated
+        blk["mlp"]["experts"] = stack_experts(blk["mlp"]["experts"])
     for part in ("attn", "mlp"):
         for leaf, lin in list(blk.get(part, {}).items()):
             name = f"{part}.{leaf}"
@@ -139,8 +153,30 @@ def shard_model_tp(params: Dict[str, Any], cfg: ModelConfig, tp: int
     return params, local_config(cfg, tp)
 
 
+def _expert_bank_spec(bank: ExpertBank) -> ExpertBank:
+    """Leading expert axis shards over 'tp' (expert parallelism); every
+    per-expert array stays whole within a shard."""
+    def one(lin):
+        if isinstance(lin, PackedLinear):
+            return PackedLinear(
+                qweight=P(TP_AXIS, None, None), scales=P(TP_AXIS, None),
+                zeros=P(TP_AXIS, None), oweight=P(TP_AXIS, None, None),
+                out_ids=P(TP_AXIS, None),
+                bias=None if lin.bias is None else P(TP_AXIS, None),
+                bits=lin.bits, in_features=lin.in_features)
+        return DenseLinear(w=P(TP_AXIS, None, None),
+                           b=None if lin.b is None else P(TP_AXIS, None))
+
+    return ExpertBank(gate=one(bank.gate), up=one(bank.up),
+                      down=one(bank.down))
+
+
 def _linear_spec(name: str, lin, replicate: bool = False) -> Any:
     """PartitionSpec pytree for one linear."""
+    if isinstance(lin, ExpertBank):
+        return _expert_bank_spec(lin)
+    if name == "mlp.router":  # MoE router: replicated (tiny)
+        replicate = True
     if replicate:
         if isinstance(lin, PackedLinear):
             return PackedLinear(

@@ -54,7 +54,9 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
     mask = causal_mask_bias(positions, kv_valid, kv_pos)
     rope = alibi = None
     if cfg.pos_embedding == "rope":
-        rope = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        from ..models.transformer import rope_tables
+
+        rope = rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid)
 

@@ -54,8 +54,10 @@ def _sp_block(blk, cfg: ModelConfig, x, positions, kernel: str):
     v = _lin(attn_p["v"], x_ln, kernel).reshape(B, T_loc, Hkv, hd)
 
     if cfg.pos_embedding == "rope":
-        rope = rope_cos_sin(positions, hd, cfg.rope_theta)
-        q, k = apply_rope(q, k, *rope)
+        from ..models.transformer import rope_tables
+
+        rope = rope_tables(cfg, positions)
+        q, k = apply_rope(q, k, *rope, style=cfg.rope_style)
 
     # gather K/V over the sequence shards (tiled=True keeps token order)
     k_all = jax.lax.all_gather(k, SP_AXIS, axis=1, tiled=True)

@@ -32,7 +32,8 @@ import numpy as np
 
 from ..core.quantizer import QuantSpec, find_params_mse, find_params_minmax, fake_quant
 from ..models.config import ArchSpec, ModelConfig
-from ..models.transformer import QUANTIZABLE, block_forward, embed
+from ..models.transformer import (QUANTIZABLE, block_forward, embed,
+                                  quantizable_names)
 from ..models.layers import causal_mask_bias, rope_cos_sin, alibi_bias
 from ..runtime.quant_linear import DenseLinear
 from .gptq import gptq_quantize
@@ -53,14 +54,48 @@ class QuantInfo:
     loss: float
 
 
+def _walk(blk: Dict[str, Any], name: str):
+    """Resolve a dotted path ('mlp.experts.3.down') to (container, key)."""
+    parts = name.split(".")
+    node = blk
+    for p in parts[:-1]:
+        node = node[int(p)] if isinstance(node, list) else node[p]
+    leaf = parts[-1]
+    return node, (int(leaf) if isinstance(node, list) else leaf)
+
+
 def _get_linear(blk: Dict[str, Any], name: str) -> DenseLinear:
-    part, leaf = name.split(".")
-    return blk[part][leaf]
+    node, leaf = _walk(blk, name)
+    return node[leaf]
 
 
 def _set_linear(blk: Dict[str, Any], name: str, lin) -> None:
-    part, leaf = name.split(".")
-    blk[part][leaf] = lin
+    node, leaf = _walk(blk, name)
+    node[leaf] = lin
+
+
+def _ratio_for(arch: ArchSpec, name: str) -> float:
+    """Outlier ratio for a linear name; per-expert MoE names inherit the
+    family's mlp ratio ('mlp.experts.3.gate' -> 'mlp.gate')."""
+    if name in arch.ratios:
+        return arch.ratios[name]
+    parts = name.split(".")
+    if len(parts) == 4 and parts[:2] == ["mlp", "experts"]:
+        return arch.ratios.get(f"mlp.{parts[3]}", 0.0)
+    return 0.0
+
+
+def _sequential_groups(arch: ArchSpec, cfg: ModelConfig):
+    """True-sequential quantization groups; MoE expands the family's mlp
+    groups across experts (gates+ups together, then downs — same dependency
+    order as the reference's llama grouping, model_config.json:29-34)."""
+    if not cfg.num_experts:
+        return arch.sequential
+    E = cfg.num_experts
+    return (("attn.q", "attn.k", "attn.v"), ("attn.o",),
+            tuple(f"mlp.experts.{e}.{l}" for e in range(E)
+                  for l in ("gate", "up")),
+            tuple(f"mlp.experts.{e}.down" for e in range(E)))
 
 
 def outlier_budget(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
@@ -69,7 +104,7 @@ def outlier_budget(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                    owq_layers: Optional[Dict[str, bool]] = None
                    ) -> Dict[str, int]:
     """Weak-column count per linear name (main.py:70-89 semantics)."""
-    names = QUANTIZABLE[cfg.family]
+    names = quantizable_names(cfg)
     if owq_layers is None:
         owq_layers = {n: True for n in names}
     n_out_dict = {n: 0 for n in names}
@@ -81,7 +116,7 @@ def outlier_budget(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
             if not owq_layers.get(n, False):
                 continue
             infeat = _get_linear(blk0, n).in_features
-            ratio = arch.ratios.get(n, 0.0)
+            ratio = _ratio_for(arch, n)
             n_out = round(infeat * r * ratio)
             if n_out % 2 == 1:
                 n_out += 1
@@ -111,7 +146,9 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
     rope = None
     alibi = None
     if cfg.pos_embedding == "rope":
-        rope = rope_cos_sin(positions[:1], cfg.head_dim, cfg.rope_theta)
+        from ..models.transformer import rope_tables
+
+        rope = rope_tables(cfg, positions[:1])
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions[:1])
     return x, dict(mask=mask, rope=rope, alibi=alibi)
@@ -181,12 +218,13 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
     """
     spec = QuantSpec(wbits, sym)
     mse = tuning == "mse"
-    names = QUANTIZABLE[cfg.family]
+    names = quantizable_names(cfg)
     n_out_dict = outlier_budget(params, cfg, arch, wbits,
                                 target_bit=target_bit, target_rank=target_rank,
                                 owq_layers=owq_layers)
     groups: Sequence[Sequence[str]]
-    groups = arch.sequential if true_sequential else [list(names)]
+    groups = (_sequential_groups(arch, cfg) if true_sequential
+              else [list(names)])
 
     x, aux = calibration_inputs(params, cfg, input_ids, dtype=dtype)
     ns = x.shape[0]
@@ -315,7 +353,9 @@ def _load_block_resume(resume_dir: str, li: int, blk, quantizers,
     data = np.load(path)
     tags = sorted({k.split("__")[0] for k in data.files})
     for tag in tags:
-        n = tag.replace("_", ".", 1)
+        # leaf names never contain underscores, so the mapping is bijective
+        # (handles multi-dot MoE names like mlp.experts.0.gate)
+        n = tag.replace("_", ".")
         lin = _get_linear(blk, n)
         Q = data[f"{tag}__Q"]
         _set_linear(blk, n, DenseLinear(w=jnp.asarray(Q, lin.w.dtype),

@@ -72,7 +72,9 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
     mask = causal_mask_bias(positions, jnp.ones((B, T), jnp.int32), positions)
     rope = alibi = None
     if cfg.pos_embedding == "rope":
-        rope = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        from ..models.transformer import rope_tables
+
+        rope = rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions)
     ks, vs = [], []

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.transformer import QUANTIZABLE
 from ..recon.pipeline import QuantInfo
 from .quant_linear import DenseLinear, PackedLinear, pack_linear
 
@@ -35,15 +34,17 @@ def pack_model(params: Dict[str, Any], quantizers: Dict[str, QuantInfo],
                wbits: int, *, weight_dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Swap fake-quantized DenseLinears for PackedLinears (lm_pack analogue,
     owq/quant.py:204-219)."""
+    from ..recon.pipeline import _walk
+
     for key, info in quantizers.items():
         li_s, name = key.split(".", 1)
         blk = params["layers"][int(li_s)]
-        part, leaf = name.split(".")
-        lin = blk[part][leaf]
+        node, leaf = _walk(blk, name)
+        lin = node[leaf]
         if not isinstance(lin, DenseLinear):
             raise TypeError(f"{key} already packed")
         W = np.asarray(lin.w, np.float32).T  # [out, in]
-        blk[part][leaf] = pack_linear(
+        node[leaf] = pack_linear(
             W, info.scale, info.zero, info.out_ids, wbits, sym=info.sym,
             bias=None if lin.b is None else np.asarray(lin.b, np.float32),
             weight_dtype=weight_dtype)
@@ -195,8 +196,14 @@ def load_checkpoint(path: str, *, mmap: bool = False
                 bits=kind["bits"], in_features=kind["in_features"])
         assign(params, kpath.split("/"), lin)
 
-    # layers dict {0: blk, ...} -> ordered list
-    layers = params.get("layers", {})
-    params["layers"] = [layers[str(i)] if str(i) in layers else layers[i]
-                        for i in range(cfg.num_layers)]
+    # digit-keyed dicts were lists before flattening (layers, MoE experts)
+    def listify(node):
+        if isinstance(node, dict):
+            node = {k: listify(v) for k, v in node.items()}
+            if node and all(isinstance(k, str) and k.isdigit() for k in node):
+                return [node[str(i)] for i in range(len(node))]
+        return node
+
+    for k in list(params):
+        params[k] = listify(params[k])
     return params, cfg, manifest

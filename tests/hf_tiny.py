@@ -129,6 +129,49 @@ def tiny_neox(vocab=97, hidden=32, inter=64, layers=2, heads=4, max_pos=64,
     return model
 
 
+def tiny_mixtral(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+                 experts=4, topk=2, max_pos=64, seed=0):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = MixtralConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        num_local_experts=experts, num_experts_per_tok=topk,
+        rms_norm_eps=1e-6, sliding_window=None, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = MixtralForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_gpt2(vocab=97, hidden=32, layers=2, heads=4, max_pos=64, seed=0):
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(seed)
+    cfg = GPT2Config(
+        vocab_size=vocab, n_embd=hidden, n_layer=layers, n_head=heads,
+        n_positions=max_pos, attn_implementation="eager",
+    )
+    model = GPT2LMHeadModel(cfg).eval()
+    return model
+
+
+def tiny_gptj(vocab=97, hidden=32, layers=2, heads=4, rotary_dim=4,
+              max_pos=64, seed=0):
+    from transformers import GPTJConfig, GPTJForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GPTJConfig(
+        vocab_size=vocab, n_embd=hidden, n_layer=layers, n_head=heads,
+        rotary_dim=rotary_dim, n_positions=max_pos,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = GPTJForCausalLM(cfg).eval()
+    return model
+
+
 def hf_logits(model, ids: np.ndarray) -> np.ndarray:
     with torch.no_grad():
         out = model(torch.from_numpy(ids))

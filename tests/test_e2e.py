@@ -223,6 +223,28 @@ def test_quantize_flag_combinations(calib, stream, kwargs):
     assert all(np.isfinite(q.loss) for q in quantizers.values())
 
 
+def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
+    """Mixtral: per-expert GPTQ (routing-weighted Hessians) -> pack ->
+    save/load roundtrip preserves the expert list structure and logits."""
+    model = hf_tiny.tiny_mixtral(hidden=32, inter=48, layers=2, heads=4,
+                                 kv_heads=2, experts=4, topk=2)
+    params, cfg = import_hf_model(model)
+    params_q, quantizers = quantize_model(
+        params, cfg, arch_for_model("mixtral"), calib, wbits=3,
+        target_bit=3.2, tuning="minmax", true_sequential=True, verbose=False)
+    # every expert linear got its own quantizer entry
+    assert any("mlp.experts.3.down" in k for k in quantizers)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+    ref, _ = forward(packed, cfg, jnp.asarray(calib[:2]))
+
+    path = str(tmp_path / "moe_ckpt")
+    save_checkpoint(path, packed, cfg, quantizers=quantizers, packed=True)
+    params2, cfg2, _ = load_checkpoint(path)
+    assert isinstance(params2["layers"][0]["mlp"]["experts"], list)
+    got, _ = forward(params2, cfg2, jnp.asarray(calib[:2]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 @pytest.mark.parametrize("family", ["mistral", "neox", "gemma"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the

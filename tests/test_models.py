@@ -127,6 +127,65 @@ def test_kv_cache_decode_matches_full_forward(rng, family):
                                    atol=3e-4, rtol=1e-3)
 
 
+def test_gpt2_parity(rng):
+    # Conv1D weights (no transpose), fused c_attn concat qkv, wpe positions
+    # without the OPT +2 offset, tied head
+    model = hf_tiny.tiny_gpt2()
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.family == "gpt2" and cfg.pos_offset == 0
+
+
+def test_gptj_parity(rng):
+    # interleaved (rotate-every-two) partial rotary + single-LN parallel
+    # block + untied biased lm_head
+    model = hf_tiny.tiny_gptj()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_style == "interleaved" and cfg.rotary_dim == 4
+    assert params["lm_head"].b is not None
+
+
+def test_gptj_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_gptj()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    pre, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(pre), full[:, :6], atol=2e-4,
+                               rtol=1e-3)
+    for t in range(6, 10):
+        step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                  cache)
+        np.testing.assert_allclose(np.asarray(step)[0, 0], full[0, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_mixtral_parity_moe(rng):
+    """Sparse-MoE routing (top-2 of 4 experts) matches HF Mixtral."""
+    model = hf_tiny.tiny_mixtral()
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+
+
+def test_mixtral_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_mixtral()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    pre, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(pre), full[:, :6], atol=2e-4,
+                               rtol=1e-3)
+    for t in range(6, 10):
+        step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                  cache)
+        np.testing.assert_allclose(np.asarray(step)[0, 0], full[0, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
 def test_sliding_window_cache_decode_matches_full(rng):
     """Sliding-window attention must be consistent between the uncached
     full forward and the prefill+decode cache path (the window is applied

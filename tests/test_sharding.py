@@ -185,6 +185,69 @@ def test_tp_fused_qkv_families(rng, family):
     np.testing.assert_allclose(got, np.asarray(ref), atol=3e-4, rtol=1e-3)
 
 
+def test_expert_parallel_moe_forward_matches(rng):
+    """Mixtral MoE under expert parallelism: 4 experts sharded 2-way (each
+    device holds 2 whole experts, contributions psum-reduced) combined with
+    head-sharded attention == single-device forward."""
+    model = hf_tiny.tiny_mixtral(hidden=32, inter=48, layers=2, heads=4,
+                                 kv_heads=2, experts=4, topk=2)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(2, 9)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    from owq_tpu.models import ExpertBank
+    assert isinstance(params_tp["layers"][0]["mlp"]["experts"], ExpertBank)
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh, cfg)
+        fwd = make_tp_forward(mesh, cfg, params_tp)
+        got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=3e-4, rtol=1e-3)
+
+
+def test_expert_parallel_quantized_decode(rng):
+    """Quantize a tiny Mixtral, shard experts 2-ways, decode through the
+    TP/EP cache path — packed expert banks ride the same machinery."""
+    from owq_tpu.parallel import make_tp_decode
+
+    model = hf_tiny.tiny_mixtral(hidden=32, inter=48, layers=2, heads=4,
+                                 kv_heads=2, experts=4, topk=2)
+    params, cfg = import_hf_model(model)
+    calib = rng.integers(0, 97, size=(4, 16)).astype(np.int32)
+    params_q, quantizers = quantize_model(
+        params, cfg, arch_for_model("mixtral"), calib, wbits=3, target_rank=2,
+        tuning="minmax", verbose=False)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+
+    ids = rng.integers(0, 97, size=(1, 6)).astype(np.int32)
+    from owq_tpu.models import init_cache
+    from owq_tpu.runtime.generate import decode_step, prefill
+
+    cache = init_cache(cfg, 1, 12, dtype=jnp.float32)
+    ref, cache = prefill(packed, cfg, jnp.asarray(ids[:, :4]), cache)
+    refs = [np.asarray(ref)]
+    for t in range(4, 6):
+        lg, cache = decode_step(packed, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                cache)
+        refs.append(np.asarray(lg))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(packed), cfg, 2)
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh, cfg)
+        step, make_cache = make_tp_decode(mesh, cfg, params_tp,
+                                          dtype=jnp.float32)
+        tcache = make_cache(1, 12, cache_dtype=jnp.float32)
+        lg, tcache = step(params_tp, jnp.asarray(ids[:, :4]), tcache)
+        np.testing.assert_allclose(np.asarray(lg), refs[0], atol=3e-4,
+                                   rtol=1e-3)
+        for i, t in enumerate(range(4, 6)):
+            lg, tcache = step(params_tp, jnp.asarray(ids[:, t:t + 1]), tcache)
+            np.testing.assert_allclose(np.asarray(lg), refs[i + 1],
+                                       atol=4e-4, rtol=1e-3)
+
+
 def test_sequence_parallel_prefill_matches(rng):
     """SP prefill over 4 sequence shards == single-device forward."""
     from jax.sharding import Mesh
