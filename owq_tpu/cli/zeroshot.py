@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--logfile", default="")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--check_integrity", action="store_true",
+                   help="validate task classes (working equivalent of the "
+                        "reference flag, which crashes — utils.py:249-286)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -35,6 +38,16 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from ..eval.harness import list_tasks, make_table, simple_evaluate
+
+    if args.check_integrity:
+        from ..eval.harness.integrity import run_integrity_checks
+
+        bad = run_integrity_checks(
+            args.tasks.split(",") if args.tasks else None)
+        if bad:
+            return 1
+        if not args.model_args:  # integrity-only invocation
+            return 0
 
     if not args.tasks:
         print("Available tasks:\n  " + "\n  ".join(list_tasks()))

@@ -18,11 +18,18 @@ from .registry import register_model
 class OwqLM(JaxLM):
     def __init__(self, pretrained: str = "", load: str = "",
                  tokenizer: str = "", batch_size="8", max_length=None,
-                 dtype: str = "float32", kernel: str = "xla", **kwargs):
+                 dtype: str = "float32", kernel: str = "xla",
+                 peft: str = "", **kwargs):
         from ...cli.common import interpret_dtype, load_model
 
         dt = jnp.float32 if dtype in ("float32", "fp32") else interpret_dtype(dtype)
         params, cfg = load_model(pretrained, dtype=dt, load=load)
+        if peft:
+            # QLoRA-style adapters over the (packed) base, like the
+            # reference's peft= kwarg (huggingface_owq.py:288-295)
+            from ...runtime.lora import apply_lora
+
+            params = apply_lora(params, cfg, peft)
 
         from transformers import AutoTokenizer
 

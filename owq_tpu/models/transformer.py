@@ -193,6 +193,8 @@ def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.nd
 def _lin(p, x, kernel: str) -> jnp.ndarray:
     if isinstance(p, (PackedLinear, ShardedPackedLinear)):
         return p.apply(x, kernel=kernel)
+    if type(p).__name__ == "LoraLinear":  # avoid runtime<->models import cycle
+        return p.apply(x, kernel=kernel)
     return p.apply(x)
 
 
