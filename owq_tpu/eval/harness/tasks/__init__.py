@@ -324,6 +324,10 @@ from . import minimal_pairs  # noqa: E402,F401  (BLiMP + CrowS-Pairs)
 from . import chinese  # noqa: E402,F401  (CMMLU + C-Eval)
 from . import pile  # noqa: E402,F401  (Pile per-subset perplexity)
 from . import gpt3_style  # noqa: E402,F401  (arithmetic/unscramble/mgsm/xwinograd/wmt)
+from . import qa  # noqa: E402,F401  (babi/coqa/drop/squad2/record/mutual/...)
+from . import ethics_math  # noqa: E402,F401  (ETHICS x6, MATH x7, asdiv)
+from . import truthful_misc  # noqa: E402,F401  (truthfulqa/toxigen/cbt/korean)
+from . import scrolls  # noqa: E402,F401  (scrolls_* + qasper)
 
 
 @register_task("wikitext")
