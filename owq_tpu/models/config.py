@@ -15,7 +15,22 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
-__all__ = ["ModelConfig", "ARCH_REGISTRY", "arch_for_model", "config_from_hf"]
+__all__ = ["ModelConfig", "ARCH_REGISTRY", "arch_for_model", "config_from_hf",
+           "freeze_rope_scaling"]
+
+
+def freeze_rope_scaling(d: Optional[Dict[str, Any]]
+                        ) -> Optional[Tuple[Tuple[str, Any], ...]]:
+    """HF rope_scaling dict -> hashable sorted tuple (lists become tuples)."""
+    if not d:
+        return None
+    out = []
+    for k in sorted(d):
+        v = d[k]
+        if isinstance(v, list):
+            v = tuple(float(x) for x in v)
+        out.append((k, v))
+    return tuple(out)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,8 +63,15 @@ class ModelConfig:
     rotary_pct: float = 1.0         # neox partial rotary (fraction of hd)
     rotary_dim: Optional[int] = None  # gptj: absolute rotary dims override
     rope_style: str = "half"        # half (llama/neox) | interleaved (gptj)
+    # RoPE scaling (llama-3.1 / CodeLlama / long-context checkpoints):
+    # HF's config.rope_scaling dict frozen into a hashable tuple of
+    # (key, value) pairs so ModelConfig stays usable as a cache key.
+    # Supported rope_type values: linear, dynamic, yarn, llama3, longrope.
+    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None
     pos_offset: int = 0             # opt learned-position offset (+2)
     embed_scale: Optional[float] = None   # gemma sqrt(hidden) embed scaling
+    alibi_scheme: str = "bloom"     # bloom | mpt slope schedule
+    qkv_clip: Optional[float] = None  # mpt clip_qkv: clamp fused qkv output
     # Mixture-of-experts (mixtral): 0 = dense mlp
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -140,12 +162,31 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
         sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
                     ("mlp.fc1",), ("mlp.fc2",)),
     ),
+    # phi-1/1.5/2: gptj-shaped parallel block with separate q/k/v
+    "phi": ArchSpec(
+        family="phi",
+        map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v",
+                   "dense": "attn.o", "fc1": "mlp.fc1", "fc2": "mlp.fc2"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                    ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+    # mpt: bloom-shaped linear set (fused Wqkv, 2-layer MLP)
+    "mpt": ArchSpec(
+        family="mpt",
+        map_layer={"Wqkv": "attn.qkv", "out_proj": "attn.o",
+                   "up_proj": "mlp.fc1", "down_proj": "mlp.fc2"},
+        ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25,
+                "mlp.fc2": 0.25},
+        sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
+    ),
 }
 
 # llama-shaped families share the llama quantization spec (same linear set,
 # same outlier ratios — the reference's per-family ratios keyed on shape,
 # model_config.json:28).
-for _alias in ("mistral", "qwen2", "gemma", "mixtral"):
+for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm"):
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
 
@@ -171,6 +212,14 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["gemma"]
     if "neox" in name or "pythia" in name:
         return ARCH_REGISTRY["neox"]
+    if "phi-3" in name or "phi3" in name:
+        return ARCH_REGISTRY["phi3"]
+    if "phi" in name:
+        return ARCH_REGISTRY["phi"]
+    if "stablelm" in name:
+        return ARCH_REGISTRY["stablelm"]
+    if "mpt" in name:
+        return ARCH_REGISTRY["mpt"]
     if "gpt-j" in name or "gptj" in name:
         return ARCH_REGISTRY["gptj"]
     if "gpt2" in name or "gpt-2" in name:
@@ -217,6 +266,8 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             max_position_embeddings=hf_config.max_position_embeddings,
             norm_eps=hf_config.rms_norm_eps,
             rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
             tie_word_embeddings=hf_config.tie_word_embeddings,
             activation=hf_config.hidden_act,
             pos_embedding="rope",
@@ -261,6 +312,8 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             max_position_embeddings=hf_config.max_position_embeddings,
             norm_eps=hf_config.rms_norm_eps,
             rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
             tie_word_embeddings=hf_config.tie_word_embeddings,
             activation=hf_config.hidden_act,
             pos_embedding="rope",
@@ -282,6 +335,8 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             max_position_embeddings=hf_config.max_position_embeddings,
             norm_eps=hf_config.rms_norm_eps,
             rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
             tie_word_embeddings=hf_config.tie_word_embeddings,
             activation=hf_config.hidden_act,
             pos_embedding="rope",
@@ -304,6 +359,8 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             max_position_embeddings=hf_config.max_position_embeddings,
             norm_eps=hf_config.rms_norm_eps,
             rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
             tie_word_embeddings=True,
             activation=(getattr(hf_config, "hidden_activation", None)
                         or hf_config.hidden_act),
@@ -369,6 +426,8 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             max_position_embeddings=hf_config.max_position_embeddings,
             norm_eps=hf_config.layer_norm_eps,
             rope_theta=getattr(hf_config, "rotary_emb_base", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
             tie_word_embeddings=hf_config.tie_word_embeddings,
             activation=hf_config.hidden_act,
             pos_embedding="rope",
@@ -380,6 +439,121 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             mlp_bias=True,
             gated_mlp=False,
             rotary_pct=getattr(hf_config, "rotary_pct", 1.0),
+        )
+    if mt == "phi":
+        # phi-1/1.5/2: falcon-style parallel block (mlp reads the attn LN
+        # output), separate biased q/k/v, partial rotary, biased lm_head
+        if getattr(hf_config, "qk_layernorm", False):
+            raise NotImplementedError("phi qk_layernorm is not supported")
+        return ModelConfig(
+            family="phi",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
+            or hf_config.num_attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.layer_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.5),
+            norm_type="layernorm",
+            parallel_block=True,
+            attn_bias=True,
+            mlp_bias=True,
+            gated_mlp=False,
+        )
+    if mt == "phi3":
+        # phi-3/3.5: llama wiring once the fused qkv_proj / gate_up_proj are
+        # split at import time (hf_import handles the split); longrope
+        # scaling reads original_max_position_embeddings from the config
+        sc = getattr(hf_config, "rope_scaling", None)
+        if sc and "original_max_position_embeddings" not in sc:
+            sc = dict(sc)
+            sc["original_max_position_embeddings"] = getattr(
+                hf_config, "original_max_position_embeddings",
+                hf_config.max_position_embeddings)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(sc),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            sliding_window=getattr(hf_config, "sliding_window", None),
+        )
+    if mt == "stablelm":
+        if getattr(hf_config, "use_parallel_residual", False):
+            raise NotImplementedError(
+                "stablelm use_parallel_residual is not supported")
+        if getattr(hf_config, "qk_layernorm", False):
+            raise NotImplementedError(
+                "stablelm qk_layernorm is not supported")
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.layer_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.25),
+            norm_type="layernorm",
+            gated_mlp=True,
+        )
+    if mt == "mpt":
+        ac = hf_config.attn_config
+        if getattr(ac, "softmax_scale", None):
+            raise NotImplementedError("mpt custom softmax_scale")
+        if not getattr(ac, "alibi", True):
+            raise NotImplementedError("mpt without alibi (learned positions)")
+        return ModelConfig(
+            family="mpt",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.d_model,
+            intermediate_size=hf_config.expansion_ratio * hf_config.d_model,
+            num_layers=hf_config.n_layers,
+            num_heads=hf_config.n_heads,
+            num_kv_heads=hf_config.n_heads,
+            max_position_embeddings=hf_config.max_seq_len,
+            norm_eps=getattr(hf_config, "layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=True,
+            activation="gelu",
+            pos_embedding="alibi",
+            alibi_scheme="mpt",
+            qkv_clip=getattr(ac, "clip_qkv", None),
+            norm_type="layernorm",
+            fused_qkv=True,
+            attn_bias=not hf_config.no_bias,
+            mlp_bias=not hf_config.no_bias,
+            gated_mlp=False,
         )
     if mt in ("falcon", "RefinedWeb", "RefinedWebModel"):
         n_kv = hf_config.num_attention_heads

@@ -87,6 +87,31 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]), dtype)
         p["final_norm"] = _ln(sd, base + "norm", dtype)
+        # phi-3 fuses q|k|v into qkv_proj and gate|up into gate_up_proj;
+        # split here so the rest of the llama path (and per-linear
+        # quantization) sees the canonical separate projections
+        def split_fused(sd):
+            import numpy as np
+            out = dict(sd)
+            H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+            for i in range(cfg.num_layers):
+                ap = f"{base}layers.{i}.self_attn."
+                if ap + "qkv_proj.weight" in out:
+                    w = _np(out.pop(ap + "qkv_proj.weight"))
+                    q, k, v = np.split(w, [H * hd, (H + Hkv) * hd], axis=0)
+                    out[ap + "q_proj.weight"], out[ap + "k_proj.weight"], \
+                        out[ap + "v_proj.weight"] = q, k, v
+                mp = f"{base}layers.{i}.mlp."
+                if mp + "gate_up_proj.weight" in out:
+                    w = _np(out.pop(mp + "gate_up_proj.weight"))
+                    g, u = np.split(w, 2, axis=0)
+                    out[mp + "gate_proj.weight"] = g
+                    out[mp + "up_proj.weight"] = u
+            return out
+
+        if any(k.endswith("qkv_proj.weight") or
+               k.endswith("gate_up_proj.weight") for k in sd):
+            sd = split_fused(sd)
         layers = []
         for i in range(cfg.num_layers):
             lp = f"{base}layers.{i}."
@@ -194,6 +219,50 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         p["layers"] = layers
         if "embed_out.weight" in sd:
             p["lm_head"] = _linear(sd, "embed_out", dtype)
+
+    elif fam == "phi":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "final_layernorm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),  # parallel
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.dense", dtype),
+                },
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.fc1", dtype),
+                    "fc2": _linear(sd, lp + "mlp.fc2", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "mpt":
+        base = "transformer."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "wte.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "norm_f", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}blocks.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "norm_1", dtype),
+                "attn": {
+                    "qkv": _linear(sd, lp + "attn.Wqkv", dtype),
+                    "o": _linear(sd, lp + "attn.out_proj", dtype),
+                },
+                "ln2": _ln(sd, lp + "norm_2", dtype),
+                "mlp": {
+                    "fc1": _linear(sd, lp + "ffn.up_proj", dtype),
+                    "fc2": _linear(sd, lp + "ffn.down_proj", dtype),
+                },
+            })
+        p["layers"] = layers
 
     elif fam in ("bloom", "falcon"):
         base = "transformer."

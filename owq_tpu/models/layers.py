@@ -20,14 +20,17 @@ __all__ = [
 ]
 
 
-def layernorm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+def layernorm(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
               eps: float) -> jnp.ndarray:
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
     y = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(dt)
+    y = y * w.astype(jnp.float32)
+    if b is not None:  # mpt: bias-less LayerNorm (no_bias=True)
+        y = y + b.astype(jnp.float32)
+    return y.astype(dt)
 
 
 def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -65,22 +68,30 @@ def activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 # --- rotary ----------------------------------------------------------------
 
 def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
-                 dtype=jnp.float32, style: str = "half"
+                 dtype=jnp.float32, style: str = "half",
+                 inv_freq: Optional[jnp.ndarray] = None,
+                 attn_factor: float = 1.0,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """cos/sin tables for RoPE.
 
     positions: [..., T] int -> cos/sin [..., T, head_dim].
     style 'half' (llama/neox: table = [freqs | freqs]) or 'interleaved'
     (gptj: table = repeat_interleave(freqs, 2)).
+
+    ``inv_freq`` overrides the default theta schedule (RoPE scaling:
+    linear/NTK/yarn/llama3/longrope frequency remaps); ``attn_factor``
+    scales cos/sin (yarn/longrope attention temperature).
     """
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
-                                / head_dim))
+    if inv_freq is None:
+        inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                               dtype=jnp.float32) / head_dim))
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, hd/2]
     if style == "interleaved":
         emb = jnp.repeat(freqs, 2, axis=-1)
     else:
         emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return (jnp.cos(emb).astype(dtype) * attn_factor,
+            jnp.sin(emb).astype(dtype) * attn_factor)
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
@@ -120,8 +131,23 @@ def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
 
 # --- alibi -----------------------------------------------------------------
 
-def alibi_slopes(n_heads: int) -> jnp.ndarray:
-    """Standard ALiBi slope schedule (press et al.; used by BLOOM)."""
+def alibi_slopes(n_heads: int, scheme: str = "bloom",
+                 bias_max: float = 8.0) -> jnp.ndarray:
+    """ALiBi slope schedule (press et al.).
+
+    'bloom': floor-power-of-2 base schedule with sqrt-stepped extension for
+    non-power-of-2 head counts (HF BloomModel.build_alibi_tensor).
+    'mpt': ceil-power-of-2 schedule 2^{-(i+1)*bias_max/n2} with odd/even
+    interleave truncation (HF build_mpt_alibi_tensor); identical to 'bloom'
+    for power-of-2 head counts at bias_max=8.
+    """
+    if scheme == "mpt":
+        n2 = 2 ** math.ceil(math.log2(n_heads))
+        slopes = [2.0 ** -((i + 1) * bias_max / n2) for i in range(n2)]
+        if n2 != n_heads:
+            slopes = (slopes[1::2] + slopes[0::2])[:n_heads]
+        return jnp.asarray(slopes, jnp.float32)
+
     def pow2_slopes(n):
         start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
         return [start * (start ** i) for i in range(n)]
@@ -136,9 +162,14 @@ def alibi_slopes(n_heads: int) -> jnp.ndarray:
     return jnp.asarray(slopes, jnp.float32)
 
 
-def alibi_bias(n_heads: int, kv_positions: jnp.ndarray) -> jnp.ndarray:
-    """[B, heads, 1, S] additive bias: slope_h * key_position."""
-    slopes = alibi_slopes(n_heads)
+def alibi_bias(n_heads: int, kv_positions: jnp.ndarray,
+               scheme: str = "bloom") -> jnp.ndarray:
+    """[B, heads, 1, S] additive bias: slope_h * key_position.
+
+    (MPT anchors distances at the last key instead of 0; the difference is a
+    per-row constant, which softmax cancels, so one form serves both.)
+    """
+    slopes = alibi_slopes(n_heads, scheme)
     return (slopes[None, :, None, None]
             * kv_positions.astype(jnp.float32)[:, None, None, :])
 

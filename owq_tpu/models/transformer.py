@@ -51,6 +51,8 @@ QUANTIZABLE = {
     "neox": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
     "gpt2": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
     "gptj": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "phi": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "mpt": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
 }
 
 
@@ -173,13 +175,115 @@ def _quantize_kv(x: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
-def rope_tables(cfg: ModelConfig, positions: jnp.ndarray, dtype=jnp.float32):
-    """Config-aware cos/sin tables: partial rotary (rotary_pct/rotary_dim)
-    and pairing style (half vs gptj-interleaved) resolved in one place."""
+def rope_inv_freq(cfg: ModelConfig, seq_len: Optional[int] = None):
+    """(inv_freq [rot/2] or None, attention_factor) for cfg.rope_scaling.
+
+    Implements the HF rope_type schemes (modeling_rope_utils.py semantics):
+    linear, dynamic (NTK-by-length), yarn, llama3, longrope.  ``seq_len`` is
+    the *static* planned sequence length — the allocated cache window or the
+    prompt length — used by the length-dependent types (dynamic/longrope);
+    defaults to cfg.max_position_embeddings, matching HF's init-time value.
+    Returns (None, 1.0) when no scaling is configured (default schedule).
+    """
+    import math
+
+    if cfg.rope_scaling is None:
+        return None, 1.0
+    sc = dict(cfg.rope_scaling)
+    kind = sc.get("rope_type") or sc.get("type") or "default"
     rot = cfg.rotary_dim or int(cfg.head_dim * cfg.rotary_pct)
     rot -= rot % 2
+    base = cfg.rope_theta
+    if seq_len is None:
+        seq_len = cfg.max_position_embeddings
+    exps = jnp.arange(0, rot, 2, dtype=jnp.float32) / rot
+    inv_freq = 1.0 / (base ** exps)
+
+    if kind in ("default", "none"):
+        return None, 1.0
+    if kind == "linear":
+        return inv_freq / sc["factor"], 1.0
+    if kind == "dynamic":
+        # NTK-by-parts: grow theta with the planned length beyond the
+        # pretraining window (identity at or below it)
+        factor = sc["factor"]
+        mpe = sc.get("original_max_position_embeddings",
+                     cfg.max_position_embeddings)
+        s = max(seq_len, mpe)
+        base_d = base * ((factor * s / mpe) - (factor - 1)) ** (rot / (rot - 2))
+        return 1.0 / (base_d ** exps), 1.0
+    if kind == "llama3":
+        factor = sc["factor"]
+        lo_f, hi_f = sc["low_freq_factor"], sc["high_freq_factor"]
+        old_ctx = sc["original_max_position_embeddings"]
+        wavelen = 2 * math.pi / inv_freq
+        scaled = jnp.where(wavelen > old_ctx / lo_f, inv_freq / factor,
+                           inv_freq)
+        smooth = (old_ctx / wavelen - lo_f) / (hi_f - lo_f)
+        mid = (1 - smooth) * scaled / factor + smooth * scaled
+        medium = (wavelen >= old_ctx / hi_f) & (wavelen <= old_ctx / lo_f)
+        return jnp.where(medium, mid, scaled), 1.0
+    if kind == "yarn":
+        factor = sc["factor"]
+        attn = sc.get("attention_factor")
+        mscale, mscale_all = sc.get("mscale"), sc.get("mscale_all_dim")
+
+        def get_mscale(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+        if attn is None:
+            if mscale and mscale_all:
+                attn = get_mscale(factor, mscale) / get_mscale(factor,
+                                                               mscale_all)
+            else:
+                attn = get_mscale(factor)
+        beta_fast = sc.get("beta_fast") or 32
+        beta_slow = sc.get("beta_slow") or 1
+        old_ctx = sc.get("original_max_position_embeddings",
+                         cfg.max_position_embeddings)
+
+        def corr_dim(n_rot):
+            return (rot * math.log(old_ctx / (n_rot * 2 * math.pi))
+                    / (2 * math.log(base)))
+
+        low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+        if sc.get("truncate", True):
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, rot - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip((jnp.arange(rot // 2, dtype=jnp.float32) - low)
+                        / (high - low), 0, 1)
+        extrap_w = 1.0 - ramp
+        return (inv_freq / factor * (1 - extrap_w)
+                + inv_freq * extrap_w), float(attn)
+    if kind == "longrope":
+        # phi-3 style per-dim rescale factors; short vs long chosen by the
+        # planned window vs the pretraining window
+        orig = sc.get("original_max_position_embeddings",
+                      cfg.max_position_embeddings)
+        ext = jnp.asarray(sc["long_factor"] if seq_len > orig
+                          else sc["short_factor"], jnp.float32)
+        attn = sc.get("attention_factor")
+        if attn is None:
+            factor = sc.get("factor") or cfg.max_position_embeddings / orig
+            attn = (1.0 if factor <= 1.0
+                    else math.sqrt(1 + math.log(factor) / math.log(orig)))
+        return inv_freq / ext, float(attn)
+    raise NotImplementedError(f"rope_scaling type {kind!r}")
+
+
+def rope_tables(cfg: ModelConfig, positions: jnp.ndarray, dtype=jnp.float32,
+                seq_len: Optional[int] = None):
+    """Config-aware cos/sin tables: partial rotary (rotary_pct/rotary_dim),
+    pairing style (half vs gptj-interleaved), and RoPE scaling resolved in
+    one place."""
+    rot = cfg.rotary_dim or int(cfg.head_dim * cfg.rotary_pct)
+    rot -= rot % 2
+    inv_freq, attn_factor = rope_inv_freq(cfg, seq_len)
     return rope_cos_sin(positions, rot, cfg.rope_theta, dtype=dtype,
-                        style=cfg.rope_style)
+                        style=cfg.rope_style, inv_freq=inv_freq,
+                        attn_factor=attn_factor)
 
 
 def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
@@ -187,7 +291,7 @@ def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.nd
         return rmsnorm(x, p["w"], cfg.norm_eps)
     if cfg.norm_type == "rmsnorm1p":
         return rmsnorm1p(x, p["w"], cfg.norm_eps)
-    return layernorm(x, p["w"], p["b"], cfg.norm_eps)
+    return layernorm(x, p["w"], p.get("b"), cfg.norm_eps)
 
 
 def _lin(p, x, kernel: str) -> jnp.ndarray:
@@ -203,8 +307,8 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
     """Family-specific fused-QKV layouts -> q [B,T,H,hd], k/v [B,T,Hkv,hd]."""
     B, T = fused.shape[:2]
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if cfg.family in ("llama", "opt", "gpt2"):
-        # gpt2 c_attn and runtime-fused projections
+    if cfg.family in ("llama", "opt", "gpt2", "mpt"):
+        # gpt2 c_attn, mpt Wqkv, and runtime-fused projections
         # (fuse_block_projections): plain [q | k | v] concat
         q = fused[..., : H * hd].reshape(B, T, H, hd)
         k = fused[..., H * hd: (H + Hkv) * hd].reshape(B, T, Hkv, hd)
@@ -262,7 +366,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if cfg.fused_qkv:
         if "attn.qkv" in taps:
             tapped["attn.qkv"] = x_ln
-        q, k, v = _split_qkv(cfg, _lin(attn_p["qkv"], x_ln, kernel))
+        qkv = _lin(attn_p["qkv"], x_ln, kernel)
+        if cfg.qkv_clip is not None:  # mpt clip_qkv
+            qkv = jnp.clip(qkv, -cfg.qkv_clip, cfg.qkv_clip)
+        q, k, v = _split_qkv(cfg, qkv)
     else:
         for name in ("attn.q", "attn.k", "attn.v"):
             if name in taps:
@@ -483,16 +590,22 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     rope = None
     alibi = None
     if cfg.pos_embedding == "rope":
-        rope = rope_tables(cfg, positions)
+        # length-dependent scaling types (dynamic NTK / longrope) plan for
+        # the allocated window: the prompt length uncached, the cache
+        # capacity when serving (static under jit, unlike HF's running max)
+        rope = rope_tables(cfg, positions,
+                           seq_len=T if cache is None else cache.max_len)
     elif cfg.pos_embedding == "alibi":
         # bias depends on key positions; invalid slots are masked anyway
         if tp_axis is None or cfg.tp_size == 1:
-            alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid)
+            alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid,
+                               cfg.alibi_scheme)
         else:
             # shard-local slice of the global slope schedule
             from .layers import alibi_slopes
 
-            slopes = alibi_slopes(cfg.num_heads * cfg.tp_size)
+            slopes = alibi_slopes(cfg.num_heads * cfg.tp_size,
+                                  cfg.alibi_scheme)
             off = jax.lax.axis_index(tp_axis) * cfg.num_heads
             local = jax.lax.dynamic_slice(slopes, (off,), (cfg.num_heads,))
             kvp = (kv_pos * kv_valid).astype(jnp.float32)

@@ -101,8 +101,8 @@ def _split_fused_qkv(blk: Dict[str, Any], cfg: ModelConfig) -> None:
     lin = attn.pop("qkv")
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     idx = np.arange(lin.out_features)
-    if cfg.family in ("llama", "opt", "gpt2"):
-        # plain [q | k | v] concat (gpt2 c_attn / runtime-fused qkv)
+    if cfg.family in ("llama", "opt", "gpt2", "mpt"):
+        # plain [q | k | v] concat (gpt2 c_attn / mpt Wqkv / runtime-fused)
         qc = idx[: H * hd]
         kc = idx[H * hd: (H + Hkv) * hd]
         vc = idx[(H + Hkv) * hd:]

@@ -58,7 +58,7 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
 
         rope = rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
-        alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid)
+        alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid, cfg.alibi_scheme)
 
     new_k, new_v = [], []
     for i, blk in enumerate(blocks):

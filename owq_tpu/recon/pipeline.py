@@ -150,7 +150,7 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
 
         rope = rope_tables(cfg, positions[:1])
     elif cfg.pos_embedding == "alibi":
-        alibi = alibi_bias(cfg.num_heads, positions[:1])
+        alibi = alibi_bias(cfg.num_heads, positions[:1], cfg.alibi_scheme)
     return x, dict(mask=mask, rope=rope, alibi=alibi)
 
 

@@ -76,7 +76,7 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
 
         rope = rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
-        alibi = alibi_bias(cfg.num_heads, positions)
+        alibi = alibi_bias(cfg.num_heads, positions, cfg.alibi_scheme)
     ks, vs = [], []
     for blk in params["layers"]:
         x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=mask, rope=rope,

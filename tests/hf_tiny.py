@@ -22,7 +22,7 @@ def tiny_opt(vocab=97, hidden=32, ffn=64, layers=2, heads=4, max_pos=64,
 
 
 def tiny_llama(vocab=97, hidden=32, inter=56, layers=2, heads=4, kv_heads=2,
-               max_pos=64, seed=0):
+               max_pos=64, rope_scaling=None, seed=0):
     from transformers import LlamaConfig, LlamaForCausalLM
 
     torch.manual_seed(seed)
@@ -31,6 +31,7 @@ def tiny_llama(vocab=97, hidden=32, inter=56, layers=2, heads=4, kv_heads=2,
         num_hidden_layers=layers, num_attention_heads=heads,
         num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
         rms_norm_eps=1e-6, tie_word_embeddings=False,
+        rope_scaling=rope_scaling,
         attn_implementation="eager",
     )
     model = LlamaForCausalLM(cfg).eval()
@@ -176,3 +177,70 @@ def hf_logits(model, ids: np.ndarray) -> np.ndarray:
     with torch.no_grad():
         out = model(torch.from_numpy(ids))
     return out.logits.float().numpy()
+
+def tiny_phi(vocab=97, hidden=32, inter=64, layers=2, heads=4, kv_heads=None,
+             rotary_pct=0.5, max_pos=64, seed=0):
+    from transformers import PhiConfig, PhiForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = PhiConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        partial_rotary_factor=rotary_pct, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = PhiForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_phi3(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+              max_pos=64, rope_scaling=None, orig_max_pos=None, seed=0):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(seed)
+    kw = {}
+    if orig_max_pos is not None:
+        kw["original_max_position_embeddings"] = orig_max_pos
+    cfg = Phi3Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rope_scaling=rope_scaling, pad_token_id=0,
+        tie_word_embeddings=False, attn_implementation="eager", **kw,
+    )
+    model = Phi3ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_stablelm(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                  kv_heads=2, rotary_pct=0.25, qkv_bias=False, max_pos=64,
+                  seed=0):
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = StableLmConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        partial_rotary_factor=rotary_pct, use_qkv_bias=qkv_bias,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = StableLmForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_mpt(vocab=97, hidden=32, layers=2, heads=4, expansion=2,
+             max_pos=64, clip_qkv=None, no_bias=True, seed=0):
+    from transformers import MptConfig, MptForCausalLM
+    from transformers.models.mpt.configuration_mpt import MptAttentionConfig
+
+    torch.manual_seed(seed)
+    cfg = MptConfig(
+        vocab_size=vocab, d_model=hidden, n_layers=layers, n_heads=heads,
+        expansion_ratio=expansion, max_seq_len=max_pos, no_bias=no_bias,
+        attn_config=MptAttentionConfig(alibi=True, clip_qkv=clip_qkv),
+        attn_implementation="eager",
+    )
+    model = MptForCausalLM(cfg).eval()
+    return model

@@ -245,7 +245,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("family", ["mistral", "neox", "gemma"])
+@pytest.mark.parametrize("family", ["mistral", "neox", "gemma", "phi",
+                                    "phi3", "stablelm", "mpt"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -257,6 +258,14 @@ def test_quantize_new_families(calib, family):
                                           heads=4, rotary_pct=0.25),
         "gemma": lambda: hf_tiny.tiny_gemma(hidden=32, inter=56, layers=2,
                                             heads=4, kv_heads=2, head_dim=16),
+        "phi": lambda: hf_tiny.tiny_phi(hidden=32, inter=64, layers=2,
+                                        heads=4),
+        "phi3": lambda: hf_tiny.tiny_phi3(hidden=32, inter=48, layers=2,
+                                          heads=4, kv_heads=2),
+        "stablelm": lambda: hf_tiny.tiny_stablelm(hidden=32, inter=48,
+                                                  layers=2, heads=4,
+                                                  kv_heads=2),
+        "mpt": lambda: hf_tiny.tiny_mpt(hidden=32, layers=2, heads=4),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

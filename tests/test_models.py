@@ -127,6 +127,136 @@ def test_kv_cache_decode_matches_full_forward(rng, family):
                                    atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("scaling", [
+    {"rope_type": "linear", "factor": 4.0},
+    {"rope_type": "llama3", "factor": 4.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 16},
+    {"rope_type": "yarn", "factor": 4.0,
+     "original_max_position_embeddings": 16},
+], ids=["linear", "llama3", "yarn"])
+def test_rope_scaling_parity(rng, scaling):
+    # llama-3.1 / CodeLlama / yarn long-context checkpoints: the scaled
+    # frequency schedules must match HF's modeling_rope_utils semantics
+    model = hf_tiny.tiny_llama(max_pos=64, rope_scaling=scaling)
+    ids = rng.integers(0, 97, size=(2, 24))
+    _parity(model, ids)
+
+
+def test_rope_scaling_dynamic_ntk_parity(rng):
+    # dynamic NTK recomputes theta once positions exceed the pretraining
+    # window; drive both implementations past it (T=32 > max_pos=16)
+    model = hf_tiny.tiny_llama(max_pos=16,
+                               rope_scaling={"rope_type": "dynamic",
+                                             "factor": 4.0})
+    ids = rng.integers(0, 97, size=(1, 32))
+    _parity(model, ids)
+
+
+def test_rope_scaling_dynamic_ntk_identity_below_window(rng):
+    # at or below the pretraining window, dynamic NTK must be a no-op
+    model = hf_tiny.tiny_llama(max_pos=64,
+                               rope_scaling={"rope_type": "dynamic",
+                                             "factor": 4.0})
+    ids = rng.integers(0, 97, size=(1, 12))
+    ref = hf_tiny.hf_logits(hf_tiny.tiny_llama(max_pos=64), ids)
+    params, cfg = import_hf_model(model)
+    got = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_phi_parity(rng):
+    # phi-2 style: parallel block (mlp reads the attn LN output), separate
+    # biased q/k/v, partial rotary (0.5), biased lm_head
+    model = hf_tiny.tiny_phi()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_phi_parity_gqa(rng):
+    model = hf_tiny.tiny_phi(kv_heads=2)
+    ids = rng.integers(0, 97, size=(1, 9))
+    _parity(model, ids)
+
+
+def test_phi3_parity(rng):
+    # phi-3: llama wiring with fused qkv_proj / gate_up_proj split at import
+    model = hf_tiny.tiny_phi3()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_phi3_longrope_parity(rng):
+    # longrope per-dim factors; T beyond the pretraining window so HF picks
+    # the long factors (rot/2 = 4 factors at head_dim 8)
+    scaling = {"type": "longrope",
+               "short_factor": [1.0, 1.1, 1.2, 1.3],
+               "long_factor": [2.0, 4.0, 8.0, 16.0]}
+    model = hf_tiny.tiny_phi3(max_pos=64, orig_max_pos=16,
+                              rope_scaling=scaling)
+    ids = rng.integers(0, 97, size=(1, 32))
+    _parity(model, ids)
+
+
+def test_stablelm_parity(rng):
+    # stablelm: llama wiring + biased layernorm + partial rotary (0.25)
+    model = hf_tiny.tiny_stablelm()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_stablelm_parity_qkv_bias(rng):
+    model = hf_tiny.tiny_stablelm(qkv_bias=True)
+    ids = rng.integers(0, 97, size=(1, 9))
+    _parity(model, ids)
+
+
+def test_mpt_parity(rng):
+    # mpt: alibi (mpt slope schedule), fused Wqkv, bias-less layernorm
+    model = hf_tiny.tiny_mpt()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_mpt_parity_nonpow2_heads_clip_qkv(rng):
+    # 6 heads exercises the ceil-pow2 odd/even slope interleave; clip_qkv
+    # exercises the fused-projection clamp
+    model = hf_tiny.tiny_mpt(hidden=48, heads=6, clip_qkv=0.4, no_bias=False)
+    ids = rng.integers(0, 97, size=(1, 12))
+    _parity(model, ids)
+
+
+def test_mpt_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_mpt()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 8)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :5]), cache)
+    step = np.asarray(logits)[:, -1]
+    np.testing.assert_allclose(step, full[:, 4], atol=1e-4, rtol=1e-3)
+    for t in range(5, 8):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_phi_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_phi()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 8)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :5]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 4],
+                               atol=1e-4, rtol=1e-3)
+    for t in range(5, 8):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_gpt2_parity(rng):
     # Conv1D weights (no transpose), fused c_attn concat qkv, wpe positions
     # without the OPT +2 offset, tied head

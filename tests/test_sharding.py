@@ -155,12 +155,13 @@ def test_tp_cached_decode_matches(rng):
 
 
 @pytest.mark.parametrize("family", ["bloom", "falcon", "neox", "mistral",
-                                    "gemma"])
+                                    "gemma", "phi", "mpt"])
 def test_tp_fused_qkv_families(rng, family):
     """Structure-diverse families under tensor parallelism: BLOOM (alibi +
     fused interleaved qkv), Falcon (MQA + parallel block), NeoX (dual-norm
     parallel block + partial rotary + fused qkv), Mistral (sliding window),
-    Gemma (rmsnorm1p + embed scale + tied head)."""
+    Gemma (rmsnorm1p + embed scale + tied head), Phi (parallel block +
+    partial rotary + biased head), MPT (mpt-schedule alibi + fused Wqkv)."""
     makers = {
         "bloom": lambda: hf_tiny.tiny_bloom(hidden=32, layers=2, heads=4),
         "falcon": lambda: hf_tiny.tiny_falcon(hidden=32, layers=2, heads=4),
@@ -170,6 +171,8 @@ def test_tp_fused_qkv_families(rng, family):
                                                 kv_heads=2, sliding_window=4),
         "gemma": lambda: hf_tiny.tiny_gemma(hidden=32, layers=2, heads=4,
                                             kv_heads=2, head_dim=16),
+        "phi": lambda: hf_tiny.tiny_phi(hidden=32, layers=2, heads=4),
+        "mpt": lambda: hf_tiny.tiny_mpt(hidden=32, layers=2, heads=4),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)
