@@ -23,6 +23,11 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--kernel", default="xla", choices=["xla", "pallas"])
     p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding for greedy "
+                        "(temperature=0) requests — identical tokens, "
+                        "fewer weight-streaming passes")
+    p.add_argument("--draft-len", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -43,12 +48,16 @@ def main(argv=None) -> int:
     workers = []
     params, cfg = load_model(args.model, dtype=jnp.bfloat16, load=args.load)
     workers.append(ModelWorker(params, cfg, tok, kernel=args.kernel,
-                               max_len=args.max_len, name="a"))
+                               max_len=args.max_len, name="a",
+                               speculative=args.speculative,
+                               draft_len=args.draft_len))
     if args.model_b or args.load_b:
         params_b, cfg_b = load_model(args.model_b, dtype=jnp.bfloat16,
                                      load=args.load_b)
         workers.append(ModelWorker(params_b, cfg_b, tok, kernel=args.kernel,
-                                   max_len=args.max_len, name="b"))
+                                   max_len=args.max_len, name="b",
+                                   speculative=args.speculative,
+                                   draft_len=args.draft_len))
     serve(workers, host=args.host, port=args.port)
     return 0
 

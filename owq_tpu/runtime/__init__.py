@@ -14,6 +14,8 @@ _LAZY = {
     "generate": "generate", "prefill": "generate",
     "load_checkpoint": "checkpoint", "pack_model": "checkpoint",
     "save_checkpoint": "checkpoint",
+    "generate_speculative": "speculative", "propose_ngram": "speculative",
+    "stream_speculative": "speculative",
 }
 
 

@@ -46,7 +46,8 @@ class ModelWorker:
     """Serializes generation on one model; streams tokens via callback."""
 
     def __init__(self, params, cfg, tokenizer, *, kernel: str = "xla",
-                 max_len: int = 2048, name: str = "model"):
+                 max_len: int = 2048, name: str = "model",
+                 speculative: bool = False, draft_len: int = 8):
         from ..models.config import ModelConfig  # noqa: F401
 
         self.params = params
@@ -55,9 +56,15 @@ class ModelWorker:
         self.kernel = kernel
         self.max_len = max_len
         self.name = name
+        # prompt-lookup speculation for greedy (temperature=0) requests:
+        # exact same tokens, fewer weight-streaming passes
+        self.speculative = speculative
+        self.draft_len = draft_len
         self.lock = threading.Lock()
         self.stats: Dict[str, float] = {"requests": 0, "generated_tokens": 0,
-                                        "total_time_s": 0.0}
+                                        "total_time_s": 0.0,
+                                        "spec_forwards": 0,
+                                        "spec_accepted": 0}
 
     def param_bytes(self) -> int:
         import jax
@@ -77,6 +84,11 @@ class ModelWorker:
         ids = self.tok.encode(prompt, add_special_tokens=False)
         ids = ids[-(self.max_len - max_new_tokens):]
         eos = getattr(self.tok, "eos_token_id", None)
+
+        if self.speculative and temperature == 0.0:
+            yield from self._generate_stream_speculative(
+                ids, max_new_tokens, eos)
+            return
 
         with self.lock:
             t0 = time.time()
@@ -105,6 +117,33 @@ class ModelWorker:
             self.stats["requests"] += 1
             self.stats["generated_tokens"] += len(out_tokens)
             self.stats["total_time_s"] += time.time() - t0
+
+    def _generate_stream_speculative(self, ids, max_new_tokens, eos):
+        from ..runtime.speculative import stream_speculative
+
+        import numpy as np
+
+        with self.lock:
+            t0 = time.time()
+            spec_stats: Dict[str, int] = {}
+            out_tokens = []
+            sent = 0
+            for chunk in stream_speculative(
+                    self.params, self.cfg,
+                    np.asarray([ids], np.int32), max_new_tokens,
+                    draft_len=self.draft_len, kernel=self.kernel,
+                    eos_id=eos, stats=spec_stats):
+                out_tokens.extend(
+                    t for t in chunk if eos is None or t != eos)
+                text = self.tok.decode(out_tokens)
+                if len(text) > sent and not text.endswith("�"):
+                    yield text[sent:]
+                    sent = len(text)
+            self.stats["requests"] += 1
+            self.stats["generated_tokens"] += len(out_tokens)
+            self.stats["total_time_s"] += time.time() - t0
+            self.stats["spec_forwards"] += spec_stats.get("forwards", 0)
+            self.stats["spec_accepted"] += spec_stats.get("accepted", 0)
 
 
 _PAGE = """<!doctype html><html><head><title>owq-tpu demo</title><style>

@@ -52,6 +52,20 @@ def test_stats(server):
     assert stats["models"][0]["generated_tokens"] >= 8
 
 
+def test_generate_stream_speculative():
+    # speculative worker must stream the same greedy text as a plain worker
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2, max_pos=256)
+    params, cfg = import_hf_model(model)
+    plain = ModelWorker(params, cfg, CharTok(), name="p", max_len=256)
+    spec = ModelWorker(params, cfg, CharTok(), name="s", max_len=256,
+                       speculative=True, draft_len=4)
+    prompt = "abcabcabcabc"
+    ref = "".join(plain.generate_stream(prompt, max_new_tokens=12))
+    got = "".join(spec.generate_stream(prompt, max_new_tokens=12))
+    assert got == ref
+    assert spec.stats["spec_forwards"] > 0
+
+
 def test_llama2_prompt_format():
     p = build_prompt_llama2([("hi", "hello!"), ("how are you", None)],
                             system="sys msg")
