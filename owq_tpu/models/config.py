@@ -71,7 +71,8 @@ class ModelConfig:
     pos_offset: int = 0             # opt learned-position offset (+2)
     embed_scale: Optional[float] = None   # gemma sqrt(hidden) embed scaling
     alibi_scheme: str = "bloom"     # bloom | mpt slope schedule
-    qkv_clip: Optional[float] = None  # mpt clip_qkv: clamp fused qkv output
+    qkv_clip: Optional[float] = None  # mpt/olmo clip_qkv: clamp q/k/v outputs
+    conv1d_weights: bool = False    # gpt2 Conv1D [in,out] vs Linear [out,in]
     # Mixture-of-experts (mixtral): 0 = dense mlp
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -172,6 +173,16 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
         sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
                     ("mlp.fc1",), ("mlp.fc2",)),
     ),
+    # starcoder2: llama-shaped attention, plain 2-layer MLP (c_fc/c_proj)
+    "starcoder2": ArchSpec(
+        family="starcoder2",
+        map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v",
+                   "o": "attn.o", "c_fc": "mlp.fc1", "c_proj": "mlp.fc2"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                    ("mlp.fc1",), ("mlp.fc2",)),
+    ),
     # mpt: bloom-shaped linear set (fused Wqkv, 2-layer MLP)
     "mpt": ArchSpec(
         family="mpt",
@@ -186,7 +197,8 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
 # llama-shaped families share the llama quantization spec (same linear set,
 # same outlier ratios — the reference's per-family ratios keyed on shape,
 # model_config.json:28).
-for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm"):
+for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm",
+               "olmo"):
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
 
@@ -220,6 +232,12 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["stablelm"]
     if "mpt" in name:
         return ARCH_REGISTRY["mpt"]
+    if "starcoder2" in name:
+        return ARCH_REGISTRY["starcoder2"]
+    if "starcoder" in name or "santacoder" in name or "bigcode" in name:
+        return ARCH_REGISTRY["gpt2"]
+    if "olmo" in name:
+        return ARCH_REGISTRY["olmo"]
     if "gpt-j" in name or "gptj" in name:
         return ARCH_REGISTRY["gptj"]
     if "gpt2" in name or "gpt-2" in name:
@@ -390,6 +408,77 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             attn_bias=True,
             mlp_bias=True,
             gated_mlp=False,
+            conv1d_weights=True,
+        )
+    if mt == "gpt_bigcode":
+        # starcoder-1/santacoder: gpt2 wiring with MQA and nn.Linear
+        # (transposed) weights instead of Conv1D
+        return ModelConfig(
+            family="gpt2",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.n_embd,
+            intermediate_size=hf_config.n_inner or 4 * hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            num_kv_heads=1 if hf_config.multi_query else hf_config.n_head,
+            max_position_embeddings=hf_config.n_positions,
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=True,
+            activation=hf_config.activation_function,
+            pos_embedding="learned",
+            pos_offset=0,
+            norm_type="layernorm",
+            fused_qkv=True,
+            attn_bias=True,
+            mlp_bias=True,
+            gated_mlp=False,
+            conv1d_weights=False,
+        )
+    if mt == "starcoder2":
+        return ModelConfig(
+            family="starcoder2",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.norm_epsilon,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="layernorm",
+            attn_bias=hf_config.use_bias,
+            mlp_bias=hf_config.use_bias,
+            gated_mlp=False,
+            sliding_window=getattr(hf_config, "sliding_window", None),
+        )
+    if mt == "olmo":
+        return ModelConfig(
+            family="olmo",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=1e-5,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="layernorm_np",  # non-parametric LN (no scale/bias)
+            qkv_clip=getattr(hf_config, "clip_qkv", None),
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            gated_mlp=True,
         )
     if mt == "gptj":
         return ModelConfig(

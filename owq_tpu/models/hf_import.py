@@ -152,11 +152,27 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         p["embed_positions"] = jnp.asarray(_np(sd[base + "wpe.weight"]), dtype)
         p["final_norm"] = _ln(sd, base + "ln_f", dtype)
 
-        def conv1d(prefix):  # HF Conv1D stores weight [in, out] already
+        def conv1d(prefix):
+            # HF Conv1D stores weight [in, out] already; gpt_bigcode
+            # (starcoder/santacoder) uses nn.Linear [out, in] instead
+            if not cfg.conv1d_weights:
+                return _linear(sd, prefix, dtype)
             w = jnp.asarray(_np(sd[prefix + ".weight"]), dtype)
             b = sd.get(prefix + ".bias")
             return DenseLinear(w=w, b=None if b is None else
                                jnp.asarray(_np(b), dtype))
+
+        def fix_qkv(lin):
+            # gpt_bigcode MHA interleaves c_attn as [H, 3, hd]; permute to
+            # the plain [q | k | v] concat the runtime (and TP splitting)
+            # uses.  gpt2 proper and gpt_bigcode MQA are already plain.
+            if cfg.conv1d_weights or cfg.num_kv_heads != cfg.num_heads:
+                return lin
+            H, hd = cfg.num_heads, cfg.head_dim
+            perm = np.arange(3 * H * hd).reshape(H, 3, hd)
+            perm = np.concatenate([perm[:, 0], perm[:, 1], perm[:, 2]]).ravel()
+            return DenseLinear(w=lin.w[:, perm],
+                               b=None if lin.b is None else lin.b[perm])
 
         layers = []
         for i in range(cfg.num_layers):
@@ -164,7 +180,7 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append({
                 "ln1": _ln(sd, lp + "ln_1", dtype),
                 "attn": {
-                    "qkv": conv1d(lp + "attn.c_attn"),
+                    "qkv": fix_qkv(conv1d(lp + "attn.c_attn")),
                     "o": conv1d(lp + "attn.c_proj"),
                 },
                 "ln2": _ln(sd, lp + "ln_2", dtype),
@@ -219,6 +235,55 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         p["layers"] = layers
         if "embed_out.weight" in sd:
             p["lm_head"] = _linear(sd, "embed_out", dtype)
+
+    elif fam == "starcoder2":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                },
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.c_fc", dtype),
+                    "fc2": _linear(sd, lp + "mlp.c_proj", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "olmo":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = {}  # non-parametric LN: applied, no params
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            layers.append({
+                "ln1": {},
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                },
+                "ln2": {},
+                "mlp": {
+                    "gate": _linear(sd, lp + "mlp.gate_proj", dtype),
+                    "up": _linear(sd, lp + "mlp.up_proj", dtype),
+                    "down": _linear(sd, lp + "mlp.down_proj", dtype),
+                },
+            })
+        p["layers"] = layers
 
     elif fam == "phi":
         base = "model."

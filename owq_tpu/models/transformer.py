@@ -53,6 +53,10 @@ QUANTIZABLE = {
     "gptj": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1", "mlp.fc2"),
     "phi": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1", "mlp.fc2"),
     "mpt": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "starcoder2": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1",
+                   "mlp.fc2"),
+    "olmo": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.gate", "mlp.up",
+             "mlp.down"),
 }
 
 
@@ -291,6 +295,9 @@ def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.nd
         return rmsnorm(x, p["w"], cfg.norm_eps)
     if cfg.norm_type == "rmsnorm1p":
         return rmsnorm1p(x, p["w"], cfg.norm_eps)
+    if cfg.norm_type == "layernorm_np":  # olmo: no scale/bias params
+        return layernorm(x, jnp.ones((x.shape[-1],), jnp.float32), None,
+                         cfg.norm_eps)
     return layernorm(x, p["w"], p.get("b"), cfg.norm_eps)
 
 
@@ -360,7 +367,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     pre_norm = cfg.do_layer_norm_before
 
     res = x
-    x_ln = _norm(blk["ln1"], cfg, x) if pre_norm else x
+    x_ln = _norm(blk.get("ln1"), cfg, x) if pre_norm else x
     attn_p = blk["attn"]
 
     if cfg.fused_qkv:
@@ -374,9 +381,15 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         for name in ("attn.q", "attn.k", "attn.v"):
             if name in taps:
                 tapped[name] = x_ln
-        q = _lin(attn_p["q"], x_ln, kernel).reshape(B, T, H, hd)
-        k = _lin(attn_p["k"], x_ln, kernel).reshape(B, T, Hkv, hd)
-        v = _lin(attn_p["v"], x_ln, kernel).reshape(B, T, Hkv, hd)
+        q = _lin(attn_p["q"], x_ln, kernel)
+        k = _lin(attn_p["k"], x_ln, kernel)
+        v = _lin(attn_p["v"], x_ln, kernel)
+        if cfg.qkv_clip is not None:  # olmo clip_qkv
+            clip = lambda t: jnp.clip(t, -cfg.qkv_clip, cfg.qkv_clip)
+            q, k, v = clip(q), clip(k), clip(v)
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, Hkv, hd)
+        v = v.reshape(B, T, Hkv, hd)
 
     if rope is not None:
         q, k = apply_rope(q, k, *rope, style=cfg.rope_style)
@@ -424,7 +437,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         # falcon-style: mlp reads the same LN output; one residual add.
         # neox-style (parallel_dual_norm): mlp has its own LN over the
         # block input — x + attn(ln1(x)) + mlp(ln2(x)).
-        mlp_in = _norm(blk["ln2"], cfg, res) if cfg.parallel_dual_norm else x_ln
+        mlp_in = _norm(blk.get("ln2"), cfg, res) if cfg.parallel_dual_norm else x_ln
         if "mlp.fc1" in taps:
             tapped["mlp.fc1"] = mlp_in
         h = activation(_lin(blk["mlp"]["fc1"], mlp_in, kernel), cfg.activation)
@@ -442,9 +455,9 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
 
     x = res + attn_out
     if not pre_norm:
-        x = _norm(blk["ln1"], cfg, x)
+        x = _norm(blk.get("ln1"), cfg, x)
     res = x
-    x_ln2 = _norm(blk["ln2"], cfg, x) if pre_norm else x
+    x_ln2 = _norm(blk.get("ln2"), cfg, x) if pre_norm else x
     mlp = blk["mlp"]
     if cfg.num_experts:
         # Mixtral-style sparse MoE, computed densely: every (local) expert
@@ -487,7 +500,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         y = res + mlp_out
         if not pre_norm:
-            y = _norm(blk["ln2"], cfg, y)
+            y = _norm(blk.get("ln2"), cfg, y)
         return y, (k_full, v_full), tapped
     if cfg.gated_mlp:
         for name in ("mlp.gate", "mlp.up"):
@@ -517,7 +530,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         y = res + mlp_out
     if not pre_norm:
-        y = _norm(blk["ln2"], cfg, y)
+        y = _norm(blk.get("ln2"), cfg, y)
     return y, (k_full, v_full), tapped
 
 
@@ -543,8 +556,10 @@ def embed(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
 def unembed(params: Dict[str, Any], cfg: ModelConfig,
             x: jnp.ndarray) -> jnp.ndarray:
     """Final norm + output projection + LM head -> logits [B, T, vocab]."""
-    if params.get("final_norm") is not None:
-        x = _norm(params["final_norm"], cfg, x)
+    # layernorm_np (olmo) has no norm params at all (an empty dict does not
+    # survive a checkpoint roundtrip) — the final norm still applies
+    if params.get("final_norm") is not None or cfg.norm_type == "layernorm_np":
+        x = _norm(params.get("final_norm"), cfg, x)
     if params.get("project_out") is not None:
         x = params["project_out"].apply(x)
     if params.get("lm_head") is not None:

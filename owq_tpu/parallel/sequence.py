@@ -47,7 +47,7 @@ def _sp_block(blk, cfg: ModelConfig, x, positions, kernel: str):
 
     pre_norm = cfg.do_layer_norm_before
     res = x
-    x_ln = _norm(blk["ln1"], cfg, x) if pre_norm else x
+    x_ln = _norm(blk.get("ln1"), cfg, x) if pre_norm else x
     attn_p = blk["attn"]
     q = _lin(attn_p["q"], x_ln, kernel).reshape(B, T_loc, H, hd)
     k = _lin(attn_p["k"], x_ln, kernel).reshape(B, T_loc, Hkv, hd)
@@ -73,9 +73,9 @@ def _sp_block(blk, cfg: ModelConfig, x, positions, kernel: str):
 
     x = res + attn_out
     if not pre_norm:
-        x = _norm(blk["ln1"], cfg, x)
+        x = _norm(blk.get("ln1"), cfg, x)
     res = x
-    x_ln2 = _norm(blk["ln2"], cfg, x) if pre_norm else x
+    x_ln2 = _norm(blk.get("ln2"), cfg, x) if pre_norm else x
     mlp = blk["mlp"]
     if cfg.gated_mlp:
         h = activation(_lin(mlp["gate"], x_ln2, kernel),
@@ -85,7 +85,7 @@ def _sp_block(blk, cfg: ModelConfig, x, positions, kernel: str):
         h = activation(_lin(mlp["fc1"], x_ln2, kernel), cfg.activation)
         y = res + _lin(mlp["fc2"], h, kernel)
     if not pre_norm:
-        y = _norm(blk["ln2"], cfg, y)
+        y = _norm(blk.get("ln2"), cfg, y)
     return y
 
 

@@ -244,3 +244,48 @@ def tiny_mpt(vocab=97, hidden=32, layers=2, heads=4, expansion=2,
     )
     model = MptForCausalLM(cfg).eval()
     return model
+
+
+def tiny_starcoder2(vocab=97, hidden=32, inter=64, layers=2, heads=4,
+                    kv_heads=2, max_pos=64, sliding_window=None, seed=0):
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Starcoder2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        sliding_window=sliding_window, attn_implementation="eager",
+    )
+    model = Starcoder2ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_gpt_bigcode(vocab=97, hidden=32, layers=2, heads=4, max_pos=64,
+                     multi_query=True, seed=0):
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GPTBigCodeConfig(
+        vocab_size=vocab, n_embd=hidden, n_layer=layers, n_head=heads,
+        n_positions=max_pos, multi_query=multi_query,
+        attn_implementation="eager",
+    )
+    model = GPTBigCodeForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_olmo(vocab=97, hidden=32, inter=64, layers=2, heads=4, kv_heads=2,
+              max_pos=64, clip_qkv=None, seed=0):
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = OlmoConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        clip_qkv=clip_qkv, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = OlmoForCausalLM(cfg).eval()
+    return model

@@ -96,6 +96,27 @@ def test_checkpoint_roundtrip(tmp_path, calib):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_checkpoint_roundtrip_nonparametric_norms(tmp_path, calib):
+    # olmo: norm entries hold no arrays, so they vanish from a saved
+    # checkpoint — the rebuilt model must still apply every norm
+    # (regression: forward raised KeyError 'ln1' after load, and unembed
+    # silently skipped the final norm)
+    model = hf_tiny.tiny_olmo(hidden=32, inter=64, layers=2, heads=4,
+                              kv_heads=2)
+    params, cfg = import_hf_model(model)
+    params_q, quantizers = quantize_model(
+        params, cfg, arch_for_model("olmo"), calib, wbits=3, target_rank=2,
+        tuning="minmax", verbose=False)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+    ids = calib[:1, :8]
+    ref, _ = forward(packed, cfg, jnp.asarray(ids))
+    path = str(tmp_path / "olmo_ckpt")
+    save_checkpoint(path, packed, cfg, quantizers=quantizers, packed=True)
+    params2, cfg2, _ = load_checkpoint(path)
+    got, _ = forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 def test_true_sequential_and_frob(calib, stream):
     model, params_q, cfg, _ = quantized_tiny_opt(
         calib, target_bit=None, target_rank=2, true_sequential=True)
@@ -246,7 +267,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
 
 
 @pytest.mark.parametrize("family", ["mistral", "neox", "gemma", "phi",
-                                    "phi3", "stablelm", "mpt"])
+                                    "phi3", "stablelm", "mpt", "starcoder2",
+                                    "starcoder", "olmo"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -266,6 +288,13 @@ def test_quantize_new_families(calib, family):
                                                   layers=2, heads=4,
                                                   kv_heads=2),
         "mpt": lambda: hf_tiny.tiny_mpt(hidden=32, layers=2, heads=4),
+        "starcoder2": lambda: hf_tiny.tiny_starcoder2(hidden=32, inter=64,
+                                                      layers=2, heads=4,
+                                                      kv_heads=2),
+        "starcoder": lambda: hf_tiny.tiny_gpt_bigcode(hidden=32, layers=2,
+                                                      heads=4),
+        "olmo": lambda: hf_tiny.tiny_olmo(hidden=32, inter=64, layers=2,
+                                          heads=4, kv_heads=2),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

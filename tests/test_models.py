@@ -257,6 +257,45 @@ def test_phi_cache_decode_matches_full(rng):
                                    atol=1e-4, rtol=1e-3)
 
 
+def test_starcoder2_parity(rng):
+    # llama-shaped attention + plain biased MLP + biased layernorm
+    model = hf_tiny.tiny_starcoder2()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_starcoder2_parity_sliding_window(rng):
+    model = hf_tiny.tiny_starcoder2(sliding_window=5)
+    ids = rng.integers(0, 97, size=(1, 12))
+    _parity(model, ids)
+
+
+def test_gpt_bigcode_parity_mqa(rng):
+    # starcoder-1/santacoder: gpt2 wiring, MQA c_attn, nn.Linear weights
+    model = hf_tiny.tiny_gpt_bigcode(multi_query=True)
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_gpt_bigcode_parity_mha(rng):
+    model = hf_tiny.tiny_gpt_bigcode(multi_query=False)
+    ids = rng.integers(0, 97, size=(1, 9))
+    _parity(model, ids)
+
+
+def test_olmo_parity(rng):
+    # non-parametric layernorm (no scale/bias anywhere)
+    model = hf_tiny.tiny_olmo()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_olmo_parity_clip_qkv(rng):
+    model = hf_tiny.tiny_olmo(clip_qkv=0.2)
+    ids = rng.integers(0, 97, size=(1, 11))
+    _parity(model, ids)
+
+
 def test_gpt2_parity(rng):
     # Conv1D weights (no transpose), fused c_attn concat qkv, wpe positions
     # without the OPT +2 offset, tied head

@@ -155,7 +155,8 @@ def test_tp_cached_decode_matches(rng):
 
 
 @pytest.mark.parametrize("family", ["bloom", "falcon", "neox", "mistral",
-                                    "gemma", "phi", "mpt"])
+                                    "gemma", "phi", "mpt", "bigcode",
+                                    "olmo"])
 def test_tp_fused_qkv_families(rng, family):
     """Structure-diverse families under tensor parallelism: BLOOM (alibi +
     fused interleaved qkv), Falcon (MQA + parallel block), NeoX (dual-norm
@@ -173,6 +174,10 @@ def test_tp_fused_qkv_families(rng, family):
                                             kv_heads=2, head_dim=16),
         "phi": lambda: hf_tiny.tiny_phi(hidden=32, layers=2, heads=4),
         "mpt": lambda: hf_tiny.tiny_mpt(hidden=32, layers=2, heads=4),
+        "bigcode": lambda: hf_tiny.tiny_gpt_bigcode(hidden=32, layers=2,
+                                                    heads=4, multi_query=True),
+        "olmo": lambda: hf_tiny.tiny_olmo(hidden=32, inter=64, layers=2,
+                                          heads=4, kv_heads=2),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)
