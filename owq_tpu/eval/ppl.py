@@ -93,8 +93,8 @@ def _eval_ppl_layerwise(params, cfg, windows: np.ndarray, seqlen: int, *,
         blk = jax.device_put(params["layers"][li])
         outs = []
         for s in range(0, nwin, batch):
-            y = _block_out(blk, cfg, jnp.asarray(x[s:s + batch]), aux["mask"],
-                           aux["rope"], aux["alibi"])
+            y = _block_out(blk, cfg, jnp.asarray(x[s:s + batch]),
+                           aux["masks"][li], aux["rope"], aux["alibi"])
             outs.append(np.asarray(y))
         x = np.concatenate(outs, axis=0)
         del blk

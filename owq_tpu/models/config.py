@@ -73,6 +73,17 @@ class ModelConfig:
     alibi_scheme: str = "bloom"     # bloom | mpt slope schedule
     qkv_clip: Optional[float] = None  # mpt/olmo clip_qkv: clamp q/k/v outputs
     conv1d_weights: bool = False    # gpt2 Conv1D [in,out] vs Linear [out,in]
+    # qk normalization before rope: 'head' = per-head rmsnorm over head_dim
+    # (qwen3), 'proj' = rmsnorm over the whole q/k projection (olmo2)
+    qk_norm: Optional[str] = None
+    input_norms: bool = True        # olmo2: no pre-attention/pre-mlp norms
+    branch_norms: bool = False      # gemma2/olmo2: post_ln on branch outputs
+    attn_scale_override: Optional[float] = None  # gemma2 query_pre_attn_scalar
+    attn_logit_softcap: Optional[float] = None   # gemma2 tanh soft-capping
+    final_logit_softcap: Optional[float] = None
+    # per-layer attention kinds ('sliding_attention'|'full_attention') for
+    # alternating-window models (gemma2); None = uniform cfg.sliding_window
+    layer_types: Optional[Tuple[str, ...]] = None
     # Mixture-of-experts (mixtral): 0 = dense mlp
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -364,7 +375,90 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts=hf_config.num_local_experts,
             num_experts_per_tok=hf_config.num_experts_per_tok,
         )
-    if mt in ("gemma", "gemma2"):
+    if mt == "qwen3":
+        # llama wiring + per-head rms qk-norm before rope
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            qk_norm="head",
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            sliding_window=(hf_config.sliding_window
+                            if getattr(hf_config, "use_sliding_window",
+                                       False) else None),
+        )
+    if mt == "olmo2":
+        # no pre-norms; branch outputs normed before the residual add;
+        # rms qk-norm over the whole q/k projections
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            qk_norm="proj",
+            input_norms=False,
+            branch_norms=True,
+        )
+    if mt == "gemma2":
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=True,
+            activation=(getattr(hf_config, "hidden_activation", None)
+                        or hf_config.hidden_act),
+            pos_embedding="rope",
+            norm_type="rmsnorm1p",
+            gated_mlp=True,
+            head_dim_override=hf_config.head_dim,
+            embed_scale=float(hf_config.hidden_size) ** 0.5,
+            branch_norms=True,  # post-attn/post-ffn sandwich norms
+            attn_scale_override=hf_config.query_pre_attn_scalar,
+            attn_logit_softcap=hf_config.attn_logit_softcapping,
+            final_logit_softcap=hf_config.final_logit_softcapping,
+            sliding_window=hf_config.sliding_window,
+            layer_types=tuple(
+                getattr(hf_config, "layer_types", None)
+                or ("sliding_attention" if i % 2 == 0 else "full_attention"
+                    for i in range(hf_config.num_hidden_layers))),
+        )
+    if mt == "gemma":
         return ModelConfig(
             family="llama",
             vocab_size=hf_config.vocab_size,

@@ -133,17 +133,34 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                     "up": _linear(sd, lp + "mlp.up_proj", dtype),
                     "down": _linear(sd, lp + "mlp.down_proj", dtype),
                 }
-            layers.append({
-                "ln1": _ln(sd, lp + "input_layernorm", dtype),
-                "attn": {
-                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
-                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
-                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
-                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
-                },
-                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
-                "mlp": mlp,
-            })
+            attn = {
+                "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+            }
+            if lp + "self_attn.q_norm.weight" in sd:  # qwen3/olmo2 qk-norm
+                attn["q_norm"] = _ln(sd, lp + "self_attn.q_norm", dtype)
+                attn["k_norm"] = _ln(sd, lp + "self_attn.k_norm", dtype)
+            blk = {"attn": attn, "mlp": mlp}
+            if lp + "input_layernorm.weight" in sd:  # absent in olmo2
+                blk["ln1"] = _ln(sd, lp + "input_layernorm", dtype)
+            if lp + "pre_feedforward_layernorm.weight" in sd:
+                # gemma2 sandwich: ln2 = pre-ffn, post_ln* = branch norms
+                blk["ln2"] = _ln(sd, lp + "pre_feedforward_layernorm", dtype)
+                blk["post_ln1"] = _ln(sd, lp + "post_attention_layernorm",
+                                      dtype)
+                blk["post_ln2"] = _ln(sd, lp + "post_feedforward_layernorm",
+                                      dtype)
+            elif lp + "post_feedforward_layernorm.weight" in sd:
+                # olmo2: branch norms only
+                blk["post_ln1"] = _ln(sd, lp + "post_attention_layernorm",
+                                      dtype)
+                blk["post_ln2"] = _ln(sd, lp + "post_feedforward_layernorm",
+                                      dtype)
+            else:
+                blk["ln2"] = _ln(sd, lp + "post_attention_layernorm", dtype)
+            layers.append(blk)
         p["layers"] = layers
 
     elif fam == "gpt2":

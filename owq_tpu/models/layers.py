@@ -196,11 +196,14 @@ def causal_mask_bias(q_positions: jnp.ndarray, kv_valid: jnp.ndarray,
 
 
 def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   bias: Optional[jnp.ndarray], scale: float) -> jnp.ndarray:
+                   bias: Optional[jnp.ndarray], scale: float,
+                   softcap: Optional[float] = None) -> jnp.ndarray:
     """Softmax attention with f32 logits (HF upcasting behavior).
 
     q: [B, T, H, hd]; k/v: [B, S, Hkv, hd]; bias: [B, 1|H, T, S] additive.
     Returns [B, T, H, hd] in q.dtype.  GQA handled by head repetition.
+    ``softcap``: gemma-2 logit soft-capping cap*tanh(logits/cap), applied
+    before the mask bias (HF eager ordering).
     """
     B, T, H, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -210,6 +213,8 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         v = jnp.repeat(v, rep, axis=2)
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)

@@ -39,7 +39,7 @@ from ..runtime.quant_linear import DenseLinear, PackedLinear, ShardedPackedLinea
 
 __all__ = ["KVCache", "QuantKVCache", "ExpertBank", "block_forward",
            "forward", "embed", "unembed", "init_cache", "init_quant_cache",
-           "QUANTIZABLE", "quantizable_names"]
+           "QUANTIZABLE", "quantizable_names", "layer_mask_biases"]
 
 # dotted linear names per family (quantization targets)
 QUANTIZABLE = {
@@ -301,6 +301,26 @@ def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.nd
     return layernorm(x, p["w"], p.get("b"), cfg.norm_eps)
 
 
+def _qk_norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray,
+             tp_axis: Optional[str] = None) -> jnp.ndarray:
+    """RMS-normalize q/k before rope (qwen3 per-head / olmo2 per-projection).
+
+    Under TP with per-projection norm, the reduction spans all heads, so
+    the local sum of squares is psum'd and divided by the global width.
+    """
+    x32 = x.astype(jnp.float32)
+    if tp_axis is not None and cfg.tp_size > 1:
+        ss = jax.lax.psum(jnp.sum(x32 * x32, axis=-1, keepdims=True), tp_axis)
+        ms = ss / (x.shape[-1] * cfg.tp_size)
+    else:
+        ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(ms + cfg.norm_eps)
+    w = p["w"].astype(jnp.float32)
+    if cfg.norm_type == "rmsnorm1p":  # gemma-style zero-centered weights
+        w = 1.0 + w
+    return (y * w).astype(x.dtype)
+
+
 def _lin(p, x, kernel: str) -> jnp.ndarray:
     if isinstance(p, (PackedLinear, ShardedPackedLinear)):
         return p.apply(x, kernel=kernel)
@@ -367,7 +387,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     pre_norm = cfg.do_layer_norm_before
 
     res = x
-    x_ln = _norm(blk.get("ln1"), cfg, x) if pre_norm else x
+    x_ln = (_norm(blk.get("ln1"), cfg, x)
+            if pre_norm and cfg.input_norms else x)
     attn_p = blk["attn"]
 
     if cfg.fused_qkv:
@@ -387,9 +408,16 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         if cfg.qkv_clip is not None:  # olmo clip_qkv
             clip = lambda t: jnp.clip(t, -cfg.qkv_clip, cfg.qkv_clip)
             q, k, v = clip(q), clip(k), clip(v)
+        if cfg.qk_norm == "proj":  # olmo2: rms over the whole projection
+            q = _qk_norm(attn_p["q_norm"], cfg, q, tp_axis)
+            k = _qk_norm(attn_p["k_norm"], cfg, k, tp_axis)
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
+
+    if cfg.qk_norm == "head":  # qwen3: per-head rms over head_dim
+        q = _qk_norm(attn_p["q_norm"], cfg, q, None)
+        k = _qk_norm(attn_p["k_norm"], cfg, k, None)
 
     if rope is not None:
         q, k = apply_rope(q, k, *rope, style=cfg.rope_style)
@@ -427,7 +455,9 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         k_att, v_att = k, v
 
     bias = mask_bias if alibi is None else mask_bias + alibi
-    ctx = attention_core(q, k_att, v_att, bias, 1.0 / (hd ** 0.5))
+    scale = (cfg.attn_scale_override or hd) ** -0.5
+    ctx = attention_core(q, k_att, v_att, bias, scale,
+                         softcap=cfg.attn_logit_softcap)
     ctx = ctx.reshape(B, T, H * hd)
     if "attn.o" in taps:
         tapped["attn.o"] = ctx
@@ -452,12 +482,15 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
 
     if tp_axis is not None:
         attn_out = jax.lax.psum(attn_out, tp_axis)
+    if cfg.branch_norms:  # gemma2/olmo2: norm the branch before the add
+        attn_out = _norm(blk.get("post_ln1"), cfg, attn_out)
 
     x = res + attn_out
     if not pre_norm:
         x = _norm(blk.get("ln1"), cfg, x)
     res = x
-    x_ln2 = _norm(blk.get("ln2"), cfg, x) if pre_norm else x
+    x_ln2 = (_norm(blk.get("ln2"), cfg, x)
+             if pre_norm and cfg.input_norms else x)
     mlp = blk["mlp"]
     if cfg.num_experts:
         # Mixtral-style sparse MoE, computed densely: every (local) expert
@@ -518,6 +551,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         mlp_out = _lin(mlp["down"], h, kernel)
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        if cfg.branch_norms:
+            mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
         y = res + mlp_out
     else:
         if "mlp.fc1" in taps:
@@ -528,6 +563,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         mlp_out = _lin(mlp["fc2"], h, kernel)
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        if cfg.branch_norms:
+            mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
         y = res + mlp_out
     if not pre_norm:
         y = _norm(blk.get("ln2"), cfg, y)
@@ -553,6 +590,24 @@ def embed(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     return x
 
 
+def layer_mask_biases(cfg: ModelConfig, positions, kv_valid, kv_pos):
+    """Per-layer attention mask biases.
+
+    Uniform models get one shared mask; alternating-window models (gemma2
+    layer_types) get a sliding mask on 'sliding_attention' layers and a
+    full causal mask elsewhere.
+    """
+    if not cfg.layer_types:
+        m = causal_mask_bias(positions, kv_valid, kv_pos,
+                             window=cfg.sliding_window)
+        return [m] * cfg.num_layers
+    full = causal_mask_bias(positions, kv_valid, kv_pos, window=None)
+    sliding = causal_mask_bias(positions, kv_valid, kv_pos,
+                               window=cfg.sliding_window)
+    return [sliding if t == "sliding_attention" else full
+            for t in cfg.layer_types]
+
+
 def unembed(params: Dict[str, Any], cfg: ModelConfig,
             x: jnp.ndarray) -> jnp.ndarray:
     """Final norm + output projection + LM head -> logits [B, T, vocab]."""
@@ -563,9 +618,15 @@ def unembed(params: Dict[str, Any], cfg: ModelConfig,
     if params.get("project_out") is not None:
         x = params["project_out"].apply(x)
     if params.get("lm_head") is not None:
-        return params["lm_head"].apply(x)
-    return jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+        logits = params["lm_head"].apply(x)
+    else:
+        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+    if cfg.final_logit_softcap is not None:  # gemma2
+        cap = cfg.final_logit_softcap
+        logits = (cap * jnp.tanh(logits.astype(jnp.float32) / cap)
+                  ).astype(logits.dtype)
+    return logits
 
 
 def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
@@ -599,8 +660,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         S = cache.max_len
         kv_pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
         kv_valid = (kv_pos < (start_vec[:, None] + T)).astype(jnp.int32)
-    mask = causal_mask_bias(positions, kv_valid, kv_pos,
-                            window=cfg.sliding_window)
+    masks = layer_mask_biases(cfg, positions, kv_valid, kv_pos)
 
     rope = None
     alibi = None
@@ -636,7 +696,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         else:
             kv = (cache.k[i], cache.v[i])
         x, (kf, vf), _ = block_forward(
-            blk, cfg, x, mask_bias=mask, rope=rope, alibi=alibi,
+            blk, cfg, x, mask_bias=masks[i], rope=rope, alibi=alibi,
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis)
         if cache is not None:

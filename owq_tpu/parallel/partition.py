@@ -236,14 +236,22 @@ def param_pspecs(params: Dict[str, Any],
     for blk in params["layers"]:
         bspec: Dict[str, Any] = {}
         for key, val in blk.items():
-            if key.startswith("ln"):
+            if key.startswith(("ln", "post_ln")):
                 bspec[key] = norm_spec(val)
             else:
+                # qk-norm weights: per-head ('head') norms replicate; whole-
+                # projection ('proj', olmo2) norms shard with the column-
+                # parallel q/k out-features (the rms reduction psums)
+                qk_spec = ({"w": P(TP_AXIS)}
+                           if cfg is not None and cfg.qk_norm == "proj"
+                           else None)
                 bspec[key] = {
-                    leaf: _linear_spec(
-                        f"{key}.{leaf}", lin,
-                        replicate=(mqa and key == "attn"
-                                   and leaf in ("k", "v")))
+                    leaf: ((qk_spec or norm_spec(lin))
+                           if leaf.endswith("_norm")
+                           else _linear_spec(
+                               f"{key}.{leaf}", lin,
+                               replicate=(mqa and key == "attn"
+                                          and leaf in ("k", "v"))))
                     for leaf, lin in val.items()}
         blocks.append(bspec)
     specs["layers"] = blocks

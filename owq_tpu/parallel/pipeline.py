@@ -39,10 +39,18 @@ def _head_fn(params, cfg: ModelConfig, x):
     return unembed(params, cfg, x)
 
 
-@partial(jax.jit, static_argnames=("cfg", "kernel", "with_cache"))
+@partial(jax.jit, static_argnames=("cfg", "kernel", "with_cache",
+                                   "layer_off"))
 def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
-              kernel: str = "xla", with_cache: bool = False):
-    """Run a contiguous group of blocks on the device holding ``blocks``."""
+              kernel: str = "xla", with_cache: bool = False,
+              layer_off: int = 0):
+    """Run a contiguous group of blocks on the device holding ``blocks``.
+
+    ``layer_off`` is the stage's global first-layer index (alternating-
+    window models pick per-layer masks by global layer position).
+    """
+    from ..models.transformer import layer_mask_biases
+
     B, T = x.shape[:2]
     if with_cache:
         S = kv[0].shape[2]
@@ -51,7 +59,7 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
         kv_valid = (kv_pos < (start_vec[:, None] + T)).astype(jnp.int32)
     else:
         kv_pos, kv_valid = positions, jnp.ones((B, T), jnp.int32)
-    mask = causal_mask_bias(positions, kv_valid, kv_pos)
+    masks = layer_mask_biases(cfg, positions, kv_valid, kv_pos)
     rope = alibi = None
     if cfg.pos_embedding == "rope":
         from ..models.transformer import rope_tables
@@ -64,8 +72,9 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
     for i, blk in enumerate(blocks):
         pair = None if not with_cache else (kv[0][i], kv[1][i])
         x, (kf, vf), _ = block_forward(
-            blk, cfg, x, mask_bias=mask, rope=rope, alibi=alibi,
-            kv=pair, cache_at=start if with_cache else None, kernel=kernel)
+            blk, cfg, x, mask_bias=masks[layer_off + i], rope=rope,
+            alibi=alibi, kv=pair, cache_at=start if with_cache else None,
+            kernel=kernel)
         if with_cache:
             new_k.append(kf)
             new_v.append(vf)
@@ -95,13 +104,16 @@ class StagedModel:
         positions = jnp.broadcast_to(positions, (B, T))
         x = _embed_fn(self.head_params, self.cfg, ids, positions, self.dtype)
         new_caches = []
+        off = 0
         for s, blocks in enumerate(self.stages):
             x = jax.device_put(x, self.devices[s])
             kv = None if caches is None else caches[s]
             x, kv_out = _stage_fn(blocks, self.cfg, x,
                                   jax.device_put(positions, self.devices[s]),
                                   kv, start, self.kernel,
-                                  with_cache=caches is not None)
+                                  with_cache=caches is not None,
+                                  layer_off=off)
+            off += len(blocks)
             new_caches.append(kv_out)
         x = jax.device_put(x, self.devices[0])
         logits = _head_fn(self.head_params, self.cfg, x)

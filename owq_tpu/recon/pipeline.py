@@ -141,8 +141,10 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
     x = jax.jit(embed, static_argnums=(1,))(params, cfg, ids, positions)
     x = x.astype(dtype)
 
-    mask = causal_mask_bias(positions[:1], jnp.ones((1, T), jnp.int32),
-                            positions[:1])
+    from ..models.transformer import layer_mask_biases
+
+    masks = layer_mask_biases(cfg, positions[:1],
+                              jnp.ones((1, T), jnp.int32), positions[:1])
     rope = None
     alibi = None
     if cfg.pos_embedding == "rope":
@@ -151,7 +153,7 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
         rope = rope_tables(cfg, positions[:1])
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions[:1], cfg.alibi_scheme)
-    return x, dict(mask=mask, rope=rope, alibi=alibi)
+    return x, dict(masks=masks, rope=rope, alibi=alibi)
 
 
 @partial(jax.jit, static_argnames=("cfg", "taps"))
@@ -253,7 +255,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
             outs = []
             for s in range(0, ns, chunk):
                 y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
-                               aux["mask"], aux["rope"], aux["alibi"])
+                               aux["masks"][li], aux["rope"], aux["alibi"])
                 outs.append(np.asarray(y) if offload else y)
             x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
             if offload:
@@ -266,8 +268,9 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
             hessians = {n: None for n in taps}
             for s in range(0, ns, chunk):
                 xc = x[s:s + chunk]
-                _, outers = _tap_hessians(blk, cfg, xc, aux["mask"],
-                                          aux["rope"], aux["alibi"], taps)
+                _, outers = _tap_hessians(blk, cfg, xc,
+                                          aux["masks"][li], aux["rope"],
+                                          aux["alibi"], taps)
                 for n in taps:
                     hessians[n] = outers[n] if hessians[n] is None else hessians[n] + outers[n]
 
@@ -310,8 +313,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
         # propagate activations through the (now quantized) block
         outs = []
         for s in range(0, ns, chunk):
-            y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]), aux["mask"],
-                           aux["rope"], aux["alibi"])
+            y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
+                           aux["masks"][li], aux["rope"], aux["alibi"])
             outs.append(np.asarray(y) if offload else y)
         x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
         if offload:

@@ -69,7 +69,10 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
     B, T = ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x = embed(params, cfg, ids, positions, dtype=dtype)
-    mask = causal_mask_bias(positions, jnp.ones((B, T), jnp.int32), positions)
+    from ..models.transformer import layer_mask_biases
+
+    masks = layer_mask_biases(cfg, positions, jnp.ones((B, T), jnp.int32),
+                              positions)
     rope = alibi = None
     if cfg.pos_embedding == "rope":
         from ..models.transformer import rope_tables
@@ -78,9 +81,9 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions, cfg.alibi_scheme)
     ks, vs = [], []
-    for blk in params["layers"]:
-        x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=mask, rope=rope,
-                                     alibi=alibi, kernel=kernel)
+    for i, blk in enumerate(params["layers"]):
+        x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=masks[i],
+                                     rope=rope, alibi=alibi, kernel=kernel)
         ks.append(k[0])
         vs.append(v[0])
     logits = unembed(params, cfg, x)

@@ -151,7 +151,16 @@ def load_checkpoint(path: str, *, mmap: bool = False
     """Returns (params, cfg, manifest)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    cfg = ModelConfig(**manifest["config"])
+    cdict = dict(manifest["config"])
+    # JSON stores tuples as lists; ModelConfig must stay hashable (it is a
+    # jit static argument): re-freeze the tuple-typed fields
+    if cdict.get("layer_types") is not None:
+        cdict["layer_types"] = tuple(cdict["layer_types"])
+    if cdict.get("rope_scaling") is not None:
+        cdict["rope_scaling"] = tuple(
+            (k, tuple(v) if isinstance(v, list) else v)
+            for k, v in cdict["rope_scaling"])
+    cfg = ModelConfig(**cdict)
     arrays = manifest["arrays"]
     kinds = manifest["linear_kinds"]
 

@@ -289,3 +289,52 @@ def tiny_olmo(vocab=97, hidden=32, inter=64, layers=2, heads=4, kv_heads=2,
     )
     model = OlmoForCausalLM(cfg).eval()
     return model
+
+
+def tiny_qwen3(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+               head_dim=16, max_pos=64, seed=0):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen3Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Qwen3ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_gemma2(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+                head_dim=16, max_pos=64, sliding_window=8, seed=0):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Gemma2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        sliding_window=sliding_window, query_pre_attn_scalar=24,
+        attn_implementation="eager",
+    )
+    model = Gemma2ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_olmo2(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+               max_pos=64, seed=0):
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Olmo2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = Olmo2ForCausalLM(cfg).eval()
+    return model

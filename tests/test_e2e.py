@@ -117,6 +117,28 @@ def test_checkpoint_roundtrip_nonparametric_norms(tmp_path, calib):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_checkpoint_roundtrip_tuple_config_fields(tmp_path, calib):
+    # layer_types / rope_scaling are tuples in ModelConfig (it is a jit
+    # static arg and must hash); the JSON manifest stores them as lists —
+    # loading must re-freeze them (regression: gemma2 checkpoints raised
+    # "unhashable type: 'list'" at the first jitted call after load)
+    model = hf_tiny.tiny_gemma2(hidden=32, inter=48, layers=2, heads=4,
+                                kv_heads=2, sliding_window=8)
+    params, cfg = import_hf_model(model)
+    params_q, quantizers = quantize_model(
+        params, cfg, arch_for_model("gemma2"), calib, wbits=3, target_rank=2,
+        tuning="minmax", verbose=False)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+    ids = calib[:1, :8]
+    ref, _ = forward(packed, cfg, jnp.asarray(ids))
+    path = str(tmp_path / "gemma2_ckpt")
+    save_checkpoint(path, packed, cfg, quantizers=quantizers, packed=True)
+    params2, cfg2 = load_checkpoint(path)[:2]
+    assert cfg2 == cfg and hash(cfg2) == hash(cfg)
+    got, _ = forward(params2, cfg2, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 def test_true_sequential_and_frob(calib, stream):
     model, params_q, cfg, _ = quantized_tiny_opt(
         calib, target_bit=None, target_rank=2, true_sequential=True)
@@ -268,7 +290,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
 
 @pytest.mark.parametrize("family", ["mistral", "neox", "gemma", "phi",
                                     "phi3", "stablelm", "mpt", "starcoder2",
-                                    "starcoder", "olmo"])
+                                    "starcoder", "olmo", "qwen3", "gemma2",
+                                    "olmo2"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -295,6 +318,13 @@ def test_quantize_new_families(calib, family):
                                                       heads=4),
         "olmo": lambda: hf_tiny.tiny_olmo(hidden=32, inter=64, layers=2,
                                           heads=4, kv_heads=2),
+        "qwen3": lambda: hf_tiny.tiny_qwen3(hidden=32, inter=48, layers=2,
+                                            heads=4, kv_heads=2),
+        "gemma2": lambda: hf_tiny.tiny_gemma2(hidden=32, inter=48, layers=2,
+                                              heads=4, kv_heads=2,
+                                              sliding_window=8),
+        "olmo2": lambda: hf_tiny.tiny_olmo2(hidden=32, inter=48, layers=2,
+                                            heads=4, kv_heads=2),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

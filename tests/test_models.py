@@ -257,6 +257,61 @@ def test_phi_cache_decode_matches_full(rng):
                                    atol=1e-4, rtol=1e-3)
 
 
+def test_qwen3_parity(rng):
+    # per-head rms qk-norm before rope + head_dim override
+    model = hf_tiny.tiny_qwen3()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_gemma2_parity(rng):
+    # sandwich norms (pre+post attn/ffn), logit softcapping (attn + final),
+    # query_pre_attn_scalar scale, alternating sliding window
+    model = hf_tiny.tiny_gemma2()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids, atol=5e-4)
+
+
+def test_olmo2_parity(rng):
+    # no pre-norms, branch-output norms, whole-projection qk rmsnorm
+    model = hf_tiny.tiny_olmo2()
+    ids = rng.integers(0, 97, size=(2, 10))
+    _parity(model, ids)
+
+
+def test_qwen3_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_qwen3()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 8)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :5]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 4],
+                               atol=1e-4, rtol=1e-3)
+    for t in range(5, 8):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_gemma2_cache_decode_matches_full(rng):
+    # per-layer alternating windows must hold through the cached path
+    model = hf_tiny.tiny_gemma2(sliding_window=5, max_pos=64)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=2e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_starcoder2_parity(rng):
     # llama-shaped attention + plain biased MLP + biased layernorm
     model = hf_tiny.tiny_starcoder2()

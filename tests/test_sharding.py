@@ -156,7 +156,7 @@ def test_tp_cached_decode_matches(rng):
 
 @pytest.mark.parametrize("family", ["bloom", "falcon", "neox", "mistral",
                                     "gemma", "phi", "mpt", "bigcode",
-                                    "olmo"])
+                                    "olmo", "qwen3", "gemma2", "olmo2"])
 def test_tp_fused_qkv_families(rng, family):
     """Structure-diverse families under tensor parallelism: BLOOM (alibi +
     fused interleaved qkv), Falcon (MQA + parallel block), NeoX (dual-norm
@@ -178,6 +178,13 @@ def test_tp_fused_qkv_families(rng, family):
                                                     heads=4, multi_query=True),
         "olmo": lambda: hf_tiny.tiny_olmo(hidden=32, inter=64, layers=2,
                                           heads=4, kv_heads=2),
+        "qwen3": lambda: hf_tiny.tiny_qwen3(hidden=32, inter=48, layers=2,
+                                            heads=4, kv_heads=2),
+        "gemma2": lambda: hf_tiny.tiny_gemma2(hidden=32, inter=48, layers=2,
+                                              heads=4, kv_heads=2,
+                                              sliding_window=4),
+        "olmo2": lambda: hf_tiny.tiny_olmo2(hidden=32, inter=48, layers=2,
+                                            heads=4, kv_heads=2),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)
