@@ -66,3 +66,20 @@ def test_engine_eos_stops(rng, model_and_params):
     out = eng.run([prompt], max_new_tokens=10)
     assert out[0][-1] == int(first)
     assert len(out[0]) == 1  # stopped immediately on EOS
+
+
+def test_engine_gemma2_alternating_windows(rng):
+    # alternating sliding/full per-layer masks must hold through the
+    # engine's prefill-collect + per-slot decode path
+    model = hf_tiny.tiny_gemma2(hidden=32, inter=48, layers=2, heads=4,
+                                kv_heads=2, sliding_window=5, max_pos=128)
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (9, 4)]
+    want = [generate(params, cfg, p[None, :], 6, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=6)
+    assert [out[i] for i in sorted(out)] == want
