@@ -74,7 +74,9 @@ class ModelConfig:
     qkv_clip: Optional[float] = None  # mpt/olmo clip_qkv: clamp q/k/v outputs
     conv1d_weights: bool = False    # gpt2 Conv1D [in,out] vs Linear [out,in]
     # qk normalization before rope: 'head' = per-head rmsnorm over head_dim
-    # (qwen3), 'proj' = rmsnorm over the whole q/k projection (olmo2)
+    # (qwen3), 'proj' = rmsnorm over the whole q/k projection (olmo2),
+    # 'head_ln' = per-head mean-centering layernorm over head_dim (cohere
+    # per-head weights / persimmon shared weights + bias)
     qk_norm: Optional[str] = None
     input_norms: bool = True        # olmo2: no pre-attention/pre-mlp norms
     branch_norms: bool = False      # gemma2/olmo2: post_ln on branch outputs
@@ -84,6 +86,14 @@ class ModelConfig:
     # per-layer attention kinds ('sliding_attention'|'full_attention') for
     # alternating-window models (gemma2); None = uniform cfg.sliding_window
     layer_types: Optional[Tuple[str, ...]] = None
+    # per-layer rope on/off (cohere2: rope only on sliding layers; smollm3
+    # no_rope_layers); None = rope on every layer
+    rope_layers: Optional[Tuple[int, ...]] = None
+    # literal attention scale multiplier (granite attention_multiplier);
+    # overrides both head_dim**-0.5 and attn_scale_override when set
+    attn_scale: Optional[float] = None
+    residual_multiplier: Optional[float] = None  # granite
+    logit_scale: Optional[float] = None  # cohere logit_scale / granite 1/logits_scaling
     # Mixture-of-experts (mixtral): 0 = dense mlp
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -209,9 +219,23 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
 # same outlier ratios — the reference's per-family ratios keyed on shape,
 # model_config.json:28).
 for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm",
-               "olmo"):
+               "olmo", "cohere", "granite", "glm", "smollm3"):
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
+
+# nemotron: llama-shaped attention, plain 2-layer relu² MLP (up/down)
+ARCH_REGISTRY["nemotron"] = ArchSpec(
+    family="nemotron",
+    map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v",
+               "o": "attn.o", "up_proj": "mlp.fc1", "down_proj": "mlp.fc2"},
+    ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+            "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+    sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                ("mlp.fc1",), ("mlp.fc2",)),
+)
+# persimmon: neox-shaped linear set (fused query_key_value, 2-layer MLP)
+ARCH_REGISTRY["persimmon"] = dataclasses.replace(ARCH_REGISTRY["neox"],
+                                                 family="persimmon")
 
 
 def arch_for_model(model_name: str) -> ArchSpec:
@@ -249,6 +273,18 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["gpt2"]
     if "olmo" in name:
         return ARCH_REGISTRY["olmo"]
+    if "cohere" in name or "command" in name or "c4ai" in name or "aya" in name:
+        return ARCH_REGISTRY["cohere"]
+    if "granite" in name:
+        return ARCH_REGISTRY["granite"]
+    if "nemotron" in name or "minitron" in name:
+        return ARCH_REGISTRY["nemotron"]
+    if "persimmon" in name or "fuyu" in name:
+        return ARCH_REGISTRY["persimmon"]
+    if "smollm3" in name:
+        return ARCH_REGISTRY["smollm3"]
+    if "glm" in name:
+        return ARCH_REGISTRY["glm"]
     if "gpt-j" in name or "gptj" in name:
         return ARCH_REGISTRY["gptj"]
     if "gpt2" in name or "gpt-2" in name:
@@ -710,6 +746,186 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.25),
             norm_type="layernorm",
             gated_mlp=True,
+        )
+    if mt in ("cohere", "cohere2"):
+        # command-r: parallel block (attn+mlp share one mean-centering LN,
+        # no bias), interleaved rope, logit_scale on the lm head; cohere-1
+        # optionally per-head LN on q/k; cohere2 applies rope only on
+        # sliding-window layers (full-attention layers are NoPE)
+        layer_types = None
+        rope_layers = None
+        window = getattr(hf_config, "sliding_window", None)
+        if mt == "cohere2":
+            layer_types = tuple(hf_config.layer_types)
+            rope_layers = tuple(int(t == "sliding_attention")
+                                for t in layer_types)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.layer_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            norm_type="layernorm",
+            parallel_block=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            gated_mlp=True,
+            qk_norm=("head_ln" if getattr(hf_config, "use_qk_norm", False)
+                     else None),
+            logit_scale=hf_config.logit_scale,
+            sliding_window=window if mt == "cohere2" else None,
+            layer_types=layer_types,
+            rope_layers=rope_layers,
+            head_dim_override=getattr(hf_config, "head_dim", None),
+        )
+    if mt == "granite":
+        # llama wiring + the four muP-style scalar multipliers
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            embed_scale=hf_config.embedding_multiplier,
+            attn_scale=hf_config.attention_multiplier,
+            residual_multiplier=hf_config.residual_multiplier,
+            logit_scale=1.0 / hf_config.logits_scaling,
+        )
+    if mt == "smollm3":
+        # llama wiring; config.no_rope_layers[i] is truthy when layer i DOES
+        # apply rope (HF: `use_rope = config.no_rope_layers[layer_idx]`)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            rope_layers=tuple(int(bool(u)) for u in hf_config.no_rope_layers),
+            sliding_window=(hf_config.sliding_window
+                            if getattr(hf_config, "use_sliding_window", False)
+                            else None),
+            layer_types=(tuple(hf_config.layer_types)
+                         if getattr(hf_config, "use_sliding_window", False)
+                         else None),
+        )
+    if mt in ("glm", "glm4"):
+        # llama wiring + fused gate_up (split at import), qkv biases,
+        # interleaved partial rotary; glm4 adds gemma2-style sandwich norms
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.5),
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            branch_norms=(mt == "glm4"),
+        )
+    if mt == "nemotron":
+        # llama-shaped attention + plain relu² MLP + layernorm1p (weight+1)
+        return ModelConfig(
+            family="nemotron",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.5),
+            norm_type="layernorm1p",
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            mlp_bias=getattr(hf_config, "mlp_bias", False),
+            gated_mlp=False,
+        )
+    if mt == "persimmon":
+        # neox-shaped fused qkv + per-head LN on q/k (with bias) + relu² MLP
+        return ModelConfig(
+            family="persimmon",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.layer_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 25000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.5),
+            norm_type="layernorm",
+            fused_qkv=True,
+            attn_bias=True,
+            mlp_bias=True,
+            gated_mlp=False,
+            qk_norm=("head_ln" if getattr(hf_config, "qk_layernorm", False)
+                     else None),
         )
     if mt == "mpt":
         ac = hf_config.attn_config

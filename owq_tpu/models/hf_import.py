@@ -158,8 +158,16 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                                       dtype)
                 blk["post_ln2"] = _ln(sd, lp + "post_feedforward_layernorm",
                                       dtype)
-            else:
+            elif lp + "post_self_attn_layernorm.weight" in sd:
+                # glm4 sandwich: post_self_attn/post_mlp = branch norms,
+                # post_attention_layernorm = pre-mlp norm
+                blk["post_ln1"] = _ln(sd, lp + "post_self_attn_layernorm",
+                                      dtype)
                 blk["ln2"] = _ln(sd, lp + "post_attention_layernorm", dtype)
+                blk["post_ln2"] = _ln(sd, lp + "post_mlp_layernorm", dtype)
+            elif lp + "post_attention_layernorm.weight" in sd:
+                blk["ln2"] = _ln(sd, lp + "post_attention_layernorm", dtype)
+            # else: cohere parallel block — attn and mlp share ln1
             layers.append(blk)
         p["layers"] = layers
 
@@ -321,6 +329,56 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                 "mlp": {
                     "fc1": _linear(sd, lp + "mlp.fc1", dtype),
                     "fc2": _linear(sd, lp + "mlp.fc2", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "nemotron":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                },
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.up_proj", dtype),
+                    "fc2": _linear(sd, lp + "mlp.down_proj", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "persimmon":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "final_layernorm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            attn = {
+                "qkv": _linear(sd, lp + "self_attn.query_key_value", dtype),
+                "o": _linear(sd, lp + "self_attn.dense", dtype),
+            }
+            if lp + "self_attn.q_layernorm.weight" in sd:
+                attn["q_norm"] = _ln(sd, lp + "self_attn.q_layernorm", dtype)
+                attn["k_norm"] = _ln(sd, lp + "self_attn.k_layernorm", dtype)
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": attn,
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.dense_h_to_4h", dtype),
+                    "fc2": _linear(sd, lp + "mlp.dense_4h_to_h", dtype),
                 },
             })
         p["layers"] = layers

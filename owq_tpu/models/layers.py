@@ -62,6 +62,9 @@ def activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
         return jax.nn.gelu(x, approximate=False)
     if kind in ("gelu_tanh", "gelu_new", "gelu_pytorch_tanh"):
         return jax.nn.gelu(x, approximate=True)
+    if kind == "relu2":  # nemotron/persimmon ReLUSquaredActivation
+        r = jax.nn.relu(x)
+        return r * r
     raise ValueError(f"unknown activation {kind}")
 
 

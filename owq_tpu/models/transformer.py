@@ -39,7 +39,8 @@ from ..runtime.quant_linear import DenseLinear, PackedLinear, ShardedPackedLinea
 
 __all__ = ["KVCache", "QuantKVCache", "ExpertBank", "block_forward",
            "forward", "embed", "unembed", "init_cache", "init_quant_cache",
-           "QUANTIZABLE", "quantizable_names", "layer_mask_biases"]
+           "QUANTIZABLE", "quantizable_names", "layer_mask_biases",
+           "layer_rope"]
 
 # dotted linear names per family (quantization targets)
 QUANTIZABLE = {
@@ -57,6 +58,9 @@ QUANTIZABLE = {
                    "mlp.fc2"),
     "olmo": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.gate", "mlp.up",
              "mlp.down"),
+    "nemotron": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1",
+                 "mlp.fc2"),
+    "persimmon": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
 }
 
 
@@ -298,6 +302,9 @@ def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.nd
     if cfg.norm_type == "layernorm_np":  # olmo: no scale/bias params
         return layernorm(x, jnp.ones((x.shape[-1],), jnp.float32), None,
                          cfg.norm_eps)
+    if cfg.norm_type == "layernorm1p":  # nemotron: LN with (1 + weight)
+        return layernorm(x, 1.0 + p["w"].astype(jnp.float32), p.get("b"),
+                         cfg.norm_eps)
     return layernorm(x, p["w"], p.get("b"), cfg.norm_eps)
 
 
@@ -309,6 +316,17 @@ def _qk_norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray,
     the local sum of squares is psum'd and divided by the global width.
     """
     x32 = x.astype(jnp.float32)
+    if cfg.qk_norm == "head_ln":
+        # mean-centering LN over head_dim, applied per head before rope
+        # (cohere: per-head weights [H, hd], no bias; persimmon: shared
+        # weights [hd] + bias)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + cfg.norm_eps)
+        y = y * p["w"].astype(jnp.float32)
+        if p.get("b") is not None:
+            y = y + p["b"].astype(jnp.float32)
+        return y.astype(x.dtype)
     if tp_axis is not None and cfg.tp_size > 1:
         ss = jax.lax.psum(jnp.sum(x32 * x32, axis=-1, keepdims=True), tp_axis)
         ms = ss / (x.shape[-1] * cfg.tp_size)
@@ -341,7 +359,7 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
         k = fused[..., H * hd: (H + Hkv) * hd].reshape(B, T, Hkv, hd)
         v = fused[..., (H + Hkv) * hd:].reshape(B, T, Hkv, hd)
         return q, k, v
-    if cfg.family in ("bloom", "neox"):
+    if cfg.family in ("bloom", "neox", "persimmon"):
         f = fused.reshape(B, T, H, 3, hd)
         return f[:, :, :, 0], f[:, :, :, 1], f[:, :, :, 2]
     # falcon
@@ -415,7 +433,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
 
-    if cfg.qk_norm == "head":  # qwen3: per-head rms over head_dim
+    if cfg.qk_norm in ("head", "head_ln"):  # qwen3 rms / cohere-persimmon ln
         q = _qk_norm(attn_p["q_norm"], cfg, q, None)
         k = _qk_norm(attn_p["k_norm"], cfg, k, None)
 
@@ -455,7 +473,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         k_att, v_att = k, v
 
     bias = mask_bias if alibi is None else mask_bias + alibi
-    scale = (cfg.attn_scale_override or hd) ** -0.5
+    scale = (cfg.attn_scale if cfg.attn_scale is not None
+             else (cfg.attn_scale_override or hd) ** -0.5)
     ctx = attention_core(q, k_att, v_att, bias, scale,
                          softcap=cfg.attn_logit_softcap)
     ctx = ctx.reshape(B, T, H * hd)
@@ -467,23 +486,40 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         # falcon-style: mlp reads the same LN output; one residual add.
         # neox-style (parallel_dual_norm): mlp has its own LN over the
         # block input — x + attn(ln1(x)) + mlp(ln2(x)).
+        # cohere-style: same single-LN parallel wiring but a gated SwiGLU mlp.
         mlp_in = _norm(blk.get("ln2"), cfg, res) if cfg.parallel_dual_norm else x_ln
-        if "mlp.fc1" in taps:
-            tapped["mlp.fc1"] = mlp_in
-        h = activation(_lin(blk["mlp"]["fc1"], mlp_in, kernel), cfg.activation)
-        if "mlp.fc2" in taps:
-            tapped["mlp.fc2"] = h
-        mlp_out = _lin(blk["mlp"]["fc2"], h, kernel)
+        if cfg.gated_mlp:
+            for name in ("mlp.gate", "mlp.up"):
+                if name in taps:
+                    tapped[name] = mlp_in
+            g = _lin(blk["mlp"]["gate"], mlp_in, kernel)
+            u = _lin(blk["mlp"]["up"], mlp_in, kernel)
+            h = activation(g, cfg.activation) * u
+            if "mlp.down" in taps:
+                tapped["mlp.down"] = h
+            mlp_out = _lin(blk["mlp"]["down"], h, kernel)
+        else:
+            if "mlp.fc1" in taps:
+                tapped["mlp.fc1"] = mlp_in
+            h = activation(_lin(blk["mlp"]["fc1"], mlp_in, kernel),
+                           cfg.activation)
+            if "mlp.fc2" in taps:
+                tapped["mlp.fc2"] = h
+            mlp_out = _lin(blk["mlp"]["fc2"], h, kernel)
         both = attn_out + mlp_out
         if tp_axis is not None:
             both = jax.lax.psum(both, tp_axis)
+        if cfg.residual_multiplier is not None:
+            both = both * cfg.residual_multiplier
         y = res + both
         return y, (k_full, v_full), tapped
 
     if tp_axis is not None:
         attn_out = jax.lax.psum(attn_out, tp_axis)
-    if cfg.branch_norms:  # gemma2/olmo2: norm the branch before the add
+    if cfg.branch_norms:  # gemma2/olmo2/glm4: norm the branch before the add
         attn_out = _norm(blk.get("post_ln1"), cfg, attn_out)
+    if cfg.residual_multiplier is not None:  # granite
+        attn_out = attn_out * cfg.residual_multiplier
 
     x = res + attn_out
     if not pre_norm:
@@ -531,6 +567,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 exp["down"], h, kernel)
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        if cfg.residual_multiplier is not None:
+            mlp_out = mlp_out * cfg.residual_multiplier
         y = res + mlp_out
         if not pre_norm:
             y = _norm(blk.get("ln2"), cfg, y)
@@ -553,6 +591,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         if cfg.branch_norms:
             mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
+        if cfg.residual_multiplier is not None:
+            mlp_out = mlp_out * cfg.residual_multiplier
         y = res + mlp_out
     else:
         if "mlp.fc1" in taps:
@@ -565,6 +605,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         if cfg.branch_norms:
             mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
+        if cfg.residual_multiplier is not None:
+            mlp_out = mlp_out * cfg.residual_multiplier
         y = res + mlp_out
     if not pre_norm:
         y = _norm(blk.get("ln2"), cfg, y)
@@ -608,6 +650,14 @@ def layer_mask_biases(cfg: ModelConfig, positions, kv_valid, kv_pos):
             for t in cfg.layer_types]
 
 
+def layer_rope(cfg: ModelConfig, rope, i: int):
+    """Per-layer rope tables: None on NoPE layers (cohere2 full-attention
+    layers / smollm3 no_rope_layers)."""
+    if rope is None or cfg.rope_layers is None:
+        return rope
+    return rope if cfg.rope_layers[i] else None
+
+
 def unembed(params: Dict[str, Any], cfg: ModelConfig,
             x: jnp.ndarray) -> jnp.ndarray:
     """Final norm + output projection + LM head -> logits [B, T, vocab]."""
@@ -622,6 +672,8 @@ def unembed(params: Dict[str, Any], cfg: ModelConfig,
     else:
         logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
+    if cfg.logit_scale is not None:  # cohere logit_scale / granite scaling
+        logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
     if cfg.final_logit_softcap is not None:  # gemma2
         cap = cfg.final_logit_softcap
         logits = (cap * jnp.tanh(logits.astype(jnp.float32) / cap)
@@ -696,7 +748,8 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         else:
             kv = (cache.k[i], cache.v[i])
         x, (kf, vf), _ = block_forward(
-            blk, cfg, x, mask_bias=masks[i], rope=rope, alibi=alibi,
+            blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),
+            alibi=alibi,
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis)
         if cache is not None:

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..models.config import ModelConfig
 from ..models.layers import alibi_bias, causal_mask_bias, rope_cos_sin
-from ..models.transformer import KVCache, block_forward, embed, unembed
+from ..models.transformer import (KVCache, block_forward, embed,
+                                  layer_rope, unembed)
 
 __all__ = ["StagedModel", "stage_model"]
 
@@ -72,7 +73,8 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
     for i, blk in enumerate(blocks):
         pair = None if not with_cache else (kv[0][i], kv[1][i])
         x, (kf, vf), _ = block_forward(
-            blk, cfg, x, mask_bias=masks[layer_off + i], rope=rope,
+            blk, cfg, x, mask_bias=masks[layer_off + i],
+            rope=layer_rope(cfg, rope, layer_off + i),
             alibi=alibi, kv=pair, cache_at=start if with_cache else None,
             kernel=kernel)
         if with_cache:

@@ -33,7 +33,7 @@ import numpy as np
 from ..core.quantizer import QuantSpec, find_params_mse, find_params_minmax, fake_quant
 from ..models.config import ArchSpec, ModelConfig
 from ..models.transformer import (QUANTIZABLE, block_forward, embed,
-                                  quantizable_names)
+                                  layer_rope, quantizable_names)
 from ..models.layers import causal_mask_bias, rope_cos_sin, alibi_bias
 from ..runtime.quant_linear import DenseLinear
 from .gptq import gptq_quantize
@@ -255,7 +255,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
             outs = []
             for s in range(0, ns, chunk):
                 y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
-                               aux["masks"][li], aux["rope"], aux["alibi"])
+                               aux["masks"][li], layer_rope(cfg, aux["rope"], li),
+                           aux["alibi"])
                 outs.append(np.asarray(y) if offload else y)
             x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
             if offload:
@@ -269,7 +270,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
             for s in range(0, ns, chunk):
                 xc = x[s:s + chunk]
                 _, outers = _tap_hessians(blk, cfg, xc,
-                                          aux["masks"][li], aux["rope"],
+                                          aux["masks"][li],
+                                          layer_rope(cfg, aux["rope"], li),
                                           aux["alibi"], taps)
                 for n in taps:
                     hessians[n] = outers[n] if hessians[n] is None else hessians[n] + outers[n]
@@ -314,7 +316,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
         outs = []
         for s in range(0, ns, chunk):
             y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
-                           aux["masks"][li], aux["rope"], aux["alibi"])
+                           aux["masks"][li], layer_rope(cfg, aux["rope"], li),
+                           aux["alibi"])
             outs.append(np.asarray(y) if offload else y)
         x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
         if offload:

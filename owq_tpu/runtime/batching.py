@@ -69,7 +69,7 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
     B, T = ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x = embed(params, cfg, ids, positions, dtype=dtype)
-    from ..models.transformer import layer_mask_biases
+    from ..models.transformer import layer_mask_biases, layer_rope
 
     masks = layer_mask_biases(cfg, positions, jnp.ones((B, T), jnp.int32),
                               positions)
@@ -83,7 +83,8 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
     ks, vs = [], []
     for i, blk in enumerate(params["layers"]):
         x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=masks[i],
-                                     rope=rope, alibi=alibi, kernel=kernel)
+                                     rope=layer_rope(cfg, rope, i),
+                                     alibi=alibi, kernel=kernel)
         ks.append(k[0])
         vs.append(v[0])
     logits = unembed(params, cfg, x)

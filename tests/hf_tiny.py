@@ -338,3 +338,125 @@ def tiny_olmo2(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
     )
     model = Olmo2ForCausalLM(cfg).eval()
     return model
+
+
+def tiny_cohere(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+                max_pos=64, use_qk_norm=False, seed=0):
+    from transformers import CohereConfig, CohereForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = CohereConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        layer_norm_eps=1e-5, logit_scale=0.0625, use_qk_norm=use_qk_norm,
+        attn_implementation="eager",
+    )
+    model = CohereForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_cohere2(vocab=97, hidden=32, inter=48, layers=4, heads=4, kv_heads=2,
+                 max_pos=64, sliding_window=6, pattern=2, seed=0):
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Cohere2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        layer_norm_eps=1e-5, logit_scale=0.0625,
+        sliding_window=sliding_window, sliding_window_pattern=pattern,
+        attn_implementation="eager",
+    )
+    model = Cohere2ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_granite(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+                 max_pos=64, seed=0):
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GraniteConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        embedding_multiplier=6.0, attention_multiplier=0.015625,
+        residual_multiplier=0.22, logits_scaling=8.0,
+        attn_implementation="eager",
+    )
+    model = GraniteForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_nemotron(vocab=97, hidden=32, inter=64, layers=2, heads=4,
+                  kv_heads=2, rotary_pct=0.5, max_pos=64, seed=0):
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = NemotronConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        partial_rotary_factor=rotary_pct, norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = NemotronForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_persimmon(vocab=97, hidden=32, inter=64, layers=2, heads=4,
+                   rotary_pct=0.5, qk_layernorm=True, max_pos=64, seed=0):
+    from transformers import PersimmonConfig, PersimmonForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = PersimmonConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        max_position_embeddings=max_pos, partial_rotary_factor=rotary_pct,
+        qk_layernorm=qk_layernorm, layer_norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = PersimmonForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_smollm3(vocab=97, hidden=32, inter=48, layers=4, heads=4, kv_heads=2,
+                 max_pos=64, rope_interval=2, sliding_window=None, seed=0):
+    from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = SmolLM3Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, no_rope_layer_interval=rope_interval,
+        use_sliding_window=sliding_window is not None,
+        sliding_window=sliding_window, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    model = SmolLM3ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_glm(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+             head_dim=None, max_pos=64, v4=False, seed=0):
+    from transformers import (Glm4Config, Glm4ForCausalLM, GlmConfig,
+                              GlmForCausalLM)
+
+    torch.manual_seed(seed)
+    C, M = (Glm4Config, Glm4ForCausalLM) if v4 else (GlmConfig, GlmForCausalLM)
+    cfg = C(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim or hidden // heads,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        attention_bias=True, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    model = M(cfg).eval()
+    return model

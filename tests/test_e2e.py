@@ -291,7 +291,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
 @pytest.mark.parametrize("family", ["mistral", "neox", "gemma", "phi",
                                     "phi3", "stablelm", "mpt", "starcoder2",
                                     "starcoder", "olmo", "qwen3", "gemma2",
-                                    "olmo2"])
+                                    "olmo2", "cohere", "granite", "nemotron",
+                                    "persimmon", "glm4", "smollm3"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -325,6 +326,21 @@ def test_quantize_new_families(calib, family):
                                               sliding_window=8),
         "olmo2": lambda: hf_tiny.tiny_olmo2(hidden=32, inter=48, layers=2,
                                             heads=4, kv_heads=2),
+        "cohere": lambda: hf_tiny.tiny_cohere(hidden=32, inter=48, layers=2,
+                                              heads=4, kv_heads=2,
+                                              use_qk_norm=True),
+        "granite": lambda: hf_tiny.tiny_granite(hidden=32, inter=48, layers=2,
+                                                heads=4, kv_heads=2),
+        "nemotron": lambda: hf_tiny.tiny_nemotron(hidden=32, inter=64,
+                                                  layers=2, heads=4,
+                                                  kv_heads=2),
+        "persimmon": lambda: hf_tiny.tiny_persimmon(hidden=32, inter=64,
+                                                    layers=2, heads=4),
+        "glm4": lambda: hf_tiny.tiny_glm(hidden=32, inter=48, layers=2,
+                                         heads=4, kv_heads=2, v4=True),
+        "smollm3": lambda: hf_tiny.tiny_smollm3(hidden=32, inter=48, layers=4,
+                                                heads=4, kv_heads=2,
+                                                rope_interval=2),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

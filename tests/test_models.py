@@ -466,3 +466,100 @@ def test_int8_kv_cache_close_to_fp(rng):
         step, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
                                   cache)
         assert np.argmax(np.asarray(step)[0, 0]) == np.argmax(full[0, t])
+
+
+def test_cohere_parity(rng):
+    # parallel block (shared LN) + gated mlp + interleaved rope + logit_scale
+    model = hf_tiny.tiny_cohere()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.parallel_block and cfg.gated_mlp
+    assert cfg.logit_scale == 0.0625 and cfg.rope_style == "interleaved"
+
+
+def test_cohere_parity_qk_norm(rng):
+    # per-head mean-centering LN on q/k (weights [H, hd], no bias)
+    model = hf_tiny.tiny_cohere(use_qk_norm=True)
+    ids = rng.integers(0, 97, size=(1, 9))
+    params, cfg = _parity(model, ids)
+    assert cfg.qk_norm == "head_ln"
+
+
+def test_cohere2_parity_alternating_nope(rng):
+    # rope only on sliding-window layers; full-attention layers are NoPE
+    model = hf_tiny.tiny_cohere2(sliding_window=6, pattern=2)
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_layers is not None and 0 in cfg.rope_layers
+
+
+def test_granite_parity(rng):
+    # embedding/attention/residual multipliers + logits_scaling
+    model = hf_tiny.tiny_granite()
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.attn_scale == 0.015625 and cfg.residual_multiplier == 0.22
+    assert cfg.embed_scale == 6.0 and cfg.logit_scale == 0.125
+
+
+def test_nemotron_parity(rng):
+    # layernorm1p (weight+1) + relu^2 plain MLP + partial rotary
+    model = hf_tiny.tiny_nemotron()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.norm_type == "layernorm1p" and cfg.activation == "relu2"
+
+
+def test_persimmon_parity_qk_layernorm(rng):
+    # fused neox-layout qkv + per-head LN (shared weights + bias) + relu^2
+    model = hf_tiny.tiny_persimmon(qk_layernorm=True)
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.fused_qkv and cfg.qk_norm == "head_ln"
+
+
+def test_persimmon_parity_no_qk_norm(rng):
+    model = hf_tiny.tiny_persimmon(qk_layernorm=False)
+    ids = rng.integers(0, 97, size=(1, 8))
+    _parity(model, ids)
+
+
+def test_smollm3_parity_nope_layers(rng):
+    # every rope_interval-th layer skips rope (no_rope_layers)
+    model = hf_tiny.tiny_smollm3(rope_interval=2)
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_layers is not None and 0 in cfg.rope_layers
+
+
+def test_glm_parity(rng):
+    # interleaved partial rotary + qkv biases + fused gate_up split
+    model = hf_tiny.tiny_glm(v4=False)
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_style == "interleaved" and cfg.rotary_pct == 0.5
+
+
+def test_glm4_parity_sandwich_norms(rng):
+    model = hf_tiny.tiny_glm(v4=True)
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.branch_norms
+
+
+def test_cohere2_cache_decode_matches_full(rng):
+    from owq_tpu.models import import_hf_model
+
+    model = hf_tiny.tiny_cohere2(sliding_window=5, pattern=2)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    step = np.asarray(logits)[:, -1]
+    np.testing.assert_allclose(step, full[:, 5], atol=2e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=2e-4, rtol=1e-3)
