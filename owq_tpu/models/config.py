@@ -94,9 +94,29 @@ class ModelConfig:
     attn_scale: Optional[float] = None
     residual_multiplier: Optional[float] = None  # granite
     logit_scale: Optional[float] = None  # cohere logit_scale / granite 1/logits_scaling
-    # Mixture-of-experts (mixtral): 0 = dense mlp
+    # Mixture-of-experts (mixtral/deepseek): 0 = dense mlp
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # deepseek MoE structure: dense first-k layers, shared experts always on
+    n_shared_experts: int = 0
+    first_k_dense: int = 0
+    # routing semantics: 'mixtral' = softmax + topk + renorm;
+    # 'deepseek_v2' = softmax + optional group-max mask, no renorm;
+    # 'deepseek_v3' = sigmoid + correction bias + group-top2sum mask
+    router_kind: str = "mixtral"
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    router_norm_topk: bool = True
+    # MLA (deepseek v2/v3): low-rank q/kv projections; rope on a small
+    # per-head slice with one shared (MQA-style) rope key.  head_dim(_override)
+    # is the q/k head dim (nope+rope); v_head_dim is the value head dim.
+    mla: bool = False
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: Optional[int] = None
     # Tensor parallelism: a shard-local config divides head counts but the
     # per-head dim stays global, so it must be pinned explicitly; tp_size
     # records the shard count (ALiBi slopes need the global head count).
@@ -106,6 +126,11 @@ class ModelConfig:
     @property
     def head_dim(self) -> int:
         return self.head_dim_override or self.hidden_size // self.num_heads
+
+    @property
+    def v_dim(self) -> int:
+        """Value head dim (== head_dim except MLA, where k is nope+rope)."""
+        return self.v_head_dim or self.head_dim
 
     @property
     def embed_dim(self) -> int:
@@ -236,6 +261,18 @@ ARCH_REGISTRY["nemotron"] = ArchSpec(
 # persimmon: neox-shaped linear set (fused query_key_value, 2-layer MLP)
 ARCH_REGISTRY["persimmon"] = dataclasses.replace(ARCH_REGISTRY["neox"],
                                                  family="persimmon")
+# deepseek: MLA projections + llama-shaped (shared/routed) expert MLPs
+ARCH_REGISTRY["deepseek"] = ArchSpec(
+    family="deepseek",
+    map_layer={"q": "attn.q", "q_a": "attn.q_a", "q_b": "attn.q_b",
+               "kv_a": "attn.kv_a", "kv_b": "attn.kv_b", "o": "attn.o",
+               "up": "mlp.up", "gate": "mlp.gate", "down": "mlp.down"},
+    ratios={"attn.q": 1.0, "attn.q_a": 1.0, "attn.q_b": 1.0,
+            "attn.kv_a": 1.0, "attn.kv_b": 1.0, "attn.o": 1.0,
+            "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.q", "attn.q_a", "attn.q_b", "attn.kv_a", "attn.kv_b"),
+                ("attn.o",), ("mlp.up", "mlp.gate"), ("mlp.down",)),
+)
 
 
 def arch_for_model(model_name: str) -> ArchSpec:
@@ -283,6 +320,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["persimmon"]
     if "smollm3" in name:
         return ARCH_REGISTRY["smollm3"]
+    if "deepseek" in name:
+        return ARCH_REGISTRY["deepseek"]
     if "glm" in name:
         return ARCH_REGISTRY["glm"]
     if "gpt-j" in name or "gptj" in name:
@@ -953,6 +992,74 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             attn_bias=not hf_config.no_bias,
             mlp_bias=not hf_config.no_bias,
             gated_mlp=False,
+        )
+    if mt in ("deepseek_v2", "deepseek_v3"):
+        # MLA + shared-expert MoE.  The attention scale is qk_head_dim**-0.5,
+        # with the yarn mscale^2 correction folded in for v3 long-context
+        # checkpoints (HF DeepseekV3Attention.__init__).
+        import math
+
+        qk_head = hf_config.qk_nope_head_dim + hf_config.qk_rope_head_dim
+        attn_scale = None
+        sc = getattr(hf_config, "rope_scaling", None)
+        if mt == "deepseek_v3" and sc is not None:
+            mscale_all = sc.get("mscale_all_dim", 0)
+            if mscale_all:
+                f = sc["factor"]
+                ms = (1.0 if f <= 1
+                      else 0.1 * mscale_all * math.log(f) + 1.0)
+                attn_scale = qk_head ** -0.5 * ms * ms
+        if mt == "deepseek_v3":
+            style = ("interleaved"
+                     if getattr(hf_config, "rope_interleave", True) else "half")
+            kind = "deepseek_v3"
+            norm_topk = hf_config.norm_topk_prob
+            grouped = True
+        else:
+            style = "interleaved"  # HF v2 applies rope via complex pairs
+            kind = "deepseek_v2"
+            norm_topk = False  # HF v2 router never renormalizes
+            grouped = (getattr(hf_config, "topk_method", "greedy")
+                       == "group_limited_greedy")
+        return ModelConfig(
+            family="deepseek",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(sc),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style=style,
+            rotary_dim=hf_config.qk_rope_head_dim,
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            mla=True,
+            q_lora_rank=getattr(hf_config, "q_lora_rank", None),
+            kv_lora_rank=hf_config.kv_lora_rank,
+            qk_nope_head_dim=hf_config.qk_nope_head_dim,
+            qk_rope_head_dim=hf_config.qk_rope_head_dim,
+            v_head_dim=hf_config.v_head_dim,
+            head_dim_override=qk_head,
+            attn_scale=attn_scale,
+            num_experts=getattr(hf_config, "n_routed_experts", 0) or 0,
+            num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 0)
+            or 0,
+            n_shared_experts=getattr(hf_config, "n_shared_experts", 0) or 0,
+            first_k_dense=getattr(hf_config, "first_k_dense_replace", 0),
+            router_kind=kind,
+            n_group=(hf_config.n_group if grouped else 1) or 1,
+            topk_group=(hf_config.topk_group if grouped else 1) or 1,
+            routed_scaling_factor=getattr(hf_config, "routed_scaling_factor",
+                                          1.0),
+            router_norm_topk=norm_topk,
         )
     if mt in ("falcon", "RefinedWeb", "RefinedWebModel"):
         n_kv = hf_config.num_attention_heads

@@ -333,6 +333,69 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             })
         p["layers"] = layers
 
+    elif fam == "deepseek":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            ap = lp + "self_attn."
+            attn: Dict[str, Any] = {
+                "kv_a": _linear(sd, ap + "kv_a_proj_with_mqa", dtype),
+                "kv_a_norm": _ln(sd, ap + "kv_a_layernorm", dtype),
+                "kv_b": _linear(sd, ap + "kv_b_proj", dtype),
+                "o": _linear(sd, ap + "o_proj", dtype),
+            }
+            if ap + "q_proj.weight" in sd:  # v2-lite: no q low-rank
+                attn["q"] = _linear(sd, ap + "q_proj", dtype)
+            else:
+                attn["q_a"] = _linear(sd, ap + "q_a_proj", dtype)
+                attn["q_a_norm"] = _ln(sd, ap + "q_a_layernorm", dtype)
+                attn["q_b"] = _linear(sd, ap + "q_b_proj", dtype)
+            mp = lp + "mlp."
+            if mp + "gate.weight" in sd:  # MoE block
+                mlp: Dict[str, Any] = {
+                    # router weight is a bare [E, hidden] parameter
+                    "router": DenseLinear(
+                        w=jnp.asarray(_np(sd[mp + "gate.weight"]).T, dtype),
+                        b=None),
+                    "experts": [
+                        {"gate": _linear(sd, f"{mp}experts.{e}.gate_proj",
+                                         dtype),
+                         "up": _linear(sd, f"{mp}experts.{e}.up_proj", dtype),
+                         "down": _linear(sd, f"{mp}experts.{e}.down_proj",
+                                         dtype)}
+                        for e in range(cfg.num_experts)],
+                }
+                if mp + "gate.e_score_correction_bias" in sd:  # v3 noaux-tc
+                    mlp["router_bias"] = jnp.asarray(
+                        _np(sd[mp + "gate.e_score_correction_bias"]),
+                        jnp.float32)
+                if mp + "shared_experts.gate_proj.weight" in sd:
+                    mlp["shared"] = {
+                        "gate": _linear(sd, mp + "shared_experts.gate_proj",
+                                        dtype),
+                        "up": _linear(sd, mp + "shared_experts.up_proj",
+                                      dtype),
+                        "down": _linear(sd, mp + "shared_experts.down_proj",
+                                        dtype),
+                    }
+            else:  # dense block (layer < first_k_dense_replace)
+                mlp = {
+                    "gate": _linear(sd, mp + "gate_proj", dtype),
+                    "up": _linear(sd, mp + "up_proj", dtype),
+                    "down": _linear(sd, mp + "down_proj", dtype),
+                }
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": attn,
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": mlp,
+            })
+        p["layers"] = layers
+
     elif fam == "nemotron":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),

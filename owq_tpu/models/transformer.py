@@ -68,15 +68,31 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
     """Dotted quantization-target names for a config.
 
     MoE models enumerate per-expert linears (the router stays fp, like the
-    reference keeps lm_head fp); dense models use the family table.
+    reference keeps lm_head fp); dense models use the family table.  For
+    heterogeneous-layer models (deepseek: dense first-k blocks, then MoE
+    with shared experts) this is the union over layers — callers filter to
+    the names actually present in each block.
     """
+    if cfg.mla:
+        attn = ((("attn.q",) if cfg.q_lora_rank is None
+                 else ("attn.q_a", "attn.q_b"))
+                + ("attn.kv_a", "attn.kv_b", "attn.o"))
+    elif cfg.num_experts:
+        attn = ("attn.q", "attn.k", "attn.v", "attn.o")
+    else:
+        return QUANTIZABLE[cfg.family]
+    names = list(attn)
     if cfg.num_experts:
-        names = ["attn.q", "attn.k", "attn.v", "attn.o"]
+        if cfg.first_k_dense > 0:
+            names += ["mlp.gate", "mlp.up", "mlp.down"]
         for e in range(cfg.num_experts):
             names += [f"mlp.experts.{e}.gate", f"mlp.experts.{e}.up",
                       f"mlp.experts.{e}.down"]
-        return tuple(names)
-    return QUANTIZABLE[cfg.family]
+        if cfg.n_shared_experts:
+            names += ["mlp.shared.gate", "mlp.shared.up", "mlp.shared.down"]
+    else:
+        names += ["mlp.gate", "mlp.up", "mlp.down"]
+    return tuple(names)
 
 
 @jax.tree_util.register_dataclass
@@ -138,8 +154,9 @@ class KVCache:
 
 def init_cache(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+    base = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
+    return KVCache(k=jnp.zeros(base + (cfg.head_dim,), dtype),
+                   v=jnp.zeros(base + (cfg.v_dim,), dtype),
                    length=jnp.zeros((), jnp.int32))
 
 
@@ -166,12 +183,12 @@ class QuantKVCache:
 
 
 def init_quant_cache(cfg: ModelConfig, batch: int, max_len: int) -> QuantKVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    sshape = shape[:-1]
+    base = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
     return QuantKVCache(
-        k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-        k_scale=jnp.ones(sshape, jnp.float32),
-        v_scale=jnp.ones(sshape, jnp.float32),
+        k=jnp.zeros(base + (cfg.head_dim,), jnp.int8),
+        v=jnp.zeros(base + (cfg.v_dim,), jnp.int8),
+        k_scale=jnp.ones(base, jnp.float32),
+        v_scale=jnp.ones(base, jnp.float32),
         length=jnp.zeros((), jnp.int32))
 
 
@@ -409,7 +426,44 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             if pre_norm and cfg.input_norms else x)
     attn_p = blk["attn"]
 
-    if cfg.fused_qkv:
+    if cfg.mla:
+        # deepseek multi-head latent attention: low-rank q/kv projections;
+        # rope covers only the last qk_rope_head_dim lanes of each q head
+        # and ONE shared key slice broadcast to all heads (the MQA trick);
+        # v has its own (smaller) head dim.
+        dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+        if "q" in attn_p:  # no q-lora (deepseek-v2-lite)
+            if "attn.q" in taps:
+                tapped["attn.q"] = x_ln
+            q = _lin(attn_p["q"], x_ln, kernel)
+        else:
+            if "attn.q_a" in taps:
+                tapped["attn.q_a"] = x_ln
+            q_lat = _lin(attn_p["q_a"], x_ln, kernel)
+            q_lat = rmsnorm(q_lat, attn_p["q_a_norm"]["w"], cfg.norm_eps)
+            if "attn.q_b" in taps:
+                tapped["attn.q_b"] = q_lat
+            q = _lin(attn_p["q_b"], q_lat, kernel)
+        q = q.reshape(B, T, H, dn + dr)
+        q_nope, q_rot = q[..., :dn], q[..., dn:]
+        if "attn.kv_a" in taps:
+            tapped["attn.kv_a"] = x_ln
+        ckv = _lin(attn_p["kv_a"], x_ln, kernel)
+        kv_lat, k_rot = ckv[..., :cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+        kv_lat = rmsnorm(kv_lat, attn_p["kv_a_norm"]["w"], cfg.norm_eps)
+        if "attn.kv_b" in taps:
+            tapped["attn.kv_b"] = kv_lat
+        kvp = _lin(attn_p["kv_b"], kv_lat, kernel)
+        kvp = kvp.reshape(B, T, H, dn + cfg.v_dim)
+        k_nope, v = kvp[..., :dn], kvp[..., dn:]
+        k_rot = k_rot.reshape(B, T, 1, dr)
+        if rope is not None:
+            q_rot, k_rot = apply_rope(q_rot, k_rot, *rope,
+                                      style=cfg.rope_style)
+        q = jnp.concatenate([q_nope, q_rot], axis=-1)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_rot, (B, T, H, dr))], axis=-1)
+    elif cfg.fused_qkv:
         if "attn.qkv" in taps:
             tapped["attn.qkv"] = x_ln
         qkv = _lin(attn_p["qkv"], x_ln, kernel)
@@ -433,12 +487,12 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
 
-    if cfg.qk_norm in ("head", "head_ln"):  # qwen3 rms / cohere-persimmon ln
-        q = _qk_norm(attn_p["q_norm"], cfg, q, None)
-        k = _qk_norm(attn_p["k_norm"], cfg, k, None)
-
-    if rope is not None:
-        q, k = apply_rope(q, k, *rope, style=cfg.rope_style)
+    if not cfg.mla:
+        if cfg.qk_norm in ("head", "head_ln"):  # qwen3 rms / cohere ln
+            q = _qk_norm(attn_p["q_norm"], cfg, q, None)
+            k = _qk_norm(attn_p["k_norm"], cfg, k, None)
+        if rope is not None:
+            q, k = apply_rope(q, k, *rope, style=cfg.rope_style)
 
     if kv is not None:
         quantized = len(kv) == 4
@@ -477,7 +531,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
              else (cfg.attn_scale_override or hd) ** -0.5)
     ctx = attention_core(q, k_att, v_att, bias, scale,
                          softcap=cfg.attn_logit_softcap)
-    ctx = ctx.reshape(B, T, H * hd)
+    ctx = ctx.reshape(B, T, H * (cfg.v_dim if cfg.mla else hd))
     if "attn.o" in taps:
         tapped["attn.o"] = ctx
     attn_out = _lin(attn_p["o"], ctx, kernel)
@@ -528,17 +582,48 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     x_ln2 = (_norm(blk.get("ln2"), cfg, x)
              if pre_norm and cfg.input_norms else x)
     mlp = blk["mlp"]
-    if cfg.num_experts:
-        # Mixtral-style sparse MoE, computed densely: every (local) expert
-        # processes all tokens and is weighted by its routing probability
-        # (0 for tokens not routed to it).  Dense compute keeps the matmuls
-        # MXU-shaped and static; under expert parallelism each shard holds
-        # E/tp whole experts and the weighted sum is psum-reduced.
+    if cfg.num_experts and "experts" in mlp:
+        # Sparse MoE, computed densely: every (local) expert processes all
+        # tokens and is weighted by its routing probability (0 for tokens
+        # not routed to it).  Dense compute keeps the matmuls MXU-shaped
+        # and static; under expert parallelism each shard holds E/tp whole
+        # experts and the weighted sum is psum-reduced.  Deepseek blocks
+        # below first_k_dense have a plain gated mlp and skip this branch.
         E, K = cfg.num_experts, cfg.num_experts_per_tok
         logits = _lin(mlp["router"], x_ln2, kernel).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)               # [B,T,E]
-        topv, topi = jax.lax.top_k(probs, K)
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)    # HF renorm
+        if cfg.router_kind == "mixtral":
+            probs = jax.nn.softmax(logits, axis=-1)           # [B,T,E]
+            topv, topi = jax.lax.top_k(probs, K)
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # HF renorm
+        else:
+            # deepseek_v2: softmax scores, optional group-max mask, no
+            # renorm; deepseek_v3: sigmoid scores + e_score correction bias
+            # for selection, group mask by sum of top-2 scores per group,
+            # weights gathered from the UNbiased scores then renormalized.
+            if cfg.router_kind == "deepseek_v3":
+                scores = jax.nn.sigmoid(logits)
+            else:
+                scores = jax.nn.softmax(logits, axis=-1)
+            choice = scores
+            if "router_bias" in mlp:
+                choice = choice + mlp["router_bias"].astype(jnp.float32)
+            if cfg.n_group > 1:
+                G = cfg.n_group
+                gsh = choice.reshape(choice.shape[:-1] + (G, E // G))
+                if cfg.router_kind == "deepseek_v3":
+                    g_scores = jnp.sum(jax.lax.top_k(gsh, 2)[0], axis=-1)
+                else:
+                    g_scores = jnp.max(gsh, axis=-1)
+                _, gidx = jax.lax.top_k(g_scores, cfg.topk_group)
+                gmask = jnp.sum(jax.nn.one_hot(gidx, G, dtype=jnp.float32),
+                                axis=-2)                      # [B,T,G]
+                choice = jnp.where(
+                    jnp.repeat(gmask, E // G, axis=-1) > 0, choice, 0.0)
+            _, topi = jax.lax.top_k(choice, K)
+            topv = jnp.take_along_axis(scores, topi, axis=-1)
+            if cfg.router_norm_topk:
+                topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+            topv = topv * cfg.routed_scaling_factor
         experts = mlp["experts"]
         bank = isinstance(experts, ExpertBank)
         localE = experts.n_local if bank else len(experts)
@@ -567,6 +652,16 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 exp["down"], h, kernel)
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        if "shared" in mlp:  # deepseek shared experts: process every token
+            sh = mlp["shared"]
+            for name in ("mlp.shared.gate", "mlp.shared.up"):
+                if name in taps:
+                    tapped[name] = x_ln2
+            hs = (activation(_lin(sh["gate"], x_ln2, kernel), cfg.activation)
+                  * _lin(sh["up"], x_ln2, kernel))
+            if "mlp.shared.down" in taps:
+                tapped["mlp.shared.down"] = hs
+            mlp_out = mlp_out + _lin(sh["down"], hs, kernel)
         if cfg.residual_multiplier is not None:
             mlp_out = mlp_out * cfg.residual_multiplier
         y = res + mlp_out

@@ -43,7 +43,9 @@ __all__ = ["shard_model_tp", "param_pspecs", "make_tp_forward",
 # dotted paths (within a block) of row-parallel linears
 _ROW_PARALLEL = {"attn.o", "mlp.down", "mlp.fc2"}
 _COL_PARALLEL = {"attn.q", "attn.k", "attn.v", "attn.qkv", "mlp.gate",
-                 "mlp.up", "mlp.fc1"}
+                 "mlp.up", "mlp.fc1", "attn.q_b", "attn.kv_b"}
+# small latent projections (MLA) and routers compute redundantly per shard
+_REPLICATED = {"attn.q_a", "attn.kv_a", "mlp.router"}
 
 
 def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
@@ -175,7 +177,7 @@ def _linear_spec(name: str, lin, replicate: bool = False) -> Any:
     """PartitionSpec pytree for one linear."""
     if isinstance(lin, ExpertBank):
         return _expert_bank_spec(lin)
-    if name == "mlp.router":  # MoE router: replicated (tiny)
+    if name in _REPLICATED:  # routers + MLA latent projections (tiny)
         replicate = True
     if replicate:
         if isinstance(lin, PackedLinear):
@@ -245,14 +247,23 @@ def param_pspecs(params: Dict[str, Any],
                 qk_spec = ({"w": P(TP_AXIS)}
                            if cfg is not None and cfg.qk_norm == "proj"
                            else None)
-                bspec[key] = {
-                    leaf: ((qk_spec or norm_spec(lin))
-                           if leaf.endswith("_norm")
-                           else _linear_spec(
-                               f"{key}.{leaf}", lin,
-                               replicate=(mqa and key == "attn"
-                                          and leaf in ("k", "v"))))
-                    for leaf, lin in val.items()}
+                def leaf_spec(leaf, lin):
+                    if leaf.endswith("_norm"):
+                        return qk_spec or norm_spec(lin)
+                    if leaf == "router_bias":  # raw array (v3 noaux-tc bias)
+                        return P()
+                    if leaf == "shared":  # deepseek shared experts: small,
+                        # replicated (their output adds after the EP psum)
+                        return {k2: _linear_spec(f"{key}.shared.{k2}", l2,
+                                                 replicate=True)
+                                for k2, l2 in lin.items()}
+                    return _linear_spec(
+                        f"{key}.{leaf}", lin,
+                        replicate=(mqa and key == "attn"
+                                   and leaf in ("k", "v")))
+
+                bspec[key] = {leaf: leaf_spec(leaf, lin)
+                              for leaf, lin in val.items()}
         blocks.append(bspec)
     specs["layers"] = blocks
     return specs

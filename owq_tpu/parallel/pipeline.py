@@ -124,11 +124,12 @@ class StagedModel:
     def init_caches(self, batch: int, max_len: int, dtype=jnp.bfloat16):
         caches = []
         for s, blocks in enumerate(self.stages):
-            shape = (len(blocks), batch, max_len, self.cfg.num_kv_heads,
-                     self.cfg.head_dim)
+            base = (len(blocks), batch, max_len, self.cfg.num_kv_heads)
             caches.append((
-                jax.device_put(jnp.zeros(shape, dtype), self.devices[s]),
-                jax.device_put(jnp.zeros(shape, dtype), self.devices[s])))
+                jax.device_put(jnp.zeros(base + (self.cfg.head_dim,), dtype),
+                               self.devices[s]),
+                jax.device_put(jnp.zeros(base + (self.cfg.v_dim,), dtype),
+                               self.devices[s])))
         return caches
 
     def generate_greedy(self, prompt_ids, max_new_tokens: int,

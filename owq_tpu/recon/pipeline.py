@@ -69,6 +69,18 @@ def _get_linear(blk: Dict[str, Any], name: str) -> DenseLinear:
     return node[leaf]
 
 
+def _has_linear(blk: Dict[str, Any], name: str) -> bool:
+    """True when the dotted name resolves in this block (heterogeneous-layer
+    models: deepseek dense first-k blocks lack expert names and vice versa)."""
+    try:
+        node, leaf = _walk(blk, name)
+    except (KeyError, IndexError, TypeError):
+        return False
+    if isinstance(node, list):
+        return 0 <= leaf < len(node)
+    return isinstance(node, dict) and leaf in node
+
+
 def _set_linear(blk: Dict[str, Any], name: str, lin) -> None:
     node, leaf = _walk(blk, name)
     node[leaf] = lin
@@ -82,6 +94,8 @@ def _ratio_for(arch: ArchSpec, name: str) -> float:
     parts = name.split(".")
     if len(parts) == 4 and parts[:2] == ["mlp", "experts"]:
         return arch.ratios.get(f"mlp.{parts[3]}", 0.0)
+    if len(parts) == 3 and parts[:2] == ["mlp", "shared"]:
+        return arch.ratios.get(f"mlp.{parts[2]}", 0.0)
     return 0.0
 
 
@@ -92,6 +106,15 @@ def _sequential_groups(arch: ArchSpec, cfg: ModelConfig):
     if not cfg.num_experts:
         return arch.sequential
     E = cfg.num_experts
+    if cfg.mla:
+        qkv = (("attn.q",) if cfg.q_lora_rank is None
+               else ("attn.q_a", "attn.q_b")) + ("attn.kv_a", "attn.kv_b")
+        gates_ups = ["mlp.gate", "mlp.up", "mlp.shared.gate", "mlp.shared.up"]
+        downs = ["mlp.down", "mlp.shared.down"]
+        gates_ups += [f"mlp.experts.{e}.{l}" for e in range(E)
+                      for l in ("gate", "up")]
+        downs += [f"mlp.experts.{e}.down" for e in range(E)]
+        return (qkv, ("attn.o",), tuple(gates_ups), tuple(downs))
     return (("attn.q", "attn.k", "attn.v"), ("attn.o",),
             tuple(f"mlp.experts.{e}.{l}" for e in range(E)
                   for l in ("gate", "up")),
@@ -111,9 +134,12 @@ def outlier_budget(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
     if target_bit is not None:
         n_owq = sum(bool(v) for v in owq_layers.values())
         r = (12.0 / (16 - wbits)) * (target_bit - wbits) / n_owq
-        blk0 = params["layers"][0]
         for n in names:
             if not owq_layers.get(n, False):
+                continue
+            blk0 = next((b for b in params["layers"] if _has_linear(b, n)),
+                        None)
+            if blk0 is None:
                 continue
             infeat = _get_linear(blk0, n).in_features
             ratio = _ratio_for(arch, n)
@@ -264,7 +290,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                 del blk
             continue
         for group in groups:
-            taps = tuple(n for n in group if n in names)
+            taps = tuple(n for n in group
+                         if n in names and _has_linear(blk, n))
             # Hessian accumulation over calibration chunks
             hessians = {n: None for n in taps}
             for s in range(0, ns, chunk):

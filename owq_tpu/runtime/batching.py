@@ -157,10 +157,10 @@ class Engine:
         self._key = jax.random.PRNGKey(seed)
         self.prompt_buckets = sorted(prompt_buckets)
 
-        shape = (cfg.num_layers, max_batch, max_len, cfg.num_kv_heads,
-                 cfg.head_dim)
+        base = (cfg.num_layers, max_batch, max_len, cfg.num_kv_heads)
         self.cache = KVCache(
-            k=jnp.zeros(shape, cache_dtype), v=jnp.zeros(shape, cache_dtype),
+            k=jnp.zeros(base + (cfg.head_dim,), cache_dtype),
+            v=jnp.zeros(base + (cfg.v_dim,), cache_dtype),
             length=jnp.zeros((max_batch,), jnp.int32))
         self.cur_tok = np.zeros((max_batch,), np.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_batch

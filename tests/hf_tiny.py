@@ -460,3 +460,57 @@ def tiny_glm(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
     )
     model = M(cfg).eval()
     return model
+
+
+def tiny_deepseek_v3(vocab=97, hidden=32, inter=48, moe_inter=16, layers=3,
+                     heads=4, q_lora=24, kv_lora=16, nope=8, rope_dim=4,
+                     v_dim=8, experts=8, topk=2, n_group=2, topk_group=1,
+                     shared=1, first_dense=1, max_pos=64, interleave=True,
+                     seed=0):
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = DeepseekV3Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        moe_intermediate_size=moe_inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=heads,
+        q_lora_rank=q_lora, kv_lora_rank=kv_lora, qk_nope_head_dim=nope,
+        qk_rope_head_dim=rope_dim, v_head_dim=v_dim,
+        n_routed_experts=experts, num_experts_per_tok=topk,
+        n_group=n_group, topk_group=topk_group, n_shared_experts=shared,
+        first_k_dense_replace=first_dense, routed_scaling_factor=2.5,
+        norm_topk_prob=True, max_position_embeddings=max_pos,
+        rope_interleave=interleave, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = DeepseekV3ForCausalLM(cfg).eval()
+    # the router correction bias initializes to zero; perturb it so the
+    # noaux-tc selection path is actually exercised
+    with torch.no_grad():
+        for layer in model.model.layers[first_dense:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    return model
+
+
+def tiny_deepseek_v2(vocab=97, hidden=32, inter=48, moe_inter=16, layers=3,
+                     heads=4, q_lora=None, kv_lora=16, nope=8, rope_dim=4,
+                     v_dim=8, experts=8, topk=2, topk_method="greedy",
+                     n_group=None, topk_group=None, shared=1, first_dense=1,
+                     max_pos=64, seed=0):
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = DeepseekV2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        moe_intermediate_size=moe_inter, num_hidden_layers=layers,
+        num_attention_heads=heads, q_lora_rank=q_lora, kv_lora_rank=kv_lora,
+        qk_nope_head_dim=nope, qk_rope_head_dim=rope_dim, v_head_dim=v_dim,
+        n_routed_experts=experts, num_experts_per_tok=topk,
+        topk_method=topk_method, n_group=n_group, topk_group=topk_group,
+        n_shared_experts=shared, first_k_dense_replace=first_dense,
+        routed_scaling_factor=1.5, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = DeepseekV2ForCausalLM(cfg).eval()
+    return model

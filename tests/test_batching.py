@@ -83,3 +83,20 @@ def test_engine_gemma2_alternating_windows(rng):
                  prompt_buckets=(16,))
     out = eng.run(prompts, max_new_tokens=6)
     assert [out[i] for i in sorted(out)] == want
+
+
+def test_engine_deepseek_mla(rng):
+    # MLA caches per-head k at qk dim (12) and v at its own dim (8); the
+    # engine's prefill-collect + slot insert + decode must carry both
+    model = hf_tiny.tiny_deepseek_v3(layers=2, experts=4, n_group=2,
+                                     topk_group=1)
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (7, 4)]
+    want = [generate(params, cfg, p[None, :], 5, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=5)
+    assert [out[i] for i in sorted(out)] == want

@@ -292,7 +292,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "phi3", "stablelm", "mpt", "starcoder2",
                                     "starcoder", "olmo", "qwen3", "gemma2",
                                     "olmo2", "cohere", "granite", "nemotron",
-                                    "persimmon", "glm4", "smollm3"])
+                                    "persimmon", "glm4", "smollm3",
+                                    "deepseek", "deepseek-v2-lite"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -341,6 +342,12 @@ def test_quantize_new_families(calib, family):
         "smollm3": lambda: hf_tiny.tiny_smollm3(hidden=32, inter=48, layers=4,
                                                 heads=4, kv_heads=2,
                                                 rope_interval=2),
+        # heterogeneous blocks: dense first layer + MoE with shared experts;
+        # MLA low-rank projections quantized via latent-input Hessians
+        "deepseek": lambda: hf_tiny.tiny_deepseek_v3(layers=3, experts=4,
+                                                     n_group=2, topk_group=1),
+        "deepseek-v2-lite": lambda: hf_tiny.tiny_deepseek_v2(
+            q_lora=None, experts=4, topk_method="greedy"),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -563,3 +563,56 @@ def test_cohere2_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_deepseek_v3_parity_mla_moe(rng):
+    # MLA (low-rank q/kv, shared rope key) + sigmoid noaux-tc group routing
+    # + shared experts + dense first-k layer + interleaved rope
+    model = hf_tiny.tiny_deepseek_v3()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.mla and cfg.router_kind == "deepseek_v3"
+    assert cfg.n_shared_experts == 1 and cfg.first_k_dense == 1
+
+
+def test_deepseek_v3_parity_no_interleave(rng):
+    model = hf_tiny.tiny_deepseek_v3(interleave=False)
+    ids = rng.integers(0, 97, size=(1, 9))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_style == "half"
+
+
+def test_deepseek_v2_parity_lite(rng):
+    # v2-lite: no q low-rank projection; greedy softmax routing, no renorm
+    model = hf_tiny.tiny_deepseek_v2(q_lora=None, topk_method="greedy")
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.mla and cfg.q_lora_rank is None
+    assert cfg.router_kind == "deepseek_v2" and not cfg.router_norm_topk
+
+
+def test_deepseek_v2_parity_group_limited(rng):
+    model = hf_tiny.tiny_deepseek_v2(q_lora=24,
+                                     topk_method="group_limited_greedy",
+                                     n_group=2, topk_group=1)
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.n_group == 2
+
+
+def test_deepseek_v3_cache_decode_matches_full(rng):
+    # the MLA cache stores per-head k at qk dim and v at its own dim
+    model = hf_tiny.tiny_deepseek_v3()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    assert cache.k.shape[-1] == 12 and cache.v.shape[-1] == 8
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=2e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=2e-4, rtol=1e-3)

@@ -279,3 +279,34 @@ def test_sequence_parallel_prefill_matches(rng):
         fwd = make_sp_prefill(mesh, cfg)
         got = np.asarray(fwd(params, jnp.asarray(ids)))
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_tp_deepseek_mla_forward_and_decode(rng):
+    """MLA under TP: q_b/kv_b column-parallel over heads, q_a/kv_a and the
+    shared rope key replicated, o row-parallel; experts EP-sharded; shared
+    experts replicated (added after the psum)."""
+    from owq_tpu.parallel import make_tp_decode
+
+    model = hf_tiny.tiny_deepseek_v3(layers=2, experts=4, n_group=2,
+                                     topk_group=1)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(2, 8)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh, cfg)
+        fwd = make_tp_forward(mesh, cfg, params_tp)
+        got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+        step, make_cache = make_tp_decode(mesh, cfg, params_tp,
+                                          dtype=jnp.float32)
+        cache = make_cache(2, 16, cache_dtype=jnp.float32)
+        logits, cache = step(params_tp, jnp.asarray(ids[:, :5]), cache)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref)[:, 4],
+                                   atol=2e-4, rtol=1e-3)
+        logits, cache = step(params_tp, jnp.asarray(ids[:, 5:6]), cache)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref)[:, 5],
+                                   atol=2e-4, rtol=1e-3)
