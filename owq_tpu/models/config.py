@@ -103,11 +103,17 @@ class ModelConfig:
     # routing semantics: 'mixtral' = softmax + topk + renorm;
     # 'deepseek_v2' = softmax + optional group-max mask, no renorm;
     # 'deepseek_v3' = sigmoid + correction bias + group-top2sum mask
+    # 'gpt_oss' = top-k on raw logits, softmax over the selected values
     router_kind: str = "mixtral"
     n_group: int = 1
     topk_group: int = 1
     routed_scaling_factor: float = 1.0
     router_norm_topk: bool = True
+    # expert inner math: 'gated' = act(gate(x)) * up(x); 'gpt_oss' =
+    # (clip(up)+1) * clamped-swiglu(gate) with alpha=1.702
+    moe_act: str = "gated"
+    swiglu_limit: float = 7.0
+    attn_sinks: bool = False  # gpt-oss per-head attention-sink logits
     # MLA (deepseek v2/v3): low-rank q/kv projections; rope on a small
     # per-head slice with one shared (MQA-style) rope key.  head_dim(_override)
     # is the q/k head dim (nope+rope); v_head_dim is the value head dim.
@@ -261,6 +267,9 @@ ARCH_REGISTRY["nemotron"] = ArchSpec(
 # persimmon: neox-shaped linear set (fused query_key_value, 2-layer MLP)
 ARCH_REGISTRY["persimmon"] = dataclasses.replace(ARCH_REGISTRY["neox"],
                                                  family="persimmon")
+# gpt_oss: llama-shaped attention + per-expert gated MLPs
+ARCH_REGISTRY["gpt_oss"] = dataclasses.replace(ARCH_REGISTRY["llama"],
+                                               family="gpt_oss")
 # deepseek: MLA projections + llama-shaped (shared/routed) expert MLPs
 ARCH_REGISTRY["deepseek"] = ArchSpec(
     family="deepseek",
@@ -322,6 +331,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["smollm3"]
     if "deepseek" in name:
         return ARCH_REGISTRY["deepseek"]
+    if "gpt-oss" in name or "gpt_oss" in name:
+        return ARCH_REGISTRY["gpt_oss"]
     if "glm" in name:
         return ARCH_REGISTRY["glm"]
     if "gpt-j" in name or "gptj" in name:
@@ -992,6 +1003,109 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             attn_bias=not hf_config.no_bias,
             mlp_bias=not hf_config.no_bias,
             gated_mlp=False,
+        )
+    if mt == "gpt_oss":
+        return ModelConfig(
+            family="gpt_oss",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", True),
+            head_dim_override=hf_config.head_dim,
+            sliding_window=hf_config.sliding_window,
+            layer_types=tuple(hf_config.layer_types),
+            attn_sinks=True,
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            router_kind="gpt_oss",
+            moe_act="gpt_oss",
+            swiglu_limit=getattr(hf_config, "swiglu_limit", 7.0),
+        )
+    if mt in ("qwen2_moe", "qwen3_moe"):
+        # qwen attention (v2: qkv bias; v3: per-head rms qk-norm) + mixtral
+        # routing with config-driven renorm; qwen2 adds a sigmoid-gated
+        # shared expert.  Sparse/dense layer pattern comes from the state
+        # dict (decoder_sparse_step / mlp_only_layers).
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            qk_norm="head" if mt == "qwen3_moe" else None,
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            sliding_window=(hf_config.sliding_window
+                            if getattr(hf_config, "use_sliding_window", False)
+                            else None),
+            num_experts=hf_config.num_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            n_shared_experts=1 if mt == "qwen2_moe" else 0,
+            router_kind="mixtral",
+            router_norm_topk=hf_config.norm_topk_prob,
+        )
+    if mt == "glm4_moe":
+        # glm-4.5/4.6: HALF-style partial rotary (unlike glm/glm4's
+        # interleaved pairing), optional per-head rms qk-norm, deepseek-v3
+        # routing (sigmoid noaux-tc, group top2sum, e_score correction
+        # bias), shared experts, dense first-k layers
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style="half",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.5),
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            qk_norm=("head" if getattr(hf_config, "use_qk_norm", False)
+                     else None),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            num_experts=hf_config.n_routed_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            n_shared_experts=hf_config.n_shared_experts,
+            first_k_dense=hf_config.first_k_dense_replace,
+            router_kind="deepseek_v3",
+            n_group=hf_config.n_group or 1,
+            topk_group=hf_config.topk_group or 1,
+            routed_scaling_factor=hf_config.routed_scaling_factor,
+            router_norm_topk=hf_config.norm_topk_prob,
         )
     if mt in ("deepseek_v2", "deepseek_v3"):
         # MLA + shared-expert MoE.  The attention scale is qk_head_dim**-0.5,

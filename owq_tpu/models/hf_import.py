@@ -115,7 +115,7 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         layers = []
         for i in range(cfg.num_layers):
             lp = f"{base}layers.{i}."
-            if cfg.num_experts:
+            if cfg.num_experts and lp + "block_sparse_moe.gate.weight" in sd:
                 # mixtral block_sparse_moe: gate (router) + per-expert
                 # w1 (gate) / w3 (up) / w2 (down)
                 moe = lp + "block_sparse_moe."
@@ -127,6 +127,46 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                          "down": _linear(sd, f"{moe}experts.{e}.w2", dtype)}
                         for e in range(cfg.num_experts)],
                 }
+            elif cfg.num_experts and lp + "mlp.gate.weight" in sd:
+                # qwen2/3-moe + glm4-moe sparse blocks: mlp.gate router +
+                # per-expert *_proj; glm4-moe adds shared_experts (+ v3
+                # e_score bias); qwen2-moe adds a sigmoid-gated
+                # shared_expert
+                mp = lp + "mlp."
+                mlp = {
+                    "router": _linear(sd, mp + "gate", dtype),
+                    "experts": [
+                        {"gate": _linear(sd, f"{mp}experts.{e}.gate_proj",
+                                         dtype),
+                         "up": _linear(sd, f"{mp}experts.{e}.up_proj", dtype),
+                         "down": _linear(sd, f"{mp}experts.{e}.down_proj",
+                                         dtype)}
+                        for e in range(cfg.num_experts)],
+                }
+                if mp + "gate.e_score_correction_bias" in sd:
+                    mlp["router_bias"] = jnp.asarray(
+                        _np(sd[mp + "gate.e_score_correction_bias"]),
+                        jnp.float32)
+                if mp + "shared_experts.gate_proj.weight" in sd:  # glm4-moe
+                    mlp["shared"] = {
+                        "gate": _linear(sd, mp + "shared_experts.gate_proj",
+                                        dtype),
+                        "up": _linear(sd, mp + "shared_experts.up_proj",
+                                      dtype),
+                        "down": _linear(sd, mp + "shared_experts.down_proj",
+                                        dtype),
+                    }
+                elif mp + "shared_expert.gate_proj.weight" in sd:  # qwen2-moe
+                    mlp["shared"] = {
+                        "gate": _linear(sd, mp + "shared_expert.gate_proj",
+                                        dtype),
+                        "up": _linear(sd, mp + "shared_expert.up_proj",
+                                      dtype),
+                        "down": _linear(sd, mp + "shared_expert.down_proj",
+                                        dtype),
+                    }
+                    mlp["shared_gate"] = _linear(
+                        sd, mp + "shared_expert_gate", dtype)
             else:
                 mlp = {
                     "gate": _linear(sd, lp + "mlp.gate_proj", dtype),
@@ -330,6 +370,50 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                     "fc1": _linear(sd, lp + "mlp.fc1", dtype),
                     "fc2": _linear(sd, lp + "mlp.fc2", dtype),
                 },
+            })
+        p["layers"] = layers
+
+    elif fam == "gpt_oss":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            ap = lp + "self_attn."
+            attn = {
+                "q": _linear(sd, ap + "q_proj", dtype),
+                "k": _linear(sd, ap + "k_proj", dtype),
+                "v": _linear(sd, ap + "v_proj", dtype),
+                "o": _linear(sd, ap + "o_proj", dtype),
+                "sinks": jnp.asarray(_np(sd[ap + "sinks"]), jnp.float32),
+            }
+            # experts ship as fused 3D tensors [E, in, out] with gate/up
+            # interleaved along the out axis; split to per-expert linears so
+            # per-expert OWQ quantization and ExpertBank EP apply unchanged
+            mp = lp + "mlp."
+            gu = _np(sd[mp + "experts.gate_up_proj"])       # [E, hid, 2d]
+            gub = _np(sd[mp + "experts.gate_up_proj_bias"])  # [E, 2d]
+            dw = _np(sd[mp + "experts.down_proj"])          # [E, d, hid]
+            dwb = _np(sd[mp + "experts.down_proj_bias"])    # [E, hid]
+            experts = []
+            for e in range(cfg.num_experts):
+                experts.append({
+                    "gate": DenseLinear(w=jnp.asarray(gu[e][:, ::2], dtype),
+                                        b=jnp.asarray(gub[e][::2], dtype)),
+                    "up": DenseLinear(w=jnp.asarray(gu[e][:, 1::2], dtype),
+                                      b=jnp.asarray(gub[e][1::2], dtype)),
+                    "down": DenseLinear(w=jnp.asarray(dw[e], dtype),
+                                        b=jnp.asarray(dwb[e], dtype)),
+                })
+            mlp = {"router": _linear(sd, mp + "router", dtype),
+                   "experts": experts}
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": attn,
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": mlp,
             })
         p["layers"] = layers
 

@@ -200,13 +200,17 @@ def causal_mask_bias(q_positions: jnp.ndarray, kv_valid: jnp.ndarray,
 
 def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    bias: Optional[jnp.ndarray], scale: float,
-                   softcap: Optional[float] = None) -> jnp.ndarray:
+                   softcap: Optional[float] = None,
+                   sinks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Softmax attention with f32 logits (HF upcasting behavior).
 
     q: [B, T, H, hd]; k/v: [B, S, Hkv, hd]; bias: [B, 1|H, T, S] additive.
     Returns [B, T, H, hd] in q.dtype.  GQA handled by head repetition.
     ``softcap``: gemma-2 logit soft-capping cap*tanh(logits/cap), applied
     before the mask bias (HF eager ordering).
+    ``sinks``: gpt-oss per-head attention-sink logits [H] — joins the
+    softmax denominator as one extra virtual key, then its probability
+    mass is dropped.
     """
     B, T, H, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -220,6 +224,15 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scores = softcap * jnp.tanh(scores / softcap)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
+    if sinks is not None:
+        col = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[None, :, None, None], (B, H, T, 1))
+        comb = jnp.concatenate([scores.astype(jnp.float32), col], axis=-1)
+        comb = comb - jnp.max(comb, axis=-1, keepdims=True)
+        probs = jax.nn.softmax(comb, axis=-1)[..., :-1].astype(q.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v,
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhts,bshd->bthd", probs, v,
                      preferred_element_type=jnp.float32)

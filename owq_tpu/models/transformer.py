@@ -530,7 +530,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     scale = (cfg.attn_scale if cfg.attn_scale is not None
              else (cfg.attn_scale_override or hd) ** -0.5)
     ctx = attention_core(q, k_att, v_att, bias, scale,
-                         softcap=cfg.attn_logit_softcap)
+                         softcap=cfg.attn_logit_softcap,
+                         sinks=attn_p.get("sinks") if cfg.attn_sinks else None)
     ctx = ctx.reshape(B, T, H * (cfg.v_dim if cfg.mla else hd))
     if "attn.o" in taps:
         tapped["attn.o"] = ctx
@@ -594,7 +595,12 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         if cfg.router_kind == "mixtral":
             probs = jax.nn.softmax(logits, axis=-1)           # [B,T,E]
             topv, topi = jax.lax.top_k(probs, K)
-            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # HF renorm
+            if cfg.router_norm_topk:  # mixtral always; qwen-moe per config
+                topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        elif cfg.router_kind == "gpt_oss":
+            # top-k on the raw logits, softmax over just the selected values
+            topl, topi = jax.lax.top_k(logits, K)
+            topv = jax.nn.softmax(topl, axis=-1)
         else:
             # deepseek_v2: softmax scores, optional group-max mask, no
             # renorm; deepseek_v3: sigmoid scores + e_score correction bias
@@ -643,8 +649,16 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 tn = f"mlp.experts.{ge}.{leaf}"
                 if tn in taps:
                     tapped[tn] = x_ln2 * sw
-            h = (activation(_lin(exp["gate"], x_ln2, kernel), cfg.activation)
-                 * _lin(exp["up"], x_ln2, kernel))
+            g = _lin(exp["gate"], x_ln2, kernel)
+            u = _lin(exp["up"], x_ln2, kernel)
+            if cfg.moe_act == "gpt_oss":
+                # clamped swiglu: (clip(up)+1) * gate*sigmoid(1.702*gate)
+                lim = cfg.swiglu_limit
+                g = jnp.minimum(g, lim)
+                u = jnp.clip(u, -lim, lim)
+                h = (u + 1.0) * (g * jax.nn.sigmoid(1.702 * g))
+            else:
+                h = activation(g, cfg.activation) * u
             tn = f"mlp.experts.{ge}.down"
             if tn in taps:
                 tapped[tn] = h * sw
@@ -661,7 +675,12 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   * _lin(sh["up"], x_ln2, kernel))
             if "mlp.shared.down" in taps:
                 tapped["mlp.shared.down"] = hs
-            mlp_out = mlp_out + _lin(sh["down"], hs, kernel)
+            shared_out = _lin(sh["down"], hs, kernel)
+            if "shared_gate" in mlp:  # qwen2-moe scalar sigmoid gate
+                shared_out = shared_out * jax.nn.sigmoid(
+                    _lin(mlp["shared_gate"], x_ln2, kernel).astype(
+                        jnp.float32)).astype(shared_out.dtype)
+            mlp_out = mlp_out + shared_out
         if cfg.residual_multiplier is not None:
             mlp_out = mlp_out * cfg.residual_multiplier
         y = res + mlp_out

@@ -45,7 +45,7 @@ _ROW_PARALLEL = {"attn.o", "mlp.down", "mlp.fc2"}
 _COL_PARALLEL = {"attn.q", "attn.k", "attn.v", "attn.qkv", "mlp.gate",
                  "mlp.up", "mlp.fc1", "attn.q_b", "attn.kv_b"}
 # small latent projections (MLA) and routers compute redundantly per shard
-_REPLICATED = {"attn.q_a", "attn.kv_a", "mlp.router"}
+_REPLICATED = {"attn.q_a", "attn.kv_a", "mlp.router", "mlp.shared_gate"}
 
 
 def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
@@ -252,6 +252,8 @@ def param_pspecs(params: Dict[str, Any],
                         return qk_spec or norm_spec(lin)
                     if leaf == "router_bias":  # raw array (v3 noaux-tc bias)
                         return P()
+                    if leaf == "sinks":  # gpt-oss per-head sink logits
+                        return P(TP_AXIS)
                     if leaf == "shared":  # deepseek shared experts: small,
                         # replicated (their output adds after the EP psum)
                         return {k2: _linear_spec(f"{key}.shared.{k2}", l2,

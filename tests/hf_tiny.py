@@ -514,3 +514,89 @@ def tiny_deepseek_v2(vocab=97, hidden=32, inter=48, moe_inter=16, layers=3,
     )
     model = DeepseekV2ForCausalLM(cfg).eval()
     return model
+
+
+def tiny_gpt_oss(vocab=97, hidden=32, inter=24, layers=2, heads=4,
+                 kv_heads=2, head_dim=8, experts=4, topk=2, max_pos=64,
+                 sliding_window=6, rope_scaling=None, seed=0):
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GptOssConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        num_local_experts=experts, num_experts_per_tok=topk,
+        max_position_embeddings=max_pos, sliding_window=sliding_window,
+        rope_scaling=rope_scaling, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = GptOssForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_qwen2_moe(vocab=97, hidden=32, inter=48, moe_inter=16,
+                   shared_inter=24, layers=2, heads=4, kv_heads=2, experts=4,
+                   topk=2, norm_topk=False, max_pos=64, seed=0):
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen2MoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        moe_intermediate_size=moe_inter,
+        shared_expert_intermediate_size=shared_inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, num_experts=experts,
+        num_experts_per_tok=topk, norm_topk_prob=norm_topk,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Qwen2MoeForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_qwen3_moe(vocab=97, hidden=32, inter=48, moe_inter=16, layers=2,
+                   heads=4, kv_heads=2, head_dim=16, experts=4, topk=2,
+                   norm_topk=True, max_pos=64, seed=0):
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen3MoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        moe_intermediate_size=moe_inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        head_dim=head_dim, num_experts=experts, num_experts_per_tok=topk,
+        norm_topk_prob=norm_topk, decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Qwen3MoeForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_glm4_moe(vocab=97, hidden=32, inter=48, moe_inter=16, layers=3,
+                  heads=4, kv_heads=2, head_dim=16, experts=8, topk=2,
+                  n_group=2, topk_group=1, shared=1, first_dense=1,
+                  use_qk_norm=True, max_pos=64, seed=0):
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Glm4MoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        moe_intermediate_size=moe_inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        head_dim=head_dim, n_routed_experts=experts,
+        num_experts_per_tok=topk, n_group=n_group, topk_group=topk_group,
+        n_shared_experts=shared, first_k_dense_replace=first_dense,
+        routed_scaling_factor=1.8, norm_topk_prob=True,
+        use_qk_norm=use_qk_norm, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2, attn_implementation="eager",
+    )
+    model = Glm4MoeForCausalLM(cfg).eval()
+    # exercise the noaux-tc bias path (initialized to zero)
+    with torch.no_grad():
+        for layer in model.model.layers[first_dense:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    return model

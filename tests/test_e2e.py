@@ -293,7 +293,9 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "starcoder", "olmo", "qwen3", "gemma2",
                                     "olmo2", "cohere", "granite", "nemotron",
                                     "persimmon", "glm4", "smollm3",
-                                    "deepseek", "deepseek-v2-lite"])
+                                    "deepseek", "deepseek-v2-lite",
+                                    "gpt-oss", "qwen2-moe", "qwen3-moe",
+                                    "glm4-moe"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -348,6 +350,11 @@ def test_quantize_new_families(calib, family):
                                                      n_group=2, topk_group=1),
         "deepseek-v2-lite": lambda: hf_tiny.tiny_deepseek_v2(
             q_lora=None, experts=4, topk_method="greedy"),
+        "gpt-oss": lambda: hf_tiny.tiny_gpt_oss(experts=4),
+        "qwen2-moe": lambda: hf_tiny.tiny_qwen2_moe(),
+        "qwen3-moe": lambda: hf_tiny.tiny_qwen3_moe(),
+        "glm4-moe": lambda: hf_tiny.tiny_glm4_moe(experts=4, n_group=2,
+                                                  topk_group=1),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -616,3 +616,63 @@ def test_deepseek_v3_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_gpt_oss_parity(rng):
+    # attention sinks + alternating sliding windows + biased projections +
+    # clamped-swiglu MoE with softmax-over-topk routing
+    model = hf_tiny.tiny_gpt_oss()
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.attn_sinks and cfg.router_kind == "gpt_oss"
+    assert cfg.moe_act == "gpt_oss" and cfg.layer_types is not None
+
+
+def test_gpt_oss_parity_yarn(rng):
+    sc = {"rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
+          "beta_slow": 1.0, "truncate": False,
+          "original_max_position_embeddings": 16}
+    model = hf_tiny.tiny_gpt_oss(rope_scaling=sc)
+    ids = rng.integers(0, 97, size=(1, 10))
+    _parity(model, ids, atol=3e-4)
+
+
+def test_qwen2_moe_parity_shared_gate(rng):
+    # sigmoid-gated shared expert + unnormalized topk routing
+    model = hf_tiny.tiny_qwen2_moe(norm_topk=False)
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.n_shared_experts == 1 and not cfg.router_norm_topk
+
+
+def test_qwen3_moe_parity(rng):
+    model = hf_tiny.tiny_qwen3_moe()
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.qk_norm == "head" and cfg.router_norm_topk
+
+
+def test_glm4_moe_parity(rng):
+    # half-style partial rotary (unlike glm4's interleaved), per-head rms
+    # qk-norm, deepseek-v3 noaux-tc routing, shared experts, dense layer 0
+    model = hf_tiny.tiny_glm4_moe()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.router_kind == "deepseek_v3" and cfg.rope_style == "half"
+    assert cfg.first_k_dense == 1
+
+
+def test_gpt_oss_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_gpt_oss(sliding_window=5)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=2e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=2e-4, rtol=1e-3)

@@ -310,3 +310,20 @@ def test_tp_deepseek_mla_forward_and_decode(rng):
         logits, cache = step(params_tp, jnp.asarray(ids[:, 5:6]), cache)
         np.testing.assert_allclose(np.asarray(logits), np.asarray(ref)[:, 5],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_tp_gpt_oss_sinks_and_experts(rng):
+    """gpt-oss under TP: sink logits shard with their heads; experts EP;
+    router replicated; biased projections column/row-parallel."""
+    model = hf_tiny.tiny_gpt_oss(experts=4, sliding_window=None)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(2, 8)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh, cfg)
+        fwd = make_tp_forward(mesh, cfg, params_tp)
+        got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
