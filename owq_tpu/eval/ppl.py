@@ -84,6 +84,7 @@ def _final_nll(params, cfg: ModelConfig, x, ids):
 def _eval_ppl_layerwise(params, cfg, windows: np.ndarray, seqlen: int, *,
                         batch: int = 1, kernel: str = "xla",
                         verbose: bool = False) -> float:
+    from ..models.transformer import layer_attn_temp, layer_rope
     from ..recon.pipeline import _block_out, calibration_inputs
 
     nwin = windows.shape[0]
@@ -94,7 +95,9 @@ def _eval_ppl_layerwise(params, cfg, windows: np.ndarray, seqlen: int, *,
         outs = []
         for s in range(0, nwin, batch):
             y = _block_out(blk, cfg, jnp.asarray(x[s:s + batch]),
-                           aux["masks"][li], aux["rope"], aux["alibi"])
+                           aux["masks"][li],
+                           layer_rope(cfg, aux["rope"], li), aux["alibi"],
+                           layer_attn_temp(cfg, aux["temp"], li))
             outs.append(np.asarray(y))
         x = np.concatenate(outs, axis=0)
         del blk

@@ -114,6 +114,15 @@ class ModelConfig:
     moe_act: str = "gated"
     swiglu_limit: float = 7.0
     attn_sinks: bool = False  # gpt-oss per-head attention-sink logits
+    # llama4: routing weight scales the expert INPUT (not its output), some
+    # layers are dense (interleave_moe_layer_step), rope layers use chunked
+    # attention, and NoPE layers scale q by a log-position temperature
+    moe_weight_inputs: bool = False
+    moe_dense_layers: bool = False  # union quantizable names incl. dense mlp
+    attention_chunk_size: Optional[int] = None
+    attn_temperature_tuning: bool = False
+    temp_tuning_floor: float = 8192.0
+    temp_tuning_scale: float = 0.1
     # MLA (deepseek v2/v3): low-rank q/kv projections; rope on a small
     # per-head slice with one shared (MQA-style) rope key.  head_dim(_override)
     # is the q/k head dim (nope+rope); v_head_dim is the value head dim.
@@ -250,7 +259,8 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
 # same outlier ratios — the reference's per-family ratios keyed on shape,
 # model_config.json:28).
 for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm",
-               "olmo", "cohere", "granite", "glm", "smollm3"):
+               "olmo", "cohere", "granite", "glm", "smollm3", "helium",
+               "seed_oss", "ernie", "exaone", "olmoe"):
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
 
@@ -267,6 +277,19 @@ ARCH_REGISTRY["nemotron"] = ArchSpec(
 # persimmon: neox-shaped linear set (fused query_key_value, 2-layer MLP)
 ARCH_REGISTRY["persimmon"] = dataclasses.replace(ARCH_REGISTRY["neox"],
                                                  family="persimmon")
+# llama4: llama-shaped linear set
+ARCH_REGISTRY["llama4"] = dataclasses.replace(ARCH_REGISTRY["llama"],
+                                              family="llama4")
+# dbrx: bloom-shaped fused Wqkv + per-expert gated MLPs
+ARCH_REGISTRY["dbrx"] = ArchSpec(
+    family="dbrx",
+    map_layer={"Wqkv": "attn.qkv", "out_proj": "attn.o",
+               "up": "mlp.up", "gate": "mlp.gate", "down": "mlp.down"},
+    ratios={"attn.qkv": 1.0, "attn.o": 1.0,
+            "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.qkv",), ("attn.o",), ("mlp.up", "mlp.gate"),
+                ("mlp.down",)),
+)
 # gpt_oss: llama-shaped attention + per-expert gated MLPs
 ARCH_REGISTRY["gpt_oss"] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                family="gpt_oss")
@@ -289,6 +312,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
     name = model_name.lower()
     if "opt" in name:
         return ARCH_REGISTRY["opt"]
+    if "llama-4" in name or "llama4" in name:
+        return ARCH_REGISTRY["llama4"]
     if "llama" in name or "vicuna" in name:
         return ARCH_REGISTRY["llama"]
     if "bloom" in name:
@@ -317,6 +342,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["starcoder2"]
     if "starcoder" in name or "santacoder" in name or "bigcode" in name:
         return ARCH_REGISTRY["gpt2"]
+    if "olmoe" in name:
+        return ARCH_REGISTRY["olmoe"]
     if "olmo" in name:
         return ARCH_REGISTRY["olmo"]
     if "cohere" in name or "command" in name or "c4ai" in name or "aya" in name:
@@ -333,6 +360,18 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["deepseek"]
     if "gpt-oss" in name or "gpt_oss" in name:
         return ARCH_REGISTRY["gpt_oss"]
+    if "helium" in name:
+        return ARCH_REGISTRY["helium"]
+    if "arcee" in name or "afm" in name:
+        return ARCH_REGISTRY["nemotron"]
+    if "seed-oss" in name or "seed_oss" in name:
+        return ARCH_REGISTRY["seed_oss"]
+    if "ernie" in name:
+        return ARCH_REGISTRY["ernie"]
+    if "exaone" in name:
+        return ARCH_REGISTRY["exaone"]
+    if "dbrx" in name:
+        return ARCH_REGISTRY["dbrx"]
     if "glm" in name:
         return ARCH_REGISTRY["glm"]
     if "gpt-j" in name or "gptj" in name:
@@ -1003,6 +1042,239 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             attn_bias=not hf_config.no_bias,
             mlp_bias=not hf_config.no_bias,
             gated_mlp=False,
+        )
+    if mt == "helium":
+        # llama wiring with glm-style interleaved rope pairing
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            mlp_bias=getattr(hf_config, "mlp_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+        )
+    if mt == "arcee":
+        # llama-shaped attention + plain (non-gated) relu^2 MLP, rmsnorm
+        return ModelConfig(
+            family="nemotron",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=False,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            mlp_bias=getattr(hf_config, "mlp_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+        )
+    if mt == "seed_oss":
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", True),
+            mlp_bias=getattr(hf_config, "mlp_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+        )
+    if mt == "ernie4_5":
+        # llama wiring + use_bias on every linear + interleaved rope
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "use_bias", False),
+            mlp_bias=getattr(hf_config, "use_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+        )
+    if mt == "exaone4":
+        # olmo2-style post-only branch norms + per-head rms qk-norm; hybrid
+        # attention: rope (and the window) only on sliding layers when a
+        # sliding window is configured — full-attention layers are NoPE
+        window = getattr(hf_config, "sliding_window", None)
+        layer_types = tuple(hf_config.layer_types)
+        rope_layers = None
+        if window is not None and "full_attention" in layer_types:
+            rope_layers = tuple(int(t == "sliding_attention")
+                                for t in layer_types)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            qk_norm="head",
+            input_norms=False,
+            branch_norms=True,
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            sliding_window=window,
+            layer_types=layer_types,
+            rope_layers=rope_layers,
+        )
+    if mt == "olmoe":
+        # olmo-style whole-projection rms qk-norm + clip_qkv + mixtral-style
+        # MoE with config-driven top-k renorm
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            qk_norm="proj",
+            qkv_clip=getattr(hf_config, "clip_qkv", None),
+            num_experts=hf_config.num_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            router_kind="mixtral",
+            router_norm_topk=hf_config.norm_topk_prob,
+        )
+    if mt == "dbrx":
+        ac, fc = hf_config.attn_config, hf_config.ffn_config
+        p_norm = fc.moe_normalize_expert_weights
+        if p_norm not in (None, 1, 1.0):
+            raise NotImplementedError(
+                f"dbrx moe_normalize_expert_weights={p_norm}")
+        act = fc.ffn_act_fn.get("name", "silu") if isinstance(
+            fc.ffn_act_fn, dict) else "silu"
+        return ModelConfig(
+            family="dbrx",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.d_model,
+            intermediate_size=fc.ffn_hidden_size,
+            num_layers=hf_config.n_layers,
+            num_heads=hf_config.n_heads,
+            num_kv_heads=ac.kv_n_heads,
+            max_position_embeddings=hf_config.max_seq_len,
+            norm_eps=1e-5,
+            rope_theta=ac.rope_theta,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            activation=act,
+            pos_embedding="rope",
+            norm_type="layernorm",
+            fused_qkv=True,
+            qkv_clip=ac.clip_qkv,
+            gated_mlp=True,
+            num_experts=fc.moe_num_experts,
+            num_experts_per_tok=fc.moe_top_k,
+            router_kind="mixtral",
+            router_norm_topk=p_norm is not None,
+        )
+    if mt in ("llama4", "llama4_text"):
+        if mt == "llama4":  # composite (vision+text) config: take the text side
+            hf_config = hf_config.text_config
+        return ModelConfig(
+            family="llama4",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            qk_norm=("l2" if getattr(hf_config, "use_qk_norm", False)
+                     else None),
+            rope_layers=tuple(int(bool(u)) for u in hf_config.no_rope_layers),
+            layer_types=tuple(hf_config.layer_types),
+            attention_chunk_size=getattr(hf_config, "attention_chunk_size",
+                                         None),
+            attn_temperature_tuning=bool(
+                getattr(hf_config, "attn_temperature_tuning", False)),
+            temp_tuning_floor=getattr(hf_config, "floor_scale", 8192.0),
+            temp_tuning_scale=getattr(hf_config, "attn_scale", 0.1),
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            n_shared_experts=1,
+            router_kind="llama4",
+            moe_weight_inputs=True,
+            moe_dense_layers=getattr(hf_config, "interleave_moe_layer_step",
+                                     1) != 1,
         )
     if mt == "gpt_oss":
         return ModelConfig(

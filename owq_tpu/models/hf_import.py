@@ -373,6 +373,96 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             })
         p["layers"] = layers
 
+    elif fam == "llama4":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            fp = lp + "feed_forward."
+            if fp + "experts.gate_up_proj" in sd:  # MoE layer
+                # fused 3D experts [E, hid, 2d] with gate|up as contiguous
+                # halves (chunk(2, -1)), down [E, d, hid]; split per expert
+                gu = _np(sd[fp + "experts.gate_up_proj"])
+                dw = _np(sd[fp + "experts.down_proj"])
+                d = gu.shape[-1] // 2
+                experts = [
+                    {"gate": DenseLinear(w=jnp.asarray(gu[e][:, :d], dtype),
+                                         b=None),
+                     "up": DenseLinear(w=jnp.asarray(gu[e][:, d:], dtype),
+                                       b=None),
+                     "down": DenseLinear(w=jnp.asarray(dw[e], dtype), b=None)}
+                    for e in range(cfg.num_experts)]
+                mlp: Dict[str, Any] = {
+                    "router": _linear(sd, fp + "router", dtype),
+                    "experts": experts,
+                    "shared": {
+                        "gate": _linear(sd, fp + "shared_expert.gate_proj",
+                                        dtype),
+                        "up": _linear(sd, fp + "shared_expert.up_proj",
+                                      dtype),
+                        "down": _linear(sd, fp + "shared_expert.down_proj",
+                                        dtype),
+                    },
+                }
+            else:  # dense layer (interleave_moe_layer_step)
+                mlp = {
+                    "gate": _linear(sd, fp + "gate_proj", dtype),
+                    "up": _linear(sd, fp + "up_proj", dtype),
+                    "down": _linear(sd, fp + "down_proj", dtype),
+                }
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                },
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": mlp,
+            })
+        p["layers"] = layers
+
+    elif fam == "dbrx":
+        base = "transformer."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "wte.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "norm_f", dtype)
+        layers = []
+        ffn = cfg.intermediate_size
+        for i in range(cfg.num_layers):
+            lp = f"{base}blocks.{i}."
+            nan = lp + "norm_attn_norm."
+            # experts ship as flat [E*ffn, hidden] stacks: w1 (gate) and v1
+            # (up) act as x @ chunk.T, w2 (down) as h @ chunk — split into
+            # per-expert linears for per-expert OWQ / ExpertBank EP
+            w1 = _np(sd[lp + "ffn.experts.mlp.w1"])
+            v1 = _np(sd[lp + "ffn.experts.mlp.v1"])
+            w2 = _np(sd[lp + "ffn.experts.mlp.w2"])
+            experts = []
+            for e in range(cfg.num_experts):
+                sl = slice(e * ffn, (e + 1) * ffn)
+                experts.append({
+                    "gate": DenseLinear(w=jnp.asarray(w1[sl].T, dtype), b=None),
+                    "up": DenseLinear(w=jnp.asarray(v1[sl].T, dtype), b=None),
+                    "down": DenseLinear(w=jnp.asarray(w2[sl], dtype), b=None),
+                })
+            layers.append({
+                "ln1": _ln(sd, nan + "norm_1", dtype),
+                "attn": {
+                    "qkv": _linear(sd, nan + "attn.Wqkv", dtype),
+                    "o": _linear(sd, nan + "attn.out_proj", dtype),
+                },
+                "ln2": _ln(sd, nan + "norm_2", dtype),
+                "mlp": {
+                    "router": _linear(sd, lp + "ffn.router.layer", dtype),
+                    "experts": experts,
+                },
+            })
+        p["layers"] = layers
+
     elif fam == "gpt_oss":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),

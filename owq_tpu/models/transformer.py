@@ -78,12 +78,13 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
                  else ("attn.q_a", "attn.q_b"))
                 + ("attn.kv_a", "attn.kv_b", "attn.o"))
     elif cfg.num_experts:
-        attn = ("attn.q", "attn.k", "attn.v", "attn.o")
+        attn = (("attn.qkv", "attn.o") if cfg.fused_qkv
+                else ("attn.q", "attn.k", "attn.v", "attn.o"))
     else:
         return QUANTIZABLE[cfg.family]
     names = list(attn)
     if cfg.num_experts:
-        if cfg.first_k_dense > 0:
+        if cfg.first_k_dense > 0 or cfg.moe_dense_layers:
             names += ["mlp.gate", "mlp.up", "mlp.down"]
         for e in range(cfg.num_experts):
             names += [f"mlp.experts.{e}.gate", f"mlp.experts.{e}.up",
@@ -369,7 +370,7 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
     """Family-specific fused-QKV layouts -> q [B,T,H,hd], k/v [B,T,Hkv,hd]."""
     B, T = fused.shape[:2]
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if cfg.family in ("llama", "opt", "gpt2", "mpt"):
+    if cfg.family in ("llama", "opt", "gpt2", "mpt", "dbrx"):
         # gpt2 c_attn, mpt Wqkv, and runtime-fused projections
         # (fuse_block_projections): plain [q | k | v] concat
         q = fused[..., : H * hd].reshape(B, T, H, hd)
@@ -400,6 +401,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   kernel: str = "xla",
                   taps: Sequence[str] = (),
                   tp_axis: Optional[str] = None,
+                  attn_temp: Optional[jnp.ndarray] = None,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -477,12 +479,12 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         q = _lin(attn_p["q"], x_ln, kernel)
         k = _lin(attn_p["k"], x_ln, kernel)
         v = _lin(attn_p["v"], x_ln, kernel)
-        if cfg.qkv_clip is not None:  # olmo clip_qkv
-            clip = lambda t: jnp.clip(t, -cfg.qkv_clip, cfg.qkv_clip)
-            q, k, v = clip(q), clip(k), clip(v)
-        if cfg.qk_norm == "proj":  # olmo2: rms over the whole projection
+        if cfg.qk_norm == "proj":  # olmo2/olmoe: rms over the projection
             q = _qk_norm(attn_p["q_norm"], cfg, q, tp_axis)
             k = _qk_norm(attn_p["k_norm"], cfg, k, tp_axis)
+        if cfg.qkv_clip is not None:  # olmo/olmoe clip_qkv
+            clip = lambda t: jnp.clip(t, -cfg.qkv_clip, cfg.qkv_clip)
+            q, k, v = clip(q), clip(k), clip(v)
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, Hkv, hd)
         v = v.reshape(B, T, Hkv, hd)
@@ -493,6 +495,14 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             k = _qk_norm(attn_p["k_norm"], cfg, k, None)
         if rope is not None:
             q, k = apply_rope(q, k, *rope, style=cfg.rope_style)
+            if cfg.qk_norm == "l2":  # llama4: weightless rms AFTER rope
+                l2 = lambda t: (t.astype(jnp.float32) * jax.lax.rsqrt(
+                    jnp.mean(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True) + cfg.norm_eps)).astype(t.dtype)
+                q, k = l2(q), l2(k)
+    if attn_temp is not None:  # llama4 NoPE-layer temperature tuning
+        q = (q.astype(jnp.float32)
+             * attn_temp[:, :, None, None]).astype(q.dtype)
 
     if kv is not None:
         quantized = len(kv) == 4
@@ -601,6 +611,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             # top-k on the raw logits, softmax over just the selected values
             topl, topi = jax.lax.top_k(logits, K)
             topv = jax.nn.softmax(topl, axis=-1)
+        elif cfg.router_kind == "llama4":
+            # top-k on the raw logits; weight = sigmoid(logit) per selected
+            topl, topi = jax.lax.top_k(logits, K)
+            topv = jax.nn.sigmoid(topl)
         else:
             # deepseek_v2: softmax scores, optional group-max mask, no
             # renorm; deepseek_v3: sigmoid scores + e_score correction bias
@@ -641,6 +655,23 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             exp = index_expert(experts, le) if bank else experts[le]
             ge = off + le
             w_e = jnp.sum(jnp.where(topi == ge, topv, 0.0), axis=-1)  # [B,T]
+            if cfg.moe_weight_inputs:
+                # llama4: the routing weight scales the expert INPUT, so the
+                # scaled input IS the Hessian sample
+                x_e = x_ln2 * w_e[..., None].astype(x_ln2.dtype)
+                for leaf in ("gate", "up"):
+                    tn = f"mlp.experts.{ge}.{leaf}"
+                    if tn in taps:
+                        tapped[tn] = x_e
+                g = _lin(exp["gate"], x_e, kernel)
+                u = _lin(exp["up"], x_e, kernel)
+                h = activation(g, cfg.activation) * u
+                tn = f"mlp.experts.{ge}.down"
+                if tn in taps:
+                    tapped[tn] = h
+                mlp_out = mlp_out + _lin(exp["down"], h, kernel).astype(
+                    res.dtype)
+                continue
             sw = jnp.sqrt(w_e)[..., None].astype(x_ln2.dtype)
             # taps carry sqrt(route weight)-scaled activations so the
             # accumulated Hessian is the routing-weighted input covariance
@@ -758,9 +789,16 @@ def layer_mask_biases(cfg: ModelConfig, positions, kv_valid, kv_pos):
                              window=cfg.sliding_window)
         return [m] * cfg.num_layers
     full = causal_mask_bias(positions, kv_valid, kv_pos, window=None)
-    sliding = causal_mask_bias(positions, kv_valid, kv_pos,
-                               window=cfg.sliding_window)
-    return [sliding if t == "sliding_attention" else full
+    sliding = chunked = None
+    if "sliding_attention" in cfg.layer_types:
+        sliding = causal_mask_bias(positions, kv_valid, kv_pos,
+                                   window=cfg.sliding_window)
+    if "chunked_attention" in cfg.layer_types:  # llama4
+        C = cfg.attention_chunk_size
+        same = (kv_pos[:, None, :] // C) == (positions[:, :, None] // C)
+        chunked = jnp.where(same[:, None, :, :], full, -1e9)
+    return [sliding if t == "sliding_attention"
+            else chunked if t == "chunked_attention" else full
             for t in cfg.layer_types]
 
 
@@ -770,6 +808,25 @@ def layer_rope(cfg: ModelConfig, rope, i: int):
     if rope is None or cfg.rope_layers is None:
         return rope
     return rope if cfg.rope_layers[i] else None
+
+
+def attn_temperature(cfg: ModelConfig, positions: jnp.ndarray) -> jnp.ndarray:
+    """llama4 NoPE-layer q temperature: log1p(floor((p+1)/floor_scale))*s + 1.
+
+    positions: [B, T] absolute token positions -> [B, T] f32 multiplier.
+    """
+    p = positions.astype(jnp.float32)
+    return (jnp.log1p(jnp.floor((p + 1.0) / cfg.temp_tuning_floor))
+            * cfg.temp_tuning_scale + 1.0)
+
+
+def layer_attn_temp(cfg: ModelConfig, temp, i: int):
+    """Temperature applies only on NoPE layers (HF: `and not use_rope`)."""
+    if temp is None:
+        return None
+    if cfg.rope_layers is not None and cfg.rope_layers[i]:
+        return None
+    return temp
 
 
 def unembed(params: Dict[str, Any], cfg: ModelConfig,
@@ -852,6 +909,8 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             kvp = (kv_pos * kv_valid).astype(jnp.float32)
             alibi = local[None, :, None, None] * kvp[:, None, None, :]
 
+    temp = (attn_temperature(cfg, positions)
+            if cfg.attn_temperature_tuning else None)
     quant_cache = isinstance(cache, QuantKVCache)
     new_k, new_v, new_ks, new_vs = None, None, None, None
     for i, blk in enumerate(params["layers"]):
@@ -863,7 +922,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             kv = (cache.k[i], cache.v[i])
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),
-            alibi=alibi,
+            alibi=alibi, attn_temp=layer_attn_temp(cfg, temp, i),
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis)
         if cache is not None:

@@ -24,8 +24,10 @@ import jax.numpy as jnp
 
 from ..models.config import ModelConfig
 from ..models.layers import alibi_bias, causal_mask_bias, rope_cos_sin
-from ..models.transformer import (KVCache, block_forward, embed,
-                                  layer_rope, unembed)
+from ..models.transformer import (KVCache, attn_temperature,
+                                  block_forward, embed,
+                                  layer_attn_temp, layer_rope,
+                                  unembed)
 
 __all__ = ["StagedModel", "stage_model"]
 
@@ -69,12 +71,15 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid, cfg.alibi_scheme)
 
+    temp = (attn_temperature(cfg, positions)
+            if cfg.attn_temperature_tuning else None)
     new_k, new_v = [], []
     for i, blk in enumerate(blocks):
         pair = None if not with_cache else (kv[0][i], kv[1][i])
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=masks[layer_off + i],
             rope=layer_rope(cfg, rope, layer_off + i),
+            attn_temp=layer_attn_temp(cfg, temp, layer_off + i),
             alibi=alibi, kv=pair, cache_at=start if with_cache else None,
             kernel=kernel)
         if with_cache:

@@ -32,8 +32,10 @@ import numpy as np
 
 from ..core.quantizer import QuantSpec, find_params_mse, find_params_minmax, fake_quant
 from ..models.config import ArchSpec, ModelConfig
-from ..models.transformer import (QUANTIZABLE, block_forward, embed,
-                                  layer_rope, quantizable_names)
+from ..models.transformer import (QUANTIZABLE, attn_temperature,
+                                  block_forward, embed,
+                                  layer_attn_temp, layer_rope,
+                                  quantizable_names)
 from ..models.layers import causal_mask_bias, rope_cos_sin, alibi_bias
 from ..runtime.quant_linear import DenseLinear
 from .gptq import gptq_quantize
@@ -115,7 +117,9 @@ def _sequential_groups(arch: ArchSpec, cfg: ModelConfig):
                       for l in ("gate", "up")]
         downs += [f"mlp.experts.{e}.down" for e in range(E)]
         return (qkv, ("attn.o",), tuple(gates_ups), tuple(downs))
-    return (("attn.q", "attn.k", "attn.v"), ("attn.o",),
+    qkv = (("attn.qkv",) if cfg.fused_qkv
+           else ("attn.q", "attn.k", "attn.v"))
+    return (qkv, ("attn.o",),
             tuple(f"mlp.experts.{e}.{l}" for e in range(E)
                   for l in ("gate", "up")),
             tuple(f"mlp.experts.{e}.down" for e in range(E)))
@@ -179,11 +183,14 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
         rope = rope_tables(cfg, positions[:1])
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions[:1], cfg.alibi_scheme)
-    return x, dict(masks=masks, rope=rope, alibi=alibi)
+    temp = (attn_temperature(cfg, positions[:1])
+            if cfg.attn_temperature_tuning else None)
+    return x, dict(masks=masks, rope=rope, alibi=alibi, temp=temp)
 
 
 @partial(jax.jit, static_argnames=("cfg", "taps"))
-def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, taps: tuple):
+def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
+                  taps: tuple):
     """One pass over a chunk: per-tap X^T X (f32) + block outputs."""
     B = x.shape[0]
     mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
@@ -193,8 +200,11 @@ def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, taps: tuple):
     alibi_b = None
     if alibi is not None:
         alibi_b = jnp.broadcast_to(alibi, (B,) + alibi.shape[1:])
+    temp_b = None
+    if temp is not None:
+        temp_b = jnp.broadcast_to(temp, (B,) + temp.shape[1:])
     y, _, tapped = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
-                                 alibi=alibi_b, taps=taps)
+                                 alibi=alibi_b, attn_temp=temp_b, taps=taps)
     outers = {}
     for name, act in tapped.items():
         a = act.reshape(-1, act.shape[-1]).astype(jnp.float32)
@@ -203,7 +213,7 @@ def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, taps: tuple):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi):
+def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi, temp):
     B = x.shape[0]
     mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
     rope_b = None
@@ -212,8 +222,11 @@ def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi):
     alibi_b = None
     if alibi is not None:
         alibi_b = jnp.broadcast_to(alibi, (B,) + alibi.shape[1:])
+    temp_b = None
+    if temp is not None:
+        temp_b = jnp.broadcast_to(temp, (B,) + temp.shape[1:])
     y, _, _ = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
-                            alibi=alibi_b)
+                            alibi=alibi_b, attn_temp=temp_b)
     return y
 
 
@@ -281,8 +294,9 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
             outs = []
             for s in range(0, ns, chunk):
                 y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
-                               aux["masks"][li], layer_rope(cfg, aux["rope"], li),
-                           aux["alibi"])
+                               aux["masks"][li],
+                               layer_rope(cfg, aux["rope"], li), aux["alibi"],
+                               layer_attn_temp(cfg, aux["temp"], li))
                 outs.append(np.asarray(y) if offload else y)
             x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
             if offload:
@@ -299,7 +313,9 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                 _, outers = _tap_hessians(blk, cfg, xc,
                                           aux["masks"][li],
                                           layer_rope(cfg, aux["rope"], li),
-                                          aux["alibi"], taps)
+                                          aux["alibi"],
+                                          layer_attn_temp(cfg, aux["temp"],
+                                                          li), taps)
                 for n in taps:
                     hessians[n] = outers[n] if hessians[n] is None else hessians[n] + outers[n]
 
@@ -344,7 +360,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
         for s in range(0, ns, chunk):
             y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
                            aux["masks"][li], layer_rope(cfg, aux["rope"], li),
-                           aux["alibi"])
+                           aux["alibi"],
+                           layer_attn_temp(cfg, aux["temp"], li))
             outs.append(np.asarray(y) if offload else y)
         x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
         if offload:

@@ -69,7 +69,10 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
     B, T = ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x = embed(params, cfg, ids, positions, dtype=dtype)
-    from ..models.transformer import layer_mask_biases, layer_rope
+    from ..models.transformer import (attn_temperature,
+                                      layer_attn_temp,
+                                      layer_mask_biases,
+                                      layer_rope)
 
     masks = layer_mask_biases(cfg, positions, jnp.ones((B, T), jnp.int32),
                               positions)
@@ -80,10 +83,13 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
         rope = rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions, cfg.alibi_scheme)
+    temp = (attn_temperature(cfg, positions)
+            if cfg.attn_temperature_tuning else None)
     ks, vs = [], []
     for i, blk in enumerate(params["layers"]):
         x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=masks[i],
                                      rope=layer_rope(cfg, rope, i),
+                                     attn_temp=layer_attn_temp(cfg, temp, i),
                                      alibi=alibi, kernel=kernel)
         ks.append(k[0])
         vs.append(v[0])

@@ -152,14 +152,14 @@ def load_checkpoint(path: str, *, mmap: bool = False
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     cdict = dict(manifest["config"])
+
     # JSON stores tuples as lists; ModelConfig must stay hashable (it is a
-    # jit static argument): re-freeze the tuple-typed fields
-    if cdict.get("layer_types") is not None:
-        cdict["layer_types"] = tuple(cdict["layer_types"])
-    if cdict.get("rope_scaling") is not None:
-        cdict["rope_scaling"] = tuple(
-            (k, tuple(v) if isinstance(v, list) else v)
-            for k, v in cdict["rope_scaling"])
+    # jit static argument): re-freeze every list-valued field recursively
+    # (layer_types, rope_layers, rope_scaling and any future tuple field)
+    def freeze(v):
+        return tuple(freeze(x) for x in v) if isinstance(v, list) else v
+
+    cdict = {k: freeze(v) for k, v in cdict.items()}
     cfg = ModelConfig(**cdict)
     arrays = manifest["arrays"]
     kinds = manifest["linear_kinds"]

@@ -600,3 +600,146 @@ def tiny_glm4_moe(vocab=97, hidden=32, inter=48, moe_inter=16, layers=3,
         for layer in model.model.layers[first_dense:]:
             layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
     return model
+
+
+def tiny_dbrx(vocab=97, hidden=32, layers=2, heads=4, kv_heads=2, ffn=16,
+              experts=4, topk=2, clip_qkv=8.0, max_pos=64, seed=0):
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = DbrxConfig(
+        vocab_size=vocab, d_model=hidden, n_layers=layers, n_heads=heads,
+        max_seq_len=max_pos,
+        attn_config={"kv_n_heads": kv_heads, "clip_qkv": clip_qkv,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": ffn, "moe_num_experts": experts,
+                    "moe_top_k": topk, "moe_normalize_expert_weights": 1.0},
+        attn_implementation="eager",
+    )
+    model = DbrxForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_olmoe(vocab=97, hidden=32, inter=16, layers=2, heads=4, kv_heads=2,
+               experts=4, topk=2, norm_topk=False, clip_qkv=None, max_pos=64,
+               seed=0):
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = OlmoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, num_experts=experts,
+        num_experts_per_tok=topk, norm_topk_prob=norm_topk,
+        clip_qkv=clip_qkv, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = OlmoeForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_helium(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+                head_dim=8, max_pos=64, seed=0):
+    from transformers import HeliumConfig, HeliumForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = HeliumConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, attn_implementation="eager",
+    )
+    model = HeliumForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_arcee(vocab=97, hidden=32, inter=64, layers=2, heads=4, kv_heads=2,
+               max_pos=64, seed=0):
+    from transformers import ArceeConfig, ArceeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = ArceeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = ArceeForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_seed_oss(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                  kv_heads=2, head_dim=16, max_pos=64, seed=0):
+    from transformers import SeedOssConfig, SeedOssForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = SeedOssConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = SeedOssForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_ernie45(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                 kv_heads=2, use_bias=True, max_pos=64, seed=0):
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Ernie4_5Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, use_bias=use_bias,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, attn_implementation="eager",
+    )
+    model = Ernie4_5ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_exaone4(vocab=97, hidden=32, inter=48, layers=4, heads=4,
+                 kv_heads=2, head_dim=16, sliding_window=6, pattern=2,
+                 max_pos=64, seed=0):
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Exaone4Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        sliding_window=sliding_window, sliding_window_pattern=pattern,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Exaone4ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_llama4(vocab=97, hidden=32, inter=16, inter_mlp=48, layers=4,
+                heads=4, kv_heads=2, head_dim=8, experts=4, topk=2,
+                moe_step=2, chunk=8, temp_tuning=True, use_qk_norm=True,
+                max_pos=64, seed=0):
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    torch.manual_seed(seed)
+    cfg = Llama4TextConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        intermediate_size_mlp=inter_mlp, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        head_dim=head_dim, num_local_experts=experts,
+        num_experts_per_tok=topk, interleave_moe_layer_step=moe_step,
+        attention_chunk_size=chunk, attn_temperature_tuning=temp_tuning,
+        floor_scale=4, use_qk_norm=use_qk_norm,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Llama4ForCausalLM(cfg).eval()
+    return model

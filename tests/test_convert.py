@@ -106,3 +106,22 @@ def test_full_reference_checkpoint_load(rng, tmp_path):
     got, _ = forward(params2, cfg2, jnp.asarray(ids), dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_logits),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_checkpoint_roundtrip_refreezes_tuple_config_fields(tmp_path, rng):
+    # JSON turns tuples into lists; a reloaded config must stay hashable
+    # (it is a jit static argument) — regression: rope_layers came back as
+    # a list and broke the engine's first prefill after load
+    import jax.numpy as jnp
+
+    import hf_tiny
+    from owq_tpu.models import import_hf_model
+    from owq_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    model = hf_tiny.tiny_smollm3(rope_interval=2)
+    params, cfg = import_hf_model(model)
+    save_checkpoint(str(tmp_path / "ck"), params, cfg)
+    _, cfg2, _ = load_checkpoint(str(tmp_path / "ck"))
+    hash(cfg2)  # must not raise
+    assert cfg2.rope_layers == cfg.rope_layers
+    assert cfg2.layer_types == cfg.layer_types

@@ -295,7 +295,9 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "persimmon", "glm4", "smollm3",
                                     "deepseek", "deepseek-v2-lite",
                                     "gpt-oss", "qwen2-moe", "qwen3-moe",
-                                    "glm4-moe"])
+                                    "glm4-moe", "dbrx", "olmoe", "helium",
+                                    "arcee", "seed-oss", "ernie", "exaone",
+                                    "llama4"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -355,6 +357,14 @@ def test_quantize_new_families(calib, family):
         "qwen3-moe": lambda: hf_tiny.tiny_qwen3_moe(),
         "glm4-moe": lambda: hf_tiny.tiny_glm4_moe(experts=4, n_group=2,
                                                   topk_group=1),
+        "dbrx": lambda: hf_tiny.tiny_dbrx(),
+        "olmoe": lambda: hf_tiny.tiny_olmoe(clip_qkv=6.0),
+        "helium": lambda: hf_tiny.tiny_helium(),
+        "arcee": lambda: hf_tiny.tiny_arcee(),
+        "seed-oss": lambda: hf_tiny.tiny_seed_oss(),
+        "ernie": lambda: hf_tiny.tiny_ernie45(),
+        "exaone": lambda: hf_tiny.tiny_exaone4(),
+        "llama4": lambda: hf_tiny.tiny_llama4(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -676,3 +676,111 @@ def test_gpt_oss_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_dbrx_parity(rng):
+    # fused clipped Wqkv + layernorm (weight-only) + L1-renormed MoE routing
+    model = hf_tiny.tiny_dbrx()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.fused_qkv and cfg.qkv_clip == 8.0 and cfg.num_experts == 4
+
+
+def test_olmoe_parity(rng):
+    # whole-projection rms qk-norm BEFORE clip + unnormalized topk routing
+    model = hf_tiny.tiny_olmoe(clip_qkv=6.0)
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.qk_norm == "proj" and cfg.qkv_clip == 6.0
+
+
+def test_helium_parity(rng):
+    model = hf_tiny.tiny_helium()
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_style == "interleaved" and cfg.head_dim == 8
+
+
+def test_arcee_parity(rng):
+    # llama attention + plain relu^2 MLP + rmsnorm (nemotron wiring)
+    model = hf_tiny.tiny_arcee()
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.family == "nemotron" and cfg.norm_type == "rmsnorm"
+    assert cfg.activation == "relu2" and not cfg.gated_mlp
+
+
+def test_seed_oss_parity(rng):
+    model = hf_tiny.tiny_seed_oss()
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.attn_bias and cfg.head_dim == 16
+
+
+def test_ernie45_parity(rng):
+    # biased linears everywhere + interleaved rope
+    model = hf_tiny.tiny_ernie45(use_bias=True)
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.attn_bias and cfg.mlp_bias and cfg.rope_style == "interleaved"
+
+
+def test_exaone4_parity_hybrid_nope(rng):
+    # post-only branch norms + per-head qk-norm; rope and the window only on
+    # sliding layers (global full-attention layers are NoPE)
+    model = hf_tiny.tiny_exaone4()
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_layers == (1, 0, 1, 0) and cfg.qk_norm == "head"
+    assert not cfg.input_norms and cfg.branch_norms
+
+
+def test_exaone4_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_exaone4()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=2e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_llama4_parity(rng):
+    # chunked attention on rope layers, NoPE + log-position q temperature on
+    # the rest, post-rope L2 qk-norm, sigmoid input-weighted routing with a
+    # shared expert, interleaved dense/MoE layers
+    model = hf_tiny.tiny_llama4()
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids)
+    assert cfg.router_kind == "llama4" and cfg.moe_weight_inputs
+    assert cfg.qk_norm == "l2" and cfg.attn_temperature_tuning
+    assert cfg.attention_chunk_size == 8 and cfg.rope_layers == (1, 1, 1, 0)
+
+
+def test_llama4_parity_long_chunked(rng):
+    # prompt spanning several attention chunks: the chunk mask bites
+    model = hf_tiny.tiny_llama4(chunk=4, temp_tuning=False)
+    ids = rng.integers(0, 97, size=(1, 17))
+    _parity(model, ids)
+
+
+def test_llama4_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_llama4(chunk=4)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 11)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=2e-4, rtol=1e-3)
+    for t in range(6, 11):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=2e-4, rtol=1e-3)
