@@ -45,7 +45,13 @@ def get_task_dict(names: Sequence[str], data_dir: Optional[str] = None):
 
 def get_model(name: str):
     from .dummy import DummyLM  # registers
-    from . import owq_model  # noqa: F401  (registers "owq")
+    from . import api_models  # noqa: F401  (gpt3 / anthropic / textsynth)
     from . import hf_model  # noqa: F401  (registers "hf"/"hf-causal")
+    from . import owq_model  # noqa: F401  (registers "owq")
+    from . import seq2seq_model  # noqa: F401  (registers "hf-seq2seq")
 
+    # reference-registry aliases (lm_eval/models/__init__.py:9-20)
+    MODEL_REGISTRY.setdefault("gpt2", MODEL_REGISTRY["hf"])
+    MODEL_REGISTRY.setdefault("hf-causal-experimental", MODEL_REGISTRY["hf"])
+    MODEL_REGISTRY.setdefault("hf-causal-owq", MODEL_REGISTRY["owq"])
     return MODEL_REGISTRY[name]
