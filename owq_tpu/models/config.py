@@ -76,7 +76,9 @@ class ModelConfig:
     # qk normalization before rope: 'head' = per-head rmsnorm over head_dim
     # (qwen3), 'proj' = rmsnorm over the whole q/k projection (olmo2),
     # 'head_ln' = per-head mean-centering layernorm over head_dim (cohere
-    # per-head weights / persimmon shared weights + bias)
+    # per-head weights / persimmon shared weights + bias), 'head_post' =
+    # per-head rmsnorm applied AFTER rope (hunyuan), 'l2' = weightless rms
+    # after rope on rope layers (llama4)
     qk_norm: Optional[str] = None
     input_norms: bool = True        # olmo2: no pre-attention/pre-mlp norms
     branch_norms: bool = False      # gemma2/olmo2: post_ln on branch outputs
@@ -104,7 +106,9 @@ class ModelConfig:
     # 'deepseek_v2' = softmax + optional group-max mask, no renorm;
     # 'deepseek_v3' = sigmoid + correction bias + group-top2sum mask
     # 'gpt_oss' = top-k on raw logits, softmax over the selected values
+    # 'phimoe' = sparsemixer inference path (top-1 twice with jitter masks)
     router_kind: str = "mixtral"
+    router_jitter: float = 0.01  # phimoe router_jitter_noise
     n_group: int = 1
     topk_group: int = 1
     routed_scaling_factor: float = 1.0
@@ -260,7 +264,7 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
 # model_config.json:28).
 for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm",
                "olmo", "cohere", "granite", "glm", "smollm3", "helium",
-               "seed_oss", "ernie", "exaone", "olmoe"):
+               "seed_oss", "ernie", "exaone", "olmoe", "hunyuan", "phimoe"):
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
 
@@ -330,6 +334,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["gemma"]
     if "neox" in name or "pythia" in name:
         return ARCH_REGISTRY["neox"]
+    if "phimoe" in name or "phi-3.5-moe" in name.lower():
+        return ARCH_REGISTRY["phimoe"]
     if "phi-3" in name or "phi3" in name:
         return ARCH_REGISTRY["phi3"]
     if "phi" in name:
@@ -370,6 +376,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["ernie"]
     if "exaone" in name:
         return ARCH_REGISTRY["exaone"]
+    if "hunyuan" in name:
+        return ARCH_REGISTRY["hunyuan"]
     if "dbrx" in name:
         return ARCH_REGISTRY["dbrx"]
     if "glm" in name:
@@ -1233,6 +1241,71 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=fc.moe_top_k,
             router_kind="mixtral",
             router_norm_topk=p_norm is not None,
+        )
+    if mt in ("hunyuan_v1_dense", "hunyuan_v1_moe"):
+        # llama wiring + per-head rms qk-norm applied AFTER rope; the MoE
+        # variant adds mixtral-style routing and an ungated shared expert
+        kw = {}
+        if mt == "hunyuan_v1_moe":
+            ne, tk = hf_config.num_experts, hf_config.moe_topk
+            if not isinstance(ne, int) or not isinstance(tk, int):
+                raise NotImplementedError(
+                    "per-layer hunyuan num_experts/moe_topk lists")
+            kw = dict(num_experts=ne, num_experts_per_tok=tk,
+                      n_shared_experts=1, router_kind="mixtral",
+                      router_norm_topk=True)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=(hf_config.intermediate_size
+                               if isinstance(hf_config.intermediate_size, int)
+                               else hf_config.intermediate_size[0]),
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            qk_norm="head_post",
+            **kw,
+        )
+    if mt == "phimoe":
+        # phi-3.5-MoE: LayerNorm blocks, biased attention, longrope, and the
+        # sparsemixer router (deterministic two-pass top-1 at inference)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="layernorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", True),
+            sliding_window=getattr(hf_config, "sliding_window", None),
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            router_kind="phimoe",
+            router_jitter=getattr(hf_config, "router_jitter_noise", 0.01),
         )
     if mt in ("llama4", "llama4_text"):
         if mt == "llama4":  # composite (vision+text) config: take the text side

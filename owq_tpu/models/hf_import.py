@@ -127,6 +127,26 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                          "down": _linear(sd, f"{moe}experts.{e}.w2", dtype)}
                         for e in range(cfg.num_experts)],
                 }
+            elif cfg.num_experts and lp + "mlp.gate.wg.weight" in sd:
+                # hunyuan-moe: wg router + ungated shared_mlp
+                mp = lp + "mlp."
+                mlp = {
+                    "router": _linear(sd, mp + "gate.wg", dtype),
+                    "experts": [
+                        {"gate": _linear(sd, f"{mp}experts.{e}.gate_proj",
+                                         dtype),
+                         "up": _linear(sd, f"{mp}experts.{e}.up_proj", dtype),
+                         "down": _linear(sd, f"{mp}experts.{e}.down_proj",
+                                         dtype)}
+                        for e in range(cfg.num_experts)],
+                    "shared": {
+                        "gate": _linear(sd, mp + "shared_mlp.gate_proj",
+                                        dtype),
+                        "up": _linear(sd, mp + "shared_mlp.up_proj", dtype),
+                        "down": _linear(sd, mp + "shared_mlp.down_proj",
+                                        dtype),
+                    },
+                }
             elif cfg.num_experts and lp + "mlp.gate.weight" in sd:
                 # qwen2/3-moe + glm4-moe sparse blocks: mlp.gate router +
                 # per-expert *_proj; glm4-moe adds shared_experts (+ v3
@@ -182,6 +202,11 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             if lp + "self_attn.q_norm.weight" in sd:  # qwen3/olmo2 qk-norm
                 attn["q_norm"] = _ln(sd, lp + "self_attn.q_norm", dtype)
                 attn["k_norm"] = _ln(sd, lp + "self_attn.k_norm", dtype)
+            elif lp + "self_attn.query_layernorm.weight" in sd:  # hunyuan
+                attn["q_norm"] = _ln(sd, lp + "self_attn.query_layernorm",
+                                     dtype)
+                attn["k_norm"] = _ln(sd, lp + "self_attn.key_layernorm",
+                                     dtype)
             blk = {"attn": attn, "mlp": mlp}
             if lp + "input_layernorm.weight" in sd:  # absent in olmo2
                 blk["ln1"] = _ln(sd, lp + "input_layernorm", dtype)

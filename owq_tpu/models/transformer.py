@@ -500,6 +500,9 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                     jnp.mean(jnp.square(t.astype(jnp.float32)), axis=-1,
                              keepdims=True) + cfg.norm_eps)).astype(t.dtype)
                 q, k = l2(q), l2(k)
+        if cfg.qk_norm == "head_post":  # hunyuan: per-head rms AFTER rope
+            q = _qk_norm(attn_p["q_norm"], cfg, q, None)
+            k = _qk_norm(attn_p["k_norm"], cfg, k, None)
     if attn_temp is not None:  # llama4 NoPE-layer temperature tuning
         q = (q.astype(jnp.float32)
              * attn_temp[:, :, None, None]).astype(q.dtype)
@@ -615,6 +618,28 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             # top-k on the raw logits; weight = sigmoid(logit) per selected
             topl, topi = jax.lax.top_k(logits, K)
             topv = jax.nn.sigmoid(topl)
+        elif cfg.router_kind == "phimoe":
+            # sparsemixer inference (HF phimoe sparsemixer, training=False):
+            # two argmax passes; each weight is the softmax of the
+            # jitter-masked scores at the selected expert
+            if K != 2:
+                raise NotImplementedError("sparsemixer requires top_k=2")
+            eps2 = 2.0 * cfg.router_jitter
+            s_ = logits
+            m1 = jnp.max(s_, axis=-1, keepdims=True)
+            e1 = jnp.argmax(s_, axis=-1)[..., None]
+            fac1 = jnp.maximum(jnp.abs(s_), m1)
+            g1 = jnp.where((m1 - s_) / fac1 > eps2, -jnp.inf, s_)
+            w1 = jnp.take_along_axis(jax.nn.softmax(g1, axis=-1), e1, -1)
+            s2 = jnp.where(
+                jax.nn.one_hot(e1[..., 0], E, dtype=jnp.bool_), -jnp.inf, s_)
+            m2 = jnp.max(s2, axis=-1, keepdims=True)
+            e2 = jnp.argmax(s2, axis=-1)[..., None]
+            fac2 = jnp.maximum(jnp.abs(s_), m2)
+            g2 = jnp.where((m2 - s_) / fac2 > eps2, -jnp.inf, s2)
+            w2 = jnp.take_along_axis(jax.nn.softmax(g2, axis=-1), e2, -1)
+            topi = jnp.concatenate([e1, e2], axis=-1)
+            topv = jnp.concatenate([w1, w2], axis=-1)
         else:
             # deepseek_v2: softmax scores, optional group-max mask, no
             # renorm; deepseek_v3: sigmoid scores + e_score correction bias

@@ -743,3 +743,54 @@ def tiny_llama4(vocab=97, hidden=32, inter=16, inter_mlp=48, layers=4,
     )
     model = Llama4ForCausalLM(cfg).eval()
     return model
+
+
+def tiny_hunyuan_dense(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                       kv_heads=2, head_dim=16, max_pos=64, seed=0):
+    from transformers import HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = HunYuanDenseV1Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = HunYuanDenseV1ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_hunyuan_moe(vocab=97, hidden=32, inter=16, layers=2, heads=4,
+                     kv_heads=2, head_dim=16, experts=4, topk=2, max_pos=64,
+                     seed=0):
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = HunYuanMoEV1Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        num_experts=experts, moe_topk=topk,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = HunYuanMoEV1ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_phimoe(vocab=97, hidden=32, inter=16, layers=2, heads=4, kv_heads=2,
+                experts=4, max_pos=64, seed=0):
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = PhimoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, num_local_experts=experts,
+        num_experts_per_tok=2, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-5, sliding_window=None, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = PhimoeForCausalLM(cfg).eval()
+    return model

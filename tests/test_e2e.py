@@ -297,7 +297,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "gpt-oss", "qwen2-moe", "qwen3-moe",
                                     "glm4-moe", "dbrx", "olmoe", "helium",
                                     "arcee", "seed-oss", "ernie", "exaone",
-                                    "llama4"])
+                                    "llama4", "hunyuan", "hunyuan-moe",
+                                    "phimoe"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -365,6 +366,9 @@ def test_quantize_new_families(calib, family):
         "ernie": lambda: hf_tiny.tiny_ernie45(),
         "exaone": lambda: hf_tiny.tiny_exaone4(),
         "llama4": lambda: hf_tiny.tiny_llama4(),
+        "hunyuan": lambda: hf_tiny.tiny_hunyuan_dense(),
+        "hunyuan-moe": lambda: hf_tiny.tiny_hunyuan_moe(),
+        "phimoe": lambda: hf_tiny.tiny_phimoe(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -784,3 +784,26 @@ def test_llama4_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_hunyuan_dense_parity(rng):
+    # per-head rms qk-norm applied AFTER rope
+    model = hf_tiny.tiny_hunyuan_dense()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.qk_norm == "head_post"
+
+
+def test_hunyuan_moe_parity(rng):
+    model = hf_tiny.tiny_hunyuan_moe()
+    ids = rng.integers(0, 97, size=(2, 10))
+    params, cfg = _parity(model, ids)
+    assert cfg.num_experts == 4 and cfg.n_shared_experts == 1
+
+
+def test_phimoe_parity_sparsemixer(rng):
+    # deterministic two-pass sparsemixer routing + LayerNorm blocks
+    model = hf_tiny.tiny_phimoe()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.router_kind == "phimoe" and cfg.norm_type == "layernorm"
