@@ -264,7 +264,8 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
 # model_config.json:28).
 for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm",
                "olmo", "cohere", "granite", "glm", "smollm3", "helium",
-               "seed_oss", "ernie", "exaone", "olmoe", "hunyuan", "phimoe"):
+               "seed_oss", "ernie", "exaone", "olmoe", "hunyuan", "phimoe",
+               "granitemoe"):
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
 
@@ -354,6 +355,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["olmo"]
     if "cohere" in name or "command" in name or "c4ai" in name or "aya" in name:
         return ARCH_REGISTRY["cohere"]
+    if "granite" in name and "moe" in name:
+        return ARCH_REGISTRY["granitemoe"]
     if "granite" in name:
         return ARCH_REGISTRY["granite"]
     if "nemotron" in name or "minitron" in name:
@@ -1241,6 +1244,41 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=fc.moe_top_k,
             router_kind="mixtral",
             router_norm_topk=p_norm is not None,
+        )
+    if mt in ("granitemoe", "granitemoeshared"):
+        # granite muP multipliers + MoE: top-k on logits then softmax over
+        # the selected values (jetmoe gating); fused 3D expert tensors;
+        # optional ungated shared mlp (granitemoeshared)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            embed_scale=hf_config.embedding_multiplier,
+            attn_scale=hf_config.attention_multiplier,
+            residual_multiplier=hf_config.residual_multiplier,
+            logit_scale=1.0 / hf_config.logits_scaling,
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            n_shared_experts=(1 if getattr(hf_config,
+                                           "shared_intermediate_size", 0)
+                              else 0),
+            router_kind="gpt_oss",
         )
     if mt in ("hunyuan_v1_dense", "hunyuan_v1_moe"):
         # llama wiring + per-head rms qk-norm applied AFTER rope; the MoE

@@ -127,6 +127,38 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                          "down": _linear(sd, f"{moe}experts.{e}.w2", dtype)}
                         for e in range(cfg.num_experts)],
                 }
+            elif (cfg.num_experts
+                  and lp + "block_sparse_moe.input_linear.weight" in sd):
+                # granitemoe: jetmoe-style fused 3D experts — input_linear
+                # [E, 2*ffn, hid] is gate|up halves, output_linear
+                # [E, hid, ffn]; optional layer-level shared_mlp with the
+                # same fused layout
+                moe = lp + "block_sparse_moe."
+                iw = _np(sd[moe + "input_linear.weight"])
+                ow = _np(sd[moe + "output_linear.weight"])
+                ffn = iw.shape[1] // 2
+                experts = [
+                    {"gate": DenseLinear(w=jnp.asarray(iw[e][:ffn].T, dtype),
+                                         b=None),
+                     "up": DenseLinear(w=jnp.asarray(iw[e][ffn:].T, dtype),
+                                       b=None),
+                     "down": DenseLinear(w=jnp.asarray(ow[e].T, dtype),
+                                         b=None)}
+                    for e in range(cfg.num_experts)]
+                mlp = {"router": _linear(sd, moe + "router.layer", dtype),
+                       "experts": experts}
+                if lp + "shared_mlp.input_linear.weight" in sd:
+                    siw = _np(sd[lp + "shared_mlp.input_linear.weight"])
+                    sow = _np(sd[lp + "shared_mlp.output_linear.weight"])
+                    sffn = siw.shape[0] // 2
+                    mlp["shared"] = {
+                        "gate": DenseLinear(w=jnp.asarray(siw[:sffn].T,
+                                                          dtype), b=None),
+                        "up": DenseLinear(w=jnp.asarray(siw[sffn:].T, dtype),
+                                          b=None),
+                        "down": DenseLinear(w=jnp.asarray(sow.T, dtype),
+                                            b=None),
+                    }
             elif cfg.num_experts and lp + "mlp.gate.wg.weight" in sd:
                 # hunyuan-moe: wg router + ungated shared_mlp
                 mp = lp + "mlp."

@@ -794,3 +794,28 @@ def tiny_phimoe(vocab=97, hidden=32, inter=16, layers=2, heads=4, kv_heads=2,
     )
     model = PhimoeForCausalLM(cfg).eval()
     return model
+
+
+def tiny_granitemoe(vocab=97, hidden=32, inter=16, shared_inter=24, layers=2,
+                    heads=4, kv_heads=2, experts=4, topk=2, shared=True,
+                    max_pos=64, seed=0):
+    from transformers import (GraniteMoeConfig, GraniteMoeForCausalLM,
+                              GraniteMoeSharedConfig,
+                              GraniteMoeSharedForCausalLM)
+
+    torch.manual_seed(seed)
+    kw = dict(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, num_local_experts=experts,
+        num_experts_per_tok=topk, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        embedding_multiplier=4.0, attention_multiplier=0.03125,
+        residual_multiplier=0.3, logits_scaling=5.0,
+        attn_implementation="eager",
+    )
+    if shared:
+        cfg = GraniteMoeSharedConfig(shared_intermediate_size=shared_inter,
+                                     **kw)
+        return GraniteMoeSharedForCausalLM(cfg).eval()
+    return GraniteMoeForCausalLM(GraniteMoeConfig(**kw)).eval()

@@ -298,7 +298,7 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "glm4-moe", "dbrx", "olmoe", "helium",
                                     "arcee", "seed-oss", "ernie", "exaone",
                                     "llama4", "hunyuan", "hunyuan-moe",
-                                    "phimoe"])
+                                    "phimoe", "granitemoe"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -369,6 +369,7 @@ def test_quantize_new_families(calib, family):
         "hunyuan": lambda: hf_tiny.tiny_hunyuan_dense(),
         "hunyuan-moe": lambda: hf_tiny.tiny_hunyuan_moe(),
         "phimoe": lambda: hf_tiny.tiny_phimoe(),
+        "granitemoe": lambda: hf_tiny.tiny_granitemoe(shared=True),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

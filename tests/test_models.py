@@ -807,3 +807,20 @@ def test_phimoe_parity_sparsemixer(rng):
     ids = rng.integers(0, 97, size=(2, 11))
     params, cfg = _parity(model, ids)
     assert cfg.router_kind == "phimoe" and cfg.norm_type == "layernorm"
+
+
+def test_granitemoe_shared_parity(rng):
+    # granite muP multipliers + jetmoe gating (softmax over top-k logits) +
+    # fused 3D experts + ungated layer-level shared mlp
+    model = hf_tiny.tiny_granitemoe(shared=True)
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.router_kind == "gpt_oss" and cfg.n_shared_experts == 1
+    assert cfg.residual_multiplier == 0.3 and cfg.logit_scale == 0.2
+
+
+def test_granitemoe_parity_no_shared(rng):
+    model = hf_tiny.tiny_granitemoe(shared=False)
+    ids = rng.integers(0, 97, size=(1, 9))
+    params, cfg = _parity(model, ids)
+    assert cfg.n_shared_experts == 0
