@@ -130,6 +130,14 @@ class ModelConfig:
     # MLA (deepseek v2/v3): low-rank q/kv projections; rope on a small
     # per-head slice with one shared (MQA-style) rope key.  head_dim(_override)
     # is the q/k head dim (nope+rope); v_head_dim is the value head dim.
+    # hybrid SSM layers (mamba2: bamba / granite-4 hybrid / falcon-h1
+    # class); layer_types entries "mamba" select the mixer per layer
+    mamba_heads: int = 0
+    mamba_head_dim: int = 0
+    mamba_d_state: int = 0
+    mamba_d_conv: int = 4
+    mamba_n_groups: int = 1
+    mamba_chunk: int = 256
     mla: bool = False
     q_lora_rank: Optional[int] = None
     kv_lora_rank: int = 0
@@ -145,6 +153,22 @@ class ModelConfig:
     @property
     def head_dim(self) -> int:
         return self.head_dim_override or self.hidden_size // self.num_heads
+
+    def mamba_spec(self):
+        from .ssm import MambaSpec
+
+        return MambaSpec(num_heads=self.mamba_heads,
+                         head_dim=self.mamba_head_dim,
+                         d_state=self.mamba_d_state,
+                         d_conv=self.mamba_d_conv,
+                         n_groups=self.mamba_n_groups,
+                         chunk_size=self.mamba_chunk,
+                         intermediate=self.mamba_heads * self.mamba_head_dim,
+                         activation=self.activation)
+
+    @property
+    def has_mamba(self) -> bool:
+        return bool(self.layer_types) and "mamba" in self.layer_types
 
     @property
     def v_dim(self) -> int:
@@ -282,6 +306,19 @@ ARCH_REGISTRY["nemotron"] = ArchSpec(
 # persimmon: neox-shaped linear set (fused query_key_value, 2-layer MLP)
 ARCH_REGISTRY["persimmon"] = dataclasses.replace(ARCH_REGISTRY["neox"],
                                                  family="persimmon")
+# bamba: llama attention + mamba in/out projections + gated mlp
+ARCH_REGISTRY["bamba"] = ArchSpec(
+    family="bamba",
+    map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v", "o": "attn.o",
+               "in_proj": "mamba.in_proj", "out_proj": "mamba.out_proj",
+               "up": "mlp.up", "gate": "mlp.gate", "down": "mlp.down"},
+    ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+            "mamba.in_proj": 1.0, "mamba.out_proj": 1.0,
+            "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.q", "attn.k", "attn.v", "mamba.in_proj"),
+                ("attn.o", "mamba.out_proj"), ("mlp.up", "mlp.gate"),
+                ("mlp.down",)),
+)
 # llama4: llama-shaped linear set
 ARCH_REGISTRY["llama4"] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                               family="llama4")
@@ -381,6 +418,10 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["exaone"]
     if "hunyuan" in name:
         return ARCH_REGISTRY["hunyuan"]
+    if "bamba" in name:
+        return ARCH_REGISTRY["bamba"]
+    if "granite-4" in name or "granite_4" in name:
+        return ARCH_REGISTRY["bamba"]
     if "dbrx" in name:
         return ARCH_REGISTRY["dbrx"]
     if "glm" in name:
@@ -1244,6 +1285,86 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=fc.moe_top_k,
             router_kind="mixtral",
             router_norm_topk=p_norm is not None,
+        )
+    if mt == "granitemoehybrid":
+        # granite-4.0 hybrid: mamba2 layers + (by default NoPE) attention
+        # layers, granitemoe fused experts + shared mlp, muP multipliers
+        lt = tuple(hf_config.layer_types)
+        use_rope = getattr(hf_config, "position_embedding_type",
+                           None) == "rope"
+        return ModelConfig(
+            family="granitemoe_hybrid",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            # NoPE attention by default: rope tables exist but no layer
+            # applies them unless position_embedding_type == "rope"
+            rope_layers=tuple(int(use_rope and t == "attention")
+                              for t in lt),
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            embed_scale=hf_config.embedding_multiplier,
+            attn_scale=hf_config.attention_multiplier,
+            residual_multiplier=hf_config.residual_multiplier,
+            logit_scale=1.0 / hf_config.logits_scaling,
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            n_shared_experts=(1 if getattr(hf_config,
+                                           "shared_intermediate_size", 0)
+                              else 0),
+            router_kind="gpt_oss",
+            layer_types=lt,
+            mamba_heads=hf_config.mamba_n_heads,
+            mamba_head_dim=hf_config.mamba_d_head,
+            mamba_d_state=hf_config.mamba_d_state,
+            mamba_d_conv=hf_config.mamba_d_conv,
+            mamba_n_groups=hf_config.mamba_n_groups,
+            mamba_chunk=hf_config.mamba_chunk_size,
+        )
+    if mt == "bamba":
+        # hybrid mamba2/attention: most layers are SSD mixers; the few
+        # attention layers use partial (0.5) rotary GQA
+        lt = tuple(hf_config.layers_block_type)
+        return ModelConfig(
+            family="bamba",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.5),
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            mlp_bias=getattr(hf_config, "mlp_bias", False),
+            layer_types=lt,
+            mamba_heads=hf_config.mamba_n_heads,
+            mamba_head_dim=hf_config.mamba_d_head,
+            mamba_d_state=hf_config.mamba_d_state,
+            mamba_d_conv=hf_config.mamba_d_conv,
+            mamba_n_groups=hf_config.mamba_n_groups,
+            mamba_chunk=hf_config.mamba_chunk_size,
         )
     if mt in ("granitemoe", "granitemoeshared"):
         # granite muP multipliers + MoE: top-k on logits then softmax over

@@ -430,6 +430,118 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             })
         p["layers"] = layers
 
+    elif fam == "bamba":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "final_layernorm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "ln2": _ln(sd, lp + "pre_ff_layernorm", dtype),
+                "mlp": {
+                    "gate": _linear(sd, lp + "feed_forward.gate_proj", dtype),
+                    "up": _linear(sd, lp + "feed_forward.up_proj", dtype),
+                    "down": _linear(sd, lp + "feed_forward.down_proj", dtype),
+                },
+            }
+            if lp + "mamba.in_proj.weight" in sd:
+                cw = _np(sd[lp + "mamba.conv1d.weight"])  # [conv_dim, 1, K]
+                mm = {
+                    "in_proj": _linear(sd, lp + "mamba.in_proj", dtype),
+                    "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                    "dt_bias": jnp.asarray(_np(sd[lp + "mamba.dt_bias"]),
+                                           jnp.float32),
+                    "A_log": jnp.asarray(_np(sd[lp + "mamba.A_log"]),
+                                         jnp.float32),
+                    "D": jnp.asarray(_np(sd[lp + "mamba.D"]), jnp.float32),
+                    "norm_w": jnp.asarray(_np(sd[lp + "mamba.norm.weight"]),
+                                          jnp.float32),
+                    "out_proj": _linear(sd, lp + "mamba.out_proj", dtype),
+                }
+                if lp + "mamba.conv1d.bias" in sd:
+                    mm["conv_b"] = jnp.asarray(
+                        _np(sd[lp + "mamba.conv1d.bias"]), jnp.float32)
+                blk["mamba"] = mm
+            else:
+                blk["attn"] = {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
+    elif fam == "granitemoe_hybrid":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            moe = lp + "block_sparse_moe."
+            iw = _np(sd[moe + "input_linear.weight"])
+            ow = _np(sd[moe + "output_linear.weight"])
+            ffn = iw.shape[1] // 2
+            experts = [
+                {"gate": DenseLinear(w=jnp.asarray(iw[e][:ffn].T, dtype),
+                                     b=None),
+                 "up": DenseLinear(w=jnp.asarray(iw[e][ffn:].T, dtype),
+                                   b=None),
+                 "down": DenseLinear(w=jnp.asarray(ow[e].T, dtype), b=None)}
+                for e in range(cfg.num_experts)]
+            mlp: Dict[str, Any] = {
+                "router": _linear(sd, moe + "router.layer", dtype),
+                "experts": experts,
+            }
+            if lp + "shared_mlp.input_linear.weight" in sd:
+                siw = _np(sd[lp + "shared_mlp.input_linear.weight"])
+                sow = _np(sd[lp + "shared_mlp.output_linear.weight"])
+                sffn = siw.shape[0] // 2
+                mlp["shared"] = {
+                    "gate": DenseLinear(w=jnp.asarray(siw[:sffn].T, dtype),
+                                        b=None),
+                    "up": DenseLinear(w=jnp.asarray(siw[sffn:].T, dtype),
+                                      b=None),
+                    "down": DenseLinear(w=jnp.asarray(sow.T, dtype), b=None),
+                }
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": mlp,
+            }
+            if lp + "mamba.in_proj.weight" in sd:
+                cw = _np(sd[lp + "mamba.conv1d.weight"])
+                mm = {
+                    "in_proj": _linear(sd, lp + "mamba.in_proj", dtype),
+                    "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                    "dt_bias": jnp.asarray(_np(sd[lp + "mamba.dt_bias"]),
+                                           jnp.float32),
+                    "A_log": jnp.asarray(_np(sd[lp + "mamba.A_log"]),
+                                         jnp.float32),
+                    "D": jnp.asarray(_np(sd[lp + "mamba.D"]), jnp.float32),
+                    "norm_w": jnp.asarray(_np(sd[lp + "mamba.norm.weight"]),
+                                          jnp.float32),
+                    "out_proj": _linear(sd, lp + "mamba.out_proj", dtype),
+                }
+                if lp + "mamba.conv1d.bias" in sd:
+                    mm["conv_b"] = jnp.asarray(
+                        _np(sd[lp + "mamba.conv1d.bias"]), jnp.float32)
+                blk["mamba"] = mm
+            else:
+                blk["attn"] = {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
     elif fam == "llama4":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),

@@ -1,0 +1,237 @@
+"""Mamba-2 (SSD) mixer for hybrid attention/SSM families (Bamba,
+Granite-4.0 hybrid, Falcon-H1 class).
+
+Pure-jnp port of the HF slow path (models/bamba/modeling_bamba.py
+``BambaMixer.torch_forward``), vectorized for the MXU:
+
+  * full-sequence: the chunked "state-space dual" form — intra-chunk
+    quadratic attention-like term plus inter-chunk state recurrence,
+    computed as batched einsums over fixed-size chunks (static shapes,
+    jit-friendly; no sequential scan over tokens),
+  * single-step decode: O(1) recurrent update of the conv/ssm states.
+
+State layout (per layer): conv_state [B, conv_dim, K] holds the last K
+raw (pre-conv) projected inputs; ssm_state [B, H, head_dim, N] is the
+discretized SSM state.  The quantizable linears are ``in_proj`` and
+``out_proj`` (everything else is tiny per-head vectors), addressed as
+"mamba.in_proj"/"mamba.out_proj" by the quantization pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mamba2_full", "mamba2_step", "MambaSpec"]
+
+
+class MambaSpec:
+    """Static mixer geometry (derived from config at import time)."""
+
+    def __init__(self, *, num_heads: int, head_dim: int, d_state: int,
+                 d_conv: int, n_groups: int, chunk_size: int,
+                 intermediate: int, activation: str = "silu"):
+        self.num_heads = num_heads
+        self.head_dim = head_dim
+        self.d_state = d_state
+        self.d_conv = d_conv
+        self.n_groups = n_groups
+        self.chunk_size = chunk_size
+        self.intermediate = intermediate  # num_heads * head_dim
+        self.conv_dim = intermediate + 2 * n_groups * d_state
+        self.activation = activation
+
+    def key(self):  # hashable for jit static args
+        return (self.num_heads, self.head_dim, self.d_state, self.d_conv,
+                self.n_groups, self.chunk_size, self.intermediate,
+                self.activation)
+
+
+def _act(x, kind):
+    from .layers import activation
+
+    return activation(x, kind)
+
+
+def _segment_sum(a: jnp.ndarray) -> jnp.ndarray:
+    """[..., Q] -> [..., Q, Q] cumulative segment sums; -inf above diag."""
+    Q = a.shape[-1]
+    x = jnp.repeat(a[..., None], Q, axis=-1)
+    x = jnp.where(jnp.tril(jnp.ones((Q, Q), bool), k=-1), x, 0.0)
+    seg = jnp.cumsum(x, axis=-2)
+    return jnp.where(jnp.tril(jnp.ones((Q, Q), bool)), seg, -jnp.inf)
+
+
+def _gated_rmsnorm(y, gate, w, eps):
+    y32 = y.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))
+    var = jnp.mean(y32 * y32, axis=-1, keepdims=True)
+    return (w.astype(jnp.float32) * y32 * jax.lax.rsqrt(var + eps)).astype(
+        y.dtype)
+
+
+def _lin(p, x, kernel="xla"):
+    if hasattr(p, "apply"):
+        try:
+            return p.apply(x, kernel=kernel)
+        except TypeError:
+            return p.apply(x)
+    raise TypeError(type(p))
+
+
+def _depthwise_causal_conv(u: jnp.ndarray, w: jnp.ndarray,
+                           b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """u [B, T, C], w [K, C] -> causal depthwise conv [B, T, C]."""
+    K = w.shape[0]
+    T = u.shape[1]
+    up = jnp.pad(u, ((0, 0), (K - 1, 0), (0, 0)))
+    acc = jnp.zeros_like(u, dtype=jnp.float32)
+    for k in range(K):  # K is tiny (4); unrolled taps fuse into one kernel
+        acc = acc + w[k].astype(jnp.float32) * up[:, k:k + T].astype(
+            jnp.float32)
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    return acc.astype(u.dtype)
+
+
+def mamba2_full(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
+                *, eps: float, kernel: str = "xla",
+                taps: Sequence[str] = (), tap_prefix: str = "mamba",
+                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
+                           Dict[str, jnp.ndarray]]:
+    """Full-sequence SSD pass from a zero initial state.
+
+    Returns (y [B,T,hidden], (conv_state, ssm_state), tapped).
+    """
+    B, T, _ = x.shape
+    H, P, N = spec.num_heads, spec.head_dim, spec.d_state
+    G, Q = spec.n_groups, spec.chunk_size
+    inner, conv_dim = spec.intermediate, spec.conv_dim
+    tapped: Dict[str, jnp.ndarray] = {}
+
+    if f"{tap_prefix}.in_proj" in taps:
+        tapped[f"{tap_prefix}.in_proj"] = x
+    proj = _lin(mp["in_proj"], x, kernel)
+    gate = proj[..., :inner]
+    hBC = proj[..., inner:inner + conv_dim]
+    dt = proj[..., inner + conv_dim:]
+
+    # conv state: last K raw (pre-conv) inputs, left-padded with zeros
+    K = spec.d_conv
+    hBC_t = jnp.swapaxes(hBC, 1, 2)  # [B, conv_dim, T]
+    conv_state = jnp.pad(hBC_t, ((0, 0), (0, 0), (max(K - T, 0), 0)))[
+        :, :, -K:]
+
+    hBC = _act(_depthwise_causal_conv(hBC, mp["conv_w"], mp.get("conv_b")),
+               spec.activation)
+    h = hBC[..., :inner]
+    B_ = hBC[..., inner:inner + G * N]
+    C_ = hBC[..., inner + G * N:]
+
+    dt = jax.nn.softplus(dt.astype(jnp.float32)
+                         + mp["dt_bias"].astype(jnp.float32))  # [B,T,H]
+    A = -jnp.exp(mp["A_log"].astype(jnp.float32))              # [H]
+
+    h4 = h.reshape(B, T, H, P).astype(jnp.float32)
+    rep = H // G
+    B4 = jnp.repeat(B_.reshape(B, T, G, N).astype(jnp.float32), rep, axis=2)
+    C4 = jnp.repeat(C_.reshape(B, T, G, N).astype(jnp.float32), rep, axis=2)
+
+    pad = (Q - T % Q) % Q
+
+    def padT(t):
+        return jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
+
+    D_res = mp["D"].astype(jnp.float32)[:, None] * padT(h4)   # [B,Tp,H,P]
+    xdt = padT(h4 * dt[..., None])
+    Adt = padT(A[None, None, :] * dt)                          # [B,Tp,H]
+    B4, C4 = padT(B4), padT(C4)
+    Cn = (T + pad) // Q
+
+    def chunk(t):
+        return t.reshape((B, Cn, Q) + t.shape[2:])
+
+    xdt, B4, C4 = chunk(xdt), chunk(B4), chunk(C4)            # [B,Cn,Q,H,*]
+    Ac = chunk(Adt).transpose(0, 3, 1, 2)                      # [B,H,Cn,Q]
+    A_cum = jnp.cumsum(Ac, axis=-1)
+
+    # intra-chunk (diagonal blocks): attention-like masked quadratic term
+    L = jnp.exp(_segment_sum(Ac))                              # [B,H,Cn,Q,Q]
+    Gm = jnp.einsum("bclhn,bcshn->bclsh", C4, B4)
+    M = Gm * L.transpose(0, 2, 3, 4, 1)
+    Y_diag = jnp.einsum("bclsh,bcshp->bclhp", M, xdt)
+
+    # intra-chunk final states (B terms)
+    decay_states = jnp.exp(A_cum[:, :, :, -1:] - A_cum)        # [B,H,Cn,Q]
+    B_decay = B4 * decay_states.transpose(0, 2, 3, 1)[..., None]
+    states = jnp.einsum("bcshn,bcshp->bchpn", B_decay, xdt)
+
+    # inter-chunk recurrence over chunk boundaries
+    prev = jnp.zeros_like(states[:, :1])
+    states = jnp.concatenate([prev, states], axis=1)           # [B,Cn+1,...]
+    decay_chunk = jnp.exp(_segment_sum(
+        jnp.pad(A_cum[:, :, :, -1], ((0, 0), (0, 0), (1, 0)))))
+    decay_chunk = decay_chunk.transpose(0, 3, 2, 1)            # [B,Cn+1,Cn+1,H]
+    new_states = jnp.einsum("bzch,bzhpn->bchpn", decay_chunk, states)
+    states, ssm_state = new_states[:, :-1], new_states[:, -1]
+
+    # state -> output (C terms)
+    sdo = jnp.exp(A_cum).transpose(0, 2, 3, 1)                 # [B,Cn,Q,H]
+    Y_off = jnp.einsum("bclhn,bchpn->bclhp", C4, states) * sdo[..., None]
+
+    y = (Y_diag + Y_off).reshape(B, T + pad, H, P) + D_res
+    y = y[:, :T].reshape(B, T, inner)
+
+    y = _gated_rmsnorm(y, gate, mp["norm_w"], eps)
+    if f"{tap_prefix}.out_proj" in taps:
+        tapped[f"{tap_prefix}.out_proj"] = y
+    out = _lin(mp["out_proj"], y.astype(x.dtype), kernel)
+    return out, (conv_state.astype(jnp.float32),
+                 ssm_state.astype(jnp.float32)), tapped
+
+
+def mamba2_step(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
+                conv_state: jnp.ndarray, ssm_state: jnp.ndarray,
+                *, eps: float, kernel: str = "xla",
+                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One-token recurrent update.  x: [B, 1, hidden]."""
+    B = x.shape[0]
+    H, P, N = spec.num_heads, spec.head_dim, spec.d_state
+    G = spec.n_groups
+    inner, conv_dim = spec.intermediate, spec.conv_dim
+
+    proj = _lin(mp["in_proj"], x, kernel)[:, 0]  # [B, proj]
+    gate = proj[..., :inner]
+    hBC = proj[..., inner:inner + conv_dim]
+    dt = proj[..., inner + conv_dim:]            # [B, H]
+
+    conv_state = jnp.concatenate(
+        [conv_state[:, :, 1:], hBC[:, :, None]], axis=-1)  # [B,conv,K]
+    conv_out = jnp.sum(conv_state.astype(jnp.float32)
+                       * mp["conv_w"].astype(jnp.float32).T[None], axis=-1)
+    if mp.get("conv_b") is not None:
+        conv_out = conv_out + mp["conv_b"].astype(jnp.float32)
+    hBC = _act(conv_out, spec.activation)        # [B, conv_dim] f32
+
+    h = hBC[..., :inner].reshape(B, H, P)
+    B_ = hBC[..., inner:inner + G * N].reshape(B, G, N)
+    C_ = hBC[..., inner + G * N:].reshape(B, G, N)
+    rep = H // G
+    B_ = jnp.repeat(B_, rep, axis=1)             # [B,H,N]
+    C_ = jnp.repeat(C_, rep, axis=1)
+
+    dt = jax.nn.softplus(dt.astype(jnp.float32)
+                         + mp["dt_bias"].astype(jnp.float32))  # [B,H]
+    A = -jnp.exp(mp["A_log"].astype(jnp.float32))              # [H]
+    dA = jnp.exp(dt * A[None])[:, :, None, None]               # [B,H,1,1]
+    dBx = (dt[:, :, None] * B_)[:, :, None, :] * h[..., None]  # [B,H,P,N]
+    ssm_state = ssm_state * dA + dBx
+
+    y = jnp.einsum("bhpn,bhn->bhp", ssm_state, C_)
+    y = y + h * mp["D"].astype(jnp.float32)[None, :, None]
+    y = y.reshape(B, 1, inner)
+
+    y = _gated_rmsnorm(y, gate[:, None, :], mp["norm_w"], eps)
+    out = _lin(mp["out_proj"], y.astype(x.dtype), kernel)
+    return out, (conv_state, ssm_state)

@@ -40,7 +40,7 @@ from ..runtime.quant_linear import DenseLinear, PackedLinear, ShardedPackedLinea
 __all__ = ["KVCache", "QuantKVCache", "ExpertBank", "block_forward",
            "forward", "embed", "unembed", "init_cache", "init_quant_cache",
            "QUANTIZABLE", "quantizable_names", "layer_mask_biases",
-           "layer_rope"]
+           "layer_rope", "HybridCache", "init_hybrid_cache"]
 
 # dotted linear names per family (quantization targets)
 QUANTIZABLE = {
@@ -73,6 +73,19 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
     with shared experts) this is the union over layers — callers filter to
     the names actually present in each block.
     """
+    if cfg.has_mamba:
+        names = ["attn.q", "attn.k", "attn.v", "attn.o",
+                 "mamba.in_proj", "mamba.out_proj"]
+        if cfg.num_experts:
+            for e in range(cfg.num_experts):
+                names += [f"mlp.experts.{e}.gate", f"mlp.experts.{e}.up",
+                          f"mlp.experts.{e}.down"]
+            if cfg.n_shared_experts:
+                names += ["mlp.shared.gate", "mlp.shared.up",
+                          "mlp.shared.down"]
+        else:
+            names += ["mlp.gate", "mlp.up", "mlp.down"]
+        return tuple(names)
     if cfg.mla:
         attn = ((("attn.q",) if cfg.q_lora_rank is None
                  else ("attn.q_a", "attn.q_b"))
@@ -154,7 +167,9 @@ class KVCache:
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16):
+    if cfg.has_mamba:  # hybrid SSM models carry conv/ssm states too
+        return init_hybrid_cache(cfg, batch, max_len, dtype=dtype)
     base = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
     return KVCache(k=jnp.zeros(base + (cfg.head_dim,), dtype),
                    v=jnp.zeros(base + (cfg.v_dim,), dtype),
@@ -191,6 +206,45 @@ def init_quant_cache(cfg: ModelConfig, batch: int, max_len: int) -> QuantKVCache
         k_scale=jnp.ones(base, jnp.float32),
         v_scale=jnp.ones(base, jnp.float32),
         length=jnp.zeros((), jnp.int32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HybridCache:
+    """Cache for hybrid mamba2/attention models (bamba class).
+
+    ``kv`` serves the attention layers (mamba layers' slices stay zero);
+    ``conv`` [L, B, conv_dim, K] holds each mamba layer's last K raw
+    projected inputs, ``ssm`` [L, B, H, P, N] its recurrent state.
+    """
+
+    kv: KVCache
+    conv: jnp.ndarray
+    ssm: jnp.ndarray
+
+    @property
+    def length(self):
+        return self.kv.length
+
+    @property
+    def max_len(self) -> int:
+        return self.kv.max_len
+
+
+def init_hybrid_cache(cfg: ModelConfig, batch: int, max_len: int,
+                      dtype=jnp.bfloat16) -> HybridCache:
+    spec = cfg.mamba_spec()
+    return HybridCache(
+        kv=KVCache(
+            k=jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads,
+                         cfg.head_dim), dtype),
+            v=jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads,
+                         cfg.v_dim), dtype),
+            length=jnp.zeros((), jnp.int32)),
+        conv=jnp.zeros((cfg.num_layers, batch, spec.conv_dim, spec.d_conv),
+                       jnp.float32),
+        ssm=jnp.zeros((cfg.num_layers, batch, spec.num_heads, spec.head_dim,
+                       spec.d_state), jnp.float32))
 
 
 def _quantize_kv(x: jnp.ndarray):
@@ -392,40 +446,15 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
     return q, k, v
 
 
-def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
-                  mask_bias: jnp.ndarray,
-                  rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                  alibi: Optional[jnp.ndarray] = None,
-                  kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                  cache_at: Optional[jnp.ndarray] = None,
-                  kernel: str = "xla",
-                  taps: Sequence[str] = (),
-                  tp_axis: Optional[str] = None,
-                  attn_temp: Optional[jnp.ndarray] = None,
-                  ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
-                             Dict[str, jnp.ndarray]]:
-    """One decoder block.
-
-    x: [B, T, hidden].  kv: optional cache (k, v) [B, S_max, Hkv, hd] to
-    update in-place at position ``cache_at``; when None, attention runs over
-    the current T tokens only.  Returns (y, (k_full, v_full), taps).
-
-    With ``tp_axis`` set (inside shard_map), the block runs Megatron-style
-    tensor parallelism: q/k/v/gate/up/fc1 are column-parallel (local heads /
-    local ffn slice), o/down/fc2 are row-parallel and their outputs are
-    psum-reduced over the axis — two collectives per block riding ICI.
+def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
+                    mask_bias, rope, alibi, attn_temp, kv, cache_at,
+                    kernel, taps, tapped, tp_axis):
+    """The attention half of a decoder block: q/k/v (dense, fused,
+    or MLA), rope/qk-norms, cache update, attention core, o-proj.
+    Returns (attn_out, k_full, v_full); taps write into ``tapped``.
     """
-    B, T, _ = x.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    tapped: Dict[str, jnp.ndarray] = {}
-
-    # OPT-350m style post-norm: LN applied after the residual add
-    # (HF OPTDecoderLayer with do_layer_norm_before=False).
-    pre_norm = cfg.do_layer_norm_before
-
-    res = x
-    x_ln = (_norm(blk.get("ln1"), cfg, x)
-            if pre_norm and cfg.input_norms else x)
+    x = res  # mask/cache shapes reference the block input
     attn_p = blk["attn"]
 
     if cfg.mla:
@@ -549,6 +578,68 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if "attn.o" in taps:
         tapped["attn.o"] = ctx
     attn_out = _lin(attn_p["o"], ctx, kernel)
+    return attn_out, k_full, v_full
+
+
+def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
+                  mask_bias: jnp.ndarray,
+                  rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  alibi: Optional[jnp.ndarray] = None,
+                  kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  cache_at: Optional[jnp.ndarray] = None,
+                  kernel: str = "xla",
+                  taps: Sequence[str] = (),
+                  tp_axis: Optional[str] = None,
+                  attn_temp: Optional[jnp.ndarray] = None,
+                  ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
+                             Dict[str, jnp.ndarray]]:
+    """One decoder block.
+
+    x: [B, T, hidden].  kv: optional cache (k, v) [B, S_max, Hkv, hd] to
+    update in-place at position ``cache_at``; when None, attention runs over
+    the current T tokens only.  Returns (y, (k_full, v_full), taps).
+
+    With ``tp_axis`` set (inside shard_map), the block runs Megatron-style
+    tensor parallelism: q/k/v/gate/up/fc1 are column-parallel (local heads /
+    local ffn slice), o/down/fc2 are row-parallel and their outputs are
+    psum-reduced over the axis — two collectives per block riding ICI.
+    """
+    B, T, _ = x.shape
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    tapped: Dict[str, jnp.ndarray] = {}
+
+    # OPT-350m style post-norm: LN applied after the residual add
+    # (HF OPTDecoderLayer with do_layer_norm_before=False).
+    pre_norm = cfg.do_layer_norm_before
+
+    res = x
+    x_ln = (_norm(blk.get("ln1"), cfg, x)
+            if pre_norm and cfg.input_norms else x)
+    if "mamba" in blk:
+        # mamba-2 mixer in place of attention (bamba/granite-4
+        # hybrid layers).  With a cache and T==1 the recurrent
+        # single-step update runs (exact even from a zero state);
+        # otherwise the chunked SSD form computes the full sequence
+        # and returns the final conv/ssm states for the cache.
+        from .ssm import mamba2_full, mamba2_step
+
+        spec = cfg.mamba_spec()
+        if kv is not None and T == 1:
+            conv_in, ssm_in = kv
+            attn_out, (k_full, v_full) = mamba2_step(
+                blk["mamba"], spec, x_ln, conv_in, ssm_in,
+                eps=cfg.norm_eps, kernel=kernel)
+        else:
+            attn_out, (k_full, v_full), t2 = mamba2_full(
+                blk["mamba"], spec, x_ln, eps=cfg.norm_eps,
+                kernel=kernel, taps=taps)
+            tapped.update(t2)
+    else:
+        attn_out, k_full, v_full = _attention_part(
+            blk, cfg, x_ln, res, B=B, T=T, mask_bias=mask_bias,
+            rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
+            cache_at=cache_at, kernel=kernel, taps=taps,
+            tapped=tapped, tp_axis=tp_axis)
 
     if cfg.parallel_block:
         # falcon-style: mlp reads the same LN output; one residual add.
@@ -937,21 +1028,32 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     temp = (attn_temperature(cfg, positions)
             if cfg.attn_temperature_tuning else None)
     quant_cache = isinstance(cache, QuantKVCache)
+    hybrid = isinstance(cache, HybridCache)
+    kvc = cache.kv if hybrid else cache
     new_k, new_v, new_ks, new_vs = None, None, None, None
+    new_conv, new_ssm = None, None
     for i, blk in enumerate(params["layers"]):
+        is_mamba = "mamba" in blk
         if cache is None:
             kv = None
+        elif is_mamba:
+            kv = (cache.conv[i], cache.ssm[i])
         elif quant_cache:
             kv = (cache.k[i], cache.v[i], cache.k_scale[i], cache.v_scale[i])
         else:
-            kv = (cache.k[i], cache.v[i])
+            kv = (kvc.k[i], kvc.v[i])
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),
             alibi=alibi, attn_temp=layer_attn_temp(cfg, temp, i),
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis)
         if cache is not None:
-            if quant_cache:
+            if is_mamba:
+                new_conv = (cache.conv if new_conv is None else new_conv
+                            ).at[i].set(kf)
+                new_ssm = (cache.ssm if new_ssm is None else new_ssm
+                           ).at[i].set(vf)
+            elif quant_cache:
                 (kq, ks), (vq, vs) = kf, vf
                 new_k = (cache.k if new_k is None else new_k).at[i].set(kq)
                 new_v = (cache.v if new_v is None else new_v).at[i].set(vq)
@@ -960,12 +1062,20 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
                 new_vs = (cache.v_scale if new_vs is None else new_vs
                           ).at[i].set(vs)
             else:
-                new_k = (cache.k if new_k is None else new_k).at[i].set(kf)
-                new_v = (cache.v if new_v is None else new_v).at[i].set(vf)
+                new_k = (kvc.k if new_k is None else new_k).at[i].set(kf)
+                new_v = (kvc.v if new_v is None else new_v).at[i].set(vf)
 
     logits = unembed(params, cfg, x)
     if cache is None:
         return logits, None
+    if hybrid:
+        new_kv = KVCache(k=new_k if new_k is not None else kvc.k,
+                         v=new_v if new_v is not None else kvc.v,
+                         length=start + T)
+        return logits, HybridCache(
+            kv=new_kv,
+            conv=new_conv if new_conv is not None else cache.conv,
+            ssm=new_ssm if new_ssm is not None else cache.ssm)
     if quant_cache:
         return logits, QuantKVCache(k=new_k, v=new_v, k_scale=new_ks,
                                     v_scale=new_vs, length=start + T)

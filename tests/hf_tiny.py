@@ -819,3 +819,50 @@ def tiny_granitemoe(vocab=97, hidden=32, inter=16, shared_inter=24, layers=2,
                                      **kw)
         return GraniteMoeSharedForCausalLM(cfg).eval()
     return GraniteMoeForCausalLM(GraniteMoeConfig(**kw)).eval()
+
+
+def tiny_bamba(vocab=97, hidden=32, inter=48, layers=3, heads=4, kv_heads=2,
+               attn_idx=(1,), m_heads=8, m_head_dim=8, m_state=16, m_conv=4,
+               m_groups=2, chunk=8, max_pos=64, seed=0):
+    from transformers import BambaConfig, BambaForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = BambaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, attn_layer_indices=list(attn_idx),
+        mamba_n_heads=m_heads, mamba_d_head=m_head_dim,
+        mamba_d_state=m_state, mamba_d_conv=m_conv, mamba_expand=2,
+        mamba_n_groups=m_groups, mamba_chunk_size=chunk,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = BambaForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_granite4(vocab=97, hidden=32, inter=16, shared_inter=24, layers=3,
+                  heads=4, kv_heads=2, experts=4, topk=2, m_heads=8,
+                  m_head_dim=8, m_state=16, m_groups=2, chunk=8, max_pos=64,
+                  rope=False, seed=0):
+    from transformers import (GraniteMoeHybridConfig,
+                              GraniteMoeHybridForCausalLM)
+
+    torch.manual_seed(seed)
+    cfg = GraniteMoeHybridConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        shared_intermediate_size=shared_inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        num_local_experts=experts, num_experts_per_tok=topk,
+        layer_types=["mamba", "attention", "mamba"][:layers],
+        mamba_n_heads=m_heads, mamba_d_head=m_head_dim,
+        mamba_d_state=m_state, mamba_d_conv=4, mamba_expand=2,
+        mamba_n_groups=m_groups, mamba_chunk_size=chunk,
+        position_embedding_type="rope" if rope else None,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-5,
+        embedding_multiplier=2.0, attention_multiplier=0.0625,
+        residual_multiplier=0.4, logits_scaling=3.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = GraniteMoeHybridForCausalLM(cfg).eval()
+    return model

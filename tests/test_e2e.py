@@ -298,7 +298,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "glm4-moe", "dbrx", "olmoe", "helium",
                                     "arcee", "seed-oss", "ernie", "exaone",
                                     "llama4", "hunyuan", "hunyuan-moe",
-                                    "phimoe", "granitemoe"])
+                                    "phimoe", "granitemoe", "bamba",
+                                    "granite-4"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -370,6 +371,9 @@ def test_quantize_new_families(calib, family):
         "hunyuan-moe": lambda: hf_tiny.tiny_hunyuan_moe(),
         "phimoe": lambda: hf_tiny.tiny_phimoe(),
         "granitemoe": lambda: hf_tiny.tiny_granitemoe(shared=True),
+        # hybrid mamba2/attention: in_proj/out_proj quantize via SSD taps
+        "bamba": lambda: hf_tiny.tiny_bamba(),
+        "granite-4": lambda: hf_tiny.tiny_granite4(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -824,3 +824,64 @@ def test_granitemoe_parity_no_shared(rng):
     ids = rng.integers(0, 97, size=(1, 9))
     params, cfg = _parity(model, ids)
     assert cfg.n_shared_experts == 0
+
+
+def test_bamba_parity_hybrid_ssd(rng):
+    # mamba2 chunked SSD layers + one attention layer (partial rotary GQA);
+    # sequence length deliberately not a multiple of the chunk size
+    model = hf_tiny.tiny_bamba()
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids)
+    assert cfg.has_mamba and cfg.layer_types == ("mamba", "attention",
+                                                 "mamba")
+
+
+def test_bamba_cache_decode_matches_full(rng):
+    # prefill fills conv/ssm states; each decode step runs the O(1)
+    # recurrent update — must equal the full quadratic forward
+    model = hf_tiny.tiny_bamba()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=3e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_granite4_hybrid_parity(rng):
+    # granite-4.0: mamba2 layers + NoPE attention + granitemoe experts +
+    # shared mlp + muP multipliers
+    model = hf_tiny.tiny_granite4(rope=False)
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids)
+    assert cfg.has_mamba and cfg.rope_layers == (0, 0, 0)
+    assert cfg.num_experts == 4 and cfg.attn_scale == 0.0625
+
+
+def test_granite4_hybrid_parity_rope(rng):
+    model = hf_tiny.tiny_granite4(rope=True)
+    ids = rng.integers(0, 97, size=(1, 9))
+    params, cfg = _parity(model, ids)
+    assert cfg.rope_layers == (0, 1, 0)
+
+
+def test_granite4_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_granite4()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=3e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=3e-4, rtol=1e-3)
