@@ -81,11 +81,20 @@ def _lin(p, x, kernel="xla"):
 
 
 def _depthwise_causal_conv(u: jnp.ndarray, w: jnp.ndarray,
-                           b: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """u [B, T, C], w [K, C] -> causal depthwise conv [B, T, C]."""
+                           b: Optional[jnp.ndarray],
+                           left_ctx: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+    """u [B, T, C], w [K, C] -> causal depthwise conv [B, T, C].
+
+    ``left_ctx`` [B, K-1, C]: preceding raw inputs (cached conv state) in
+    place of zero padding — continues a sequence exactly.
+    """
     K = w.shape[0]
     T = u.shape[1]
-    up = jnp.pad(u, ((0, 0), (K - 1, 0), (0, 0)))
+    if left_ctx is not None:
+        up = jnp.concatenate([left_ctx.astype(u.dtype), u], axis=1)
+    else:
+        up = jnp.pad(u, ((0, 0), (K - 1, 0), (0, 0)))
     acc = jnp.zeros_like(u, dtype=jnp.float32)
     for k in range(K):  # K is tiny (4); unrolled taps fuse into one kernel
         acc = acc + w[k].astype(jnp.float32) * up[:, k:k + T].astype(
@@ -98,11 +107,24 @@ def _depthwise_causal_conv(u: jnp.ndarray, w: jnp.ndarray,
 def mamba2_full(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
                 *, eps: float, kernel: str = "xla",
                 taps: Sequence[str] = (), tap_prefix: str = "mamba",
+                conv_state: Optional[jnp.ndarray] = None,
+                ssm_state: Optional[jnp.ndarray] = None,
+                valid_len: Optional[jnp.ndarray] = None,
                 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                            Dict[str, jnp.ndarray]]:
-    """Full-sequence SSD pass from a zero initial state.
+    """Full-sequence SSD pass.
 
-    Returns (y [B,T,hidden], (conv_state, ssm_state), tapped).
+    With ``conv_state``/``ssm_state`` the pass continues EXACTLY from a
+    prior recurrent state (multi-token chained decode / speculative
+    verification) — the conv uses the cached last K-1 raw inputs as left
+    context and the inter-chunk recurrence starts from ``ssm_state``
+    (zero states reproduce the from-scratch prefill).
+
+    ``valid_len`` (scalar or [B]): only the first n tokens are real
+    (right-padded prefill buckets) — dt is zeroed beyond n so the state
+    neither decays nor updates on pad steps, and the conv state is the
+    last K REAL inputs (dynamic slice at n).  Returns
+    (y [B,T,hidden], (new conv_state, new ssm_state), tapped).
     """
     B, T, _ = x.shape
     H, P, N = spec.num_heads, spec.head_dim, spec.d_state
@@ -117,13 +139,36 @@ def mamba2_full(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
     hBC = proj[..., inner:inner + conv_dim]
     dt = proj[..., inner + conv_dim:]
 
-    # conv state: last K raw (pre-conv) inputs, left-padded with zeros
+    # conv state: last K raw (pre-conv) inputs (older cached inputs fill
+    # the left when fewer than K new tokens arrive)
     K = spec.d_conv
     hBC_t = jnp.swapaxes(hBC, 1, 2)  # [B, conv_dim, T]
-    conv_state = jnp.pad(hBC_t, ((0, 0), (0, 0), (max(K - T, 0), 0)))[
-        :, :, -K:]
+    if valid_len is not None:
+        # pad positions must not leak into the state: zero the raw inputs
+        # (conv taps) and later the dt (freeze the recurrence)
+        vl = jnp.broadcast_to(jnp.atleast_1d(valid_len), (B,))
+        tpos = jnp.arange(T, dtype=jnp.int32)
+        tok_valid = (tpos[None, :] < vl[:, None])          # [B, T]
+        hBC = hBC * tok_valid[..., None].astype(hBC.dtype)
+        hBC_t = jnp.swapaxes(hBC, 1, 2)
+    if conv_state is None:
+        if valid_len is not None:
+            # last K REAL inputs: slice a zero-left-padded stream at n
+            padded = jnp.pad(hBC_t, ((0, 0), (0, 0), (K, 0)))
+            idx = vl[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+            conv_state_new = jnp.take_along_axis(
+                padded, idx[:, None, :], axis=-1)
+        else:
+            conv_state_new = jnp.pad(
+                hBC_t, ((0, 0), (0, 0), (max(K - T, 0), 0)))[:, :, -K:]
+        left_ctx = None
+    else:
+        conv_state_new = jnp.concatenate(
+            [conv_state.astype(hBC_t.dtype), hBC_t], axis=-1)[:, :, -K:]
+        left_ctx = jnp.swapaxes(conv_state[:, :, 1:], 1, 2)  # [B, K-1, conv]
 
-    hBC = _act(_depthwise_causal_conv(hBC, mp["conv_w"], mp.get("conv_b")),
+    hBC = _act(_depthwise_causal_conv(hBC, mp["conv_w"], mp.get("conv_b"),
+                                      left_ctx=left_ctx),
                spec.activation)
     h = hBC[..., :inner]
     B_ = hBC[..., inner:inner + G * N]
@@ -131,6 +176,8 @@ def mamba2_full(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
 
     dt = jax.nn.softplus(dt.astype(jnp.float32)
                          + mp["dt_bias"].astype(jnp.float32))  # [B,T,H]
+    if valid_len is not None:
+        dt = dt * tok_valid[..., None]  # frozen state on pad steps
     A = -jnp.exp(mp["A_log"].astype(jnp.float32))              # [H]
 
     h4 = h.reshape(B, T, H, P).astype(jnp.float32)
@@ -168,13 +215,16 @@ def mamba2_full(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
     states = jnp.einsum("bcshn,bcshp->bchpn", B_decay, xdt)
 
     # inter-chunk recurrence over chunk boundaries
-    prev = jnp.zeros_like(states[:, :1])
+    if ssm_state is None:
+        prev = jnp.zeros_like(states[:, :1])
+    else:
+        prev = ssm_state.astype(states.dtype)[:, None]
     states = jnp.concatenate([prev, states], axis=1)           # [B,Cn+1,...]
     decay_chunk = jnp.exp(_segment_sum(
         jnp.pad(A_cum[:, :, :, -1], ((0, 0), (0, 0), (1, 0)))))
     decay_chunk = decay_chunk.transpose(0, 3, 2, 1)            # [B,Cn+1,Cn+1,H]
     new_states = jnp.einsum("bzch,bzhpn->bchpn", decay_chunk, states)
-    states, ssm_state = new_states[:, :-1], new_states[:, -1]
+    states, ssm_state_new = new_states[:, :-1], new_states[:, -1]
 
     # state -> output (C terms)
     sdo = jnp.exp(A_cum).transpose(0, 2, 3, 1)                 # [B,Cn,Q,H]
@@ -187,8 +237,8 @@ def mamba2_full(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
     if f"{tap_prefix}.out_proj" in taps:
         tapped[f"{tap_prefix}.out_proj"] = y
     out = _lin(mp["out_proj"], y.astype(x.dtype), kernel)
-    return out, (conv_state.astype(jnp.float32),
-                 ssm_state.astype(jnp.float32)), tapped
+    return out, (conv_state_new.astype(jnp.float32),
+                 ssm_state_new.astype(jnp.float32)), tapped
 
 
 def mamba2_step(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,

@@ -591,6 +591,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   taps: Sequence[str] = (),
                   tp_axis: Optional[str] = None,
                   attn_temp: Optional[jnp.ndarray] = None,
+                  valid_len: Optional[jnp.ndarray] = None,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -629,10 +630,20 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             attn_out, (k_full, v_full) = mamba2_step(
                 blk["mamba"], spec, x_ln, conv_in, ssm_in,
                 eps=cfg.norm_eps, kernel=kernel)
+        elif kv is not None:
+            # multi-token with a live cache (prefill into a fresh slot,
+            # speculative verification, chained decode windows): the SSD
+            # form continues exactly from the cached conv/ssm states
+            conv_in, ssm_in = kv
+            attn_out, (k_full, v_full), t2 = mamba2_full(
+                blk["mamba"], spec, x_ln, eps=cfg.norm_eps,
+                kernel=kernel, taps=taps, conv_state=conv_in,
+                ssm_state=ssm_in)
+            tapped.update(t2)
         else:
             attn_out, (k_full, v_full), t2 = mamba2_full(
                 blk["mamba"], spec, x_ln, eps=cfg.norm_eps,
-                kernel=kernel, taps=taps)
+                kernel=kernel, taps=taps, valid_len=valid_len)
             tapped.update(t2)
     else:
         attn_out, k_full, v_full = _attention_part(

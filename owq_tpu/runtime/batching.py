@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.transformer import KVCache, block_forward, embed, forward, unembed
+from ..models.transformer import (HybridCache, KVCache, block_forward,
+                                  embed, forward, unembed)
 from ..models.layers import alibi_bias, causal_mask_bias, rope_cos_sin
 
 __all__ = ["Engine", "Request"]
@@ -51,21 +52,27 @@ class Request:
 def _prefill_kv(params, cfg: ModelConfig, ids: jnp.ndarray, length: jnp.ndarray,
                 kernel: str = "xla", dtype=jnp.bfloat16):
     """Prompt forward without a cache; returns (last-valid logits [vocab],
-    k/v stacks [L, T, Hkv, hd]) for insertion into a slot.
+    per-layer states) for insertion into a slot.
 
     ``ids`` is right-padded to a bucket size; ``length`` is the true prompt
-    length.  Padded positions only produce garbage K/V beyond ``length``,
-    which the per-slot mask never attends to.
+    length.  Padded positions only produce garbage K/V beyond ``length``
+    (never attended per the slot mask); mamba layers freeze their
+    recurrence on pad steps (valid_len), so the cached conv/ssm states are
+    exactly those after the real prompt.
     """
     T = ids.shape[1]
-    logits, _, kvs = _forward_collect(params, cfg, ids, kernel, dtype)
+    logits, _, kvs = _forward_collect(params, cfg, ids, kernel, dtype,
+                                      valid_len=length)
     last = jnp.take_along_axis(
         logits, (length - 1)[None, None, None], axis=1)[0, 0]
     return last, kvs
 
 
-def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
-    """forward() variant that returns per-layer k/v for the tokens."""
+def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
+                     valid_len=None):
+    """forward() variant that returns per-layer states for the tokens:
+    (k, v) stacks for attention layers plus, on hybrid models, (conv, ssm)
+    stacks for mamba layers (zero placeholders on the other kind)."""
     B, T = ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x = embed(params, cfg, ids, positions, dtype=dtype)
@@ -86,14 +93,36 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype):
     temp = (attn_temperature(cfg, positions)
             if cfg.attn_temperature_tuning else None)
     ks, vs = [], []
+    convs, ssms = [], []
+    hybrid = cfg.has_mamba
+    if hybrid:
+        spec = cfg.mamba_spec()
+        kzero = jnp.zeros((T, cfg.num_kv_heads, cfg.head_dim), dtype)
+        vzero = jnp.zeros((T, cfg.num_kv_heads, cfg.v_dim), dtype)
+        czero = jnp.zeros((spec.conv_dim, spec.d_conv), jnp.float32)
+        szero = jnp.zeros((spec.num_heads, spec.head_dim, spec.d_state),
+                          jnp.float32)
     for i, blk in enumerate(params["layers"]):
         x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=masks[i],
                                      rope=layer_rope(cfg, rope, i),
                                      attn_temp=layer_attn_temp(cfg, temp, i),
-                                     alibi=alibi, kernel=kernel)
-        ks.append(k[0])
-        vs.append(v[0])
+                                     alibi=alibi, kernel=kernel,
+                                     valid_len=valid_len)
+        if "mamba" in blk:
+            ks.append(kzero)
+            vs.append(vzero)
+            convs.append(k[0].astype(jnp.float32))
+            ssms.append(v[0].astype(jnp.float32))
+        else:
+            ks.append(k[0])
+            vs.append(v[0])
+            if hybrid:
+                convs.append(czero)
+                ssms.append(szero)
     logits = unembed(params, cfg, x)
+    if hybrid:
+        return logits, x, (jnp.stack(ks), jnp.stack(vs), jnp.stack(convs),
+                           jnp.stack(ssms))
     return logits, x, (jnp.stack(ks), jnp.stack(vs))
 
 
@@ -108,6 +137,18 @@ def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
         cache.v, v_new[:, None].astype(cache.v.dtype), (0, slot, 0, 0, 0))
     lengths = cache.length.at[slot].set(length)
     return KVCache(k=k, v=v, length=lengths)
+
+
+@partial(jax.jit, donate_argnames=("cache",))
+def _insert_slot_hybrid(cache: HybridCache, kvs, slot: jnp.ndarray,
+                        length: jnp.ndarray) -> HybridCache:
+    k_new, v_new, conv_new, ssm_new = kvs
+    kv = _insert_slot(cache.kv, (k_new, v_new), slot, length)
+    conv = jax.lax.dynamic_update_slice(
+        cache.conv, conv_new[:, None], (0, slot, 0, 0))
+    ssm = jax.lax.dynamic_update_slice(
+        cache.ssm, ssm_new[:, None], (0, slot, 0, 0, 0))
+    return HybridCache(kv=kv, conv=conv, ssm=ssm)
 
 
 @partial(jax.jit, static_argnames=("cfg", "kernel", "dtype", "temperature",
@@ -140,8 +181,16 @@ def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
     (_, cache2, _), toks_out = jax.lax.scan(one, (toks, cache, key), None,
                                             length=steps)
     new_len = jnp.where(active, cache2.length, start_len)
-    return (jnp.moveaxis(toks_out, 0, 1),
-            KVCache(k=cache2.k, v=cache2.v, length=new_len))
+    if isinstance(cache2, HybridCache):
+        # inactive slots' mamba states may advance on garbage tokens, but a
+        # slot is only inactive when empty — the next prefill overwrites
+        # its conv/ssm states wholesale
+        out = HybridCache(kv=KVCache(k=cache2.kv.k, v=cache2.kv.v,
+                                     length=new_len),
+                          conv=cache2.conv, ssm=cache2.ssm)
+    else:
+        out = KVCache(k=cache2.k, v=cache2.v, length=new_len)
+    return jnp.moveaxis(toks_out, 0, 1), out
 
 
 class Engine:
@@ -164,10 +213,20 @@ class Engine:
         self.prompt_buckets = sorted(prompt_buckets)
 
         base = (cfg.num_layers, max_batch, max_len, cfg.num_kv_heads)
-        self.cache = KVCache(
+        kv = KVCache(
             k=jnp.zeros(base + (cfg.head_dim,), cache_dtype),
             v=jnp.zeros(base + (cfg.v_dim,), cache_dtype),
             length=jnp.zeros((max_batch,), jnp.int32))
+        if cfg.has_mamba:
+            spec = cfg.mamba_spec()
+            self.cache = HybridCache(
+                kv=kv,
+                conv=jnp.zeros((cfg.num_layers, max_batch, spec.conv_dim,
+                                spec.d_conv), jnp.float32),
+                ssm=jnp.zeros((cfg.num_layers, max_batch, spec.num_heads,
+                               spec.head_dim, spec.d_state), jnp.float32))
+        else:
+            self.cache = kv
         self.cur_tok = np.zeros((max_batch,), np.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.queue: deque = deque()
@@ -203,9 +262,11 @@ class Engine:
             last_logits, kvs = _prefill_kv(
                 self.params, self.cfg, jnp.asarray(ids),
                 jnp.asarray(n, jnp.int32), self.kernel, self.compute_dtype)
-            self.cache = _insert_slot(self.cache, kvs,
-                                      jnp.asarray(slot, jnp.int32),
-                                      jnp.asarray(n, jnp.int32))
+            insert = (_insert_slot_hybrid if self.cfg.has_mamba
+                      else _insert_slot)
+            self.cache = insert(self.cache, kvs,
+                                jnp.asarray(slot, jnp.int32),
+                                jnp.asarray(n, jnp.int32))
             first = int(jnp.argmax(last_logits.astype(jnp.float32)))
             req.generated.append(first)
             req.slot = slot

@@ -100,3 +100,20 @@ def test_engine_deepseek_mla(rng):
                  prompt_buckets=(16,))
     out = eng.run(prompts, max_new_tokens=5)
     assert [out[i] for i in sorted(out)] == want
+
+
+def test_engine_bamba_hybrid(rng):
+    # hybrid mamba2/attention through the engine: bucket-padded prefill
+    # must leave exact conv/ssm states (pad steps freeze the recurrence,
+    # conv state slices the last K REAL inputs), then per-slot decode
+    model = hf_tiny.tiny_bamba()
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (9, 5)]
+    want = [generate(params, cfg, p[None, :], 6, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=6)
+    assert [out[i] for i in sorted(out)] == want

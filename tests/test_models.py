@@ -885,3 +885,24 @@ def test_granite4_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=3e-4, rtol=1e-3)
+
+
+def test_bamba_chained_multi_token_decode(rng):
+    """Multi-token continuation with a live cache (speculative-verify
+    shape): the SSD form must continue exactly from the cached conv/ssm
+    states — split prefill + two multi-token continuations == one pass."""
+    model = hf_tiny.tiny_bamba()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 14)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :5]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 4],
+                               atol=3e-4, rtol=1e-3)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, 5:11]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 10],
+                               atol=3e-4, rtol=1e-3)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, 11:14]),
+                                cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 13],
+                               atol=3e-4, rtol=1e-3)
