@@ -138,6 +138,7 @@ class ModelConfig:
     mamba_d_conv: int = 4
     mamba_n_groups: int = 1
     mamba_chunk: int = 256
+    mamba_norm_mode: str = "gated_rms"
     mla: bool = False
     q_lora_rank: Optional[int] = None
     kv_lora_rank: int = 0
@@ -164,11 +165,13 @@ class ModelConfig:
                          n_groups=self.mamba_n_groups,
                          chunk_size=self.mamba_chunk,
                          intermediate=self.mamba_heads * self.mamba_head_dim,
-                         activation=self.activation)
+                         activation=self.activation,
+                         norm_mode=self.mamba_norm_mode)
 
     @property
     def has_mamba(self) -> bool:
-        return bool(self.layer_types) and "mamba" in self.layer_types
+        return bool(self.layer_types) and any(
+            "mamba" in t for t in self.layer_types)
 
     @property
     def v_dim(self) -> int:
@@ -360,6 +363,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["llama"]
     if "bloom" in name:
         return ARCH_REGISTRY["bloom"]
+    if "falcon-h1" in name or "falcon_h1" in name:
+        return ARCH_REGISTRY["bamba"]
     if "falcon" in name:
         return ARCH_REGISTRY["falcon"]
     if "mixtral" in name:
@@ -1285,6 +1290,52 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=fc.moe_top_k,
             router_kind="mixtral",
             router_norm_topk=p_norm is not None,
+        )
+    if mt == "falcon_h1":
+        # every layer runs attention AND a mamba2 mixer in parallel on the
+        # same normed input; the zoo of muP multipliers all fold into
+        # weights at import (hf_import._fold_falcon_h1), leaving only the
+        # embedding and lm-head scalars in the config
+        if hf_config.mamba_rms_norm:
+            nm = ("grouped_before" if hf_config.mamba_norm_before_gate
+                  else "grouped_after")
+        else:
+            nm = "silu_gate"
+        inner = (hf_config.mamba_d_ssm
+                 or int(hf_config.mamba_expand * hf_config.hidden_size))
+        if inner != hf_config.mamba_n_heads * hf_config.mamba_d_head:
+            raise ValueError("falcon-h1 mamba dims inconsistent")
+        return ModelConfig(
+            family="falcon_h1",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 100000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            mlp_bias=getattr(hf_config, "mlp_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            embed_scale=hf_config.embedding_multiplier,
+            logit_scale=hf_config.lm_head_multiplier,
+            layer_types=("mamba_attention",) * hf_config.num_hidden_layers,
+            mamba_heads=hf_config.mamba_n_heads,
+            mamba_head_dim=hf_config.mamba_d_head,
+            mamba_d_state=hf_config.mamba_d_state,
+            mamba_d_conv=hf_config.mamba_d_conv,
+            mamba_n_groups=hf_config.mamba_n_groups,
+            mamba_chunk=hf_config.mamba_chunk_size,
+            mamba_norm_mode=nm,
         )
     if mt == "granitemoehybrid":
         # granite-4.0 hybrid: mamba2 layers + (by default NoPE) attention

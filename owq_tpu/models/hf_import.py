@@ -475,6 +475,49 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "falcon_h1":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "final_layernorm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            cw = _np(sd[lp + "mamba.conv1d.weight"])
+            mm = {
+                "in_proj": _linear(sd, lp + "mamba.in_proj", dtype),
+                "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                "dt_bias": jnp.asarray(_np(sd[lp + "mamba.dt_bias"]),
+                                       jnp.float32),
+                "A_log": jnp.asarray(_np(sd[lp + "mamba.A_log"]),
+                                     jnp.float32),
+                "D": jnp.asarray(_np(sd[lp + "mamba.D"]), jnp.float32),
+                "out_proj": _linear(sd, lp + "mamba.out_proj", dtype),
+            }
+            if lp + "mamba.norm.weight" in sd:
+                mm["norm_w"] = jnp.asarray(_np(sd[lp + "mamba.norm.weight"]),
+                                           jnp.float32)
+            if lp + "mamba.conv1d.bias" in sd:
+                mm["conv_b"] = jnp.asarray(_np(sd[lp + "mamba.conv1d.bias"]),
+                                           jnp.float32)
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "attn": {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                },
+                "mamba": mm,
+                "ln2": _ln(sd, lp + "pre_ff_layernorm", dtype),
+                "mlp": {
+                    "gate": _linear(sd, lp + "feed_forward.gate_proj", dtype),
+                    "up": _linear(sd, lp + "feed_forward.up_proj", dtype),
+                    "down": _linear(sd, lp + "feed_forward.down_proj", dtype),
+                },
+            })
+        p["layers"] = layers
+
     elif fam == "granitemoe_hybrid":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
@@ -842,10 +885,70 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
     return p
 
 
+def _fold_falcon_h1(sd: Dict[str, Any], hc) -> Dict[str, Any]:
+    """Fold falcon-h1's muP multipliers into the weights so the runtime
+    (and quantization) sees plain linears.
+
+    attention_in scales the attention input (q/k/v weights), key scales
+    the k output (weight+bias), attention_out / ssm_out scale module
+    outputs (weight+bias of o/out_proj), ssm_in scales the mixer input
+    (in_proj weight), the per-channel mup vector scales in_proj output
+    rows (z|x|B|C|dt segments), and mlp_multipliers scale the gate output
+    (pre-activation) and the down output.  The embedding and lm-head
+    scalars stay in ModelConfig (embed_scale / logit_scale).
+    """
+    import numpy as np
+
+    out = {k: _np(v) for k, v in sd.items()}
+    inner = (hc.mamba_d_ssm
+             or int(hc.mamba_expand * hc.hidden_size))
+    gn = hc.mamba_n_groups * hc.mamba_d_state
+    zm = hc.ssm_multipliers or [1.0] * 5
+    mup = np.ones(2 * inner + 2 * gn + hc.mamba_n_heads, np.float32)
+    mup[:inner] *= zm[0]
+    mup[inner:2 * inner] *= zm[1]
+    mup[2 * inner:2 * inner + gn] *= zm[2]
+    mup[2 * inner + gn:2 * inner + 2 * gn] *= zm[3]
+    mup[2 * inner + 2 * gn:] *= zm[4]
+    a_in = hc.attention_in_multiplier or 1.0
+    a_out = hc.attention_out_multiplier or 1.0
+    k_m = hc.key_multiplier or 1.0
+    s_in = hc.ssm_in_multiplier or 1.0
+    s_out = hc.ssm_out_multiplier or 1.0
+    g_m, d_m = hc.mlp_multipliers or (1.0, 1.0)
+
+    def scale(key, f, bias=True):
+        if key + ".weight" in out:
+            out[key + ".weight"] = out[key + ".weight"] * f
+        if bias and key + ".bias" in out:
+            out[key + ".bias"] = out[key + ".bias"] * f
+
+    for i in range(hc.num_hidden_layers):
+        lp = f"model.layers.{i}."
+        scale(lp + "self_attn.q_proj", a_in, bias=False)  # input scale
+        scale(lp + "self_attn.v_proj", a_in, bias=False)
+        scale(lp + "self_attn.k_proj", a_in, bias=False)
+        scale(lp + "self_attn.k_proj", k_m)               # output scale
+        scale(lp + "self_attn.o_proj", a_out)
+        scale(lp + "mamba.in_proj", s_in, bias=False)
+        out[lp + "mamba.in_proj.weight"] = (
+            out[lp + "mamba.in_proj.weight"] * mup[:, None])
+        if lp + "mamba.in_proj.bias" in out:
+            out[lp + "mamba.in_proj.bias"] = (
+                out[lp + "mamba.in_proj.bias"] * mup)
+        scale(lp + "mamba.out_proj", s_out)
+        scale(lp + "feed_forward.gate_proj", g_m)
+        scale(lp + "feed_forward.down_proj", d_m)
+    return out
+
+
 def import_hf_model(hf_model, dtype=jnp.float32):
     """In-memory transformers model -> (params, ModelConfig)."""
     cfg = config_from_hf(hf_model.config)
-    params = params_from_state_dict(hf_model.state_dict(), cfg, dtype)
+    sd = hf_model.state_dict()
+    if hf_model.config.model_type == "falcon_h1":
+        sd = _fold_falcon_h1(sd, hf_model.config)
+    params = params_from_state_dict(sd, cfg, dtype)
     return params, cfg
 
 

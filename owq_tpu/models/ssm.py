@@ -32,7 +32,8 @@ class MambaSpec:
 
     def __init__(self, *, num_heads: int, head_dim: int, d_state: int,
                  d_conv: int, n_groups: int, chunk_size: int,
-                 intermediate: int, activation: str = "silu"):
+                 intermediate: int, activation: str = "silu",
+                 norm_mode: str = "gated_rms"):
         self.num_heads = num_heads
         self.head_dim = head_dim
         self.d_state = d_state
@@ -42,11 +43,16 @@ class MambaSpec:
         self.intermediate = intermediate  # num_heads * head_dim
         self.conv_dim = intermediate + 2 * n_groups * d_state
         self.activation = activation
+        # output gating: 'gated_rms' (bamba: silu(gate)*y then rms),
+        # 'silu_gate' (falcon-h1 default: y*silu(gate), no norm),
+        # 'grouped_before'/'grouped_after' (falcon-h1 mamba_rms_norm:
+        # per-group rms, gate applied after/before the norm)
+        self.norm_mode = norm_mode
 
     def key(self):  # hashable for jit static args
         return (self.num_heads, self.head_dim, self.d_state, self.d_conv,
                 self.n_groups, self.chunk_size, self.intermediate,
-                self.activation)
+                self.activation, self.norm_mode)
 
 
 def _act(x, kind):
@@ -64,11 +70,30 @@ def _segment_sum(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.tril(jnp.ones((Q, Q), bool)), seg, -jnp.inf)
 
 
-def _gated_rmsnorm(y, gate, w, eps):
-    y32 = y.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))
-    var = jnp.mean(y32 * y32, axis=-1, keepdims=True)
-    return (w.astype(jnp.float32) * y32 * jax.lax.rsqrt(var + eps)).astype(
-        y.dtype)
+def _gate_norm(y, gate, mp, spec: "MambaSpec", eps):
+    """Output gating per spec.norm_mode (see MambaSpec)."""
+    y32 = y.astype(jnp.float32)
+    g = jax.nn.silu(gate.astype(jnp.float32))
+    mode = spec.norm_mode
+    if mode == "silu_gate":
+        return (y32 * g).astype(y.dtype)
+    if mode == "gated_rms":
+        y32 = y32 * g
+        var = jnp.mean(y32 * y32, axis=-1, keepdims=True)
+        return (mp["norm_w"].astype(jnp.float32) * y32
+                * jax.lax.rsqrt(var + eps)).astype(y.dtype)
+    # grouped rms (falcon-h1): normalize per n_groups slice of the inner dim
+    if mode == "grouped_after":
+        y32 = y32 * g
+    G = spec.n_groups
+    shp = y32.shape
+    yg = y32.reshape(shp[:-1] + (G, shp[-1] // G))
+    var = jnp.mean(yg * yg, axis=-1, keepdims=True)
+    yg = yg * jax.lax.rsqrt(var + eps)
+    y32 = yg.reshape(shp) * mp["norm_w"].astype(jnp.float32)
+    if mode == "grouped_before":
+        y32 = y32 * g
+    return y32.astype(y.dtype)
 
 
 def _lin(p, x, kernel="xla"):
@@ -233,7 +258,7 @@ def mamba2_full(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
     y = (Y_diag + Y_off).reshape(B, T + pad, H, P) + D_res
     y = y[:, :T].reshape(B, T, inner)
 
-    y = _gated_rmsnorm(y, gate, mp["norm_w"], eps)
+    y = _gate_norm(y, gate, mp, spec, eps)
     if f"{tap_prefix}.out_proj" in taps:
         tapped[f"{tap_prefix}.out_proj"] = y
     out = _lin(mp["out_proj"], y.astype(x.dtype), kernel)
@@ -282,6 +307,6 @@ def mamba2_step(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
     y = y + h * mp["D"].astype(jnp.float32)[None, :, None]
     y = y.reshape(B, 1, inner)
 
-    y = _gated_rmsnorm(y, gate[:, None, :], mp["norm_w"], eps)
+    y = _gate_norm(y, gate[:, None, :], mp, spec, eps)
     out = _lin(mp["out_proj"], y.astype(x.dtype), kernel)
     return out, (conv_state, ssm_state)

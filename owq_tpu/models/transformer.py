@@ -592,6 +592,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   tp_axis: Optional[str] = None,
                   attn_temp: Optional[jnp.ndarray] = None,
                   valid_len: Optional[jnp.ndarray] = None,
+                  ssm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -616,41 +617,48 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     res = x
     x_ln = (_norm(blk.get("ln1"), cfg, x)
             if pre_norm and cfg.input_norms else x)
+    conv_f = ssm_f = None
     if "mamba" in blk:
-        # mamba-2 mixer in place of attention (bamba/granite-4
-        # hybrid layers).  With a cache and T==1 the recurrent
-        # single-step update runs (exact even from a zero state);
-        # otherwise the chunked SSD form computes the full sequence
-        # and returns the final conv/ssm states for the cache.
+        # mamba-2 mixer (bamba/granite-4 hybrid layers; falcon-h1 runs it
+        # in PARALLEL with attention on the same normed input).  With a
+        # cache and T==1 the recurrent single-step update runs (exact even
+        # from a zero state); multi-token with a live cache (prefill into
+        # a fresh slot, speculative verification, chained windows) runs
+        # the chunked SSD form continuing exactly from the cached states.
         from .ssm import mamba2_full, mamba2_step
 
         spec = cfg.mamba_spec()
-        if kv is not None and T == 1:
-            conv_in, ssm_in = kv
-            attn_out, (k_full, v_full) = mamba2_step(
+        state_in = ssm if ssm is not None else (
+            kv if "attn" not in blk else None)
+        if state_in is not None and T == 1:
+            conv_in, ssm_in = state_in
+            m_out, (conv_f, ssm_f) = mamba2_step(
                 blk["mamba"], spec, x_ln, conv_in, ssm_in,
                 eps=cfg.norm_eps, kernel=kernel)
-        elif kv is not None:
-            # multi-token with a live cache (prefill into a fresh slot,
-            # speculative verification, chained decode windows): the SSD
-            # form continues exactly from the cached conv/ssm states
-            conv_in, ssm_in = kv
-            attn_out, (k_full, v_full), t2 = mamba2_full(
+        elif state_in is not None:
+            conv_in, ssm_in = state_in
+            m_out, (conv_f, ssm_f), t2 = mamba2_full(
                 blk["mamba"], spec, x_ln, eps=cfg.norm_eps,
                 kernel=kernel, taps=taps, conv_state=conv_in,
                 ssm_state=ssm_in)
             tapped.update(t2)
         else:
-            attn_out, (k_full, v_full), t2 = mamba2_full(
+            m_out, (conv_f, ssm_f), t2 = mamba2_full(
                 blk["mamba"], spec, x_ln, eps=cfg.norm_eps,
                 kernel=kernel, taps=taps, valid_len=valid_len)
             tapped.update(t2)
-    else:
+    if "attn" in blk:
         attn_out, k_full, v_full = _attention_part(
             blk, cfg, x_ln, res, B=B, T=T, mask_bias=mask_bias,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
             cache_at=cache_at, kernel=kernel, taps=taps,
             tapped=tapped, tp_axis=tp_axis)
+        if conv_f is not None:  # falcon-h1: parallel sum of both mixers
+            attn_out = attn_out + m_out
+            k_full = (k_full, conv_f)
+            v_full = (v_full, ssm_f)
+    else:
+        attn_out, k_full, v_full = m_out, conv_f, ssm_f
 
     if cfg.parallel_block:
         # falcon-style: mlp reads the same LN output; one residual add.
@@ -1045,8 +1053,13 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     new_conv, new_ssm = None, None
     for i, blk in enumerate(params["layers"]):
         is_mamba = "mamba" in blk
+        is_dual = is_mamba and "attn" in blk  # falcon-h1 parallel mixers
+        ssm_in = None
         if cache is None:
             kv = None
+        elif is_dual:
+            kv = (kvc.k[i], kvc.v[i])
+            ssm_in = (cache.conv[i], cache.ssm[i])
         elif is_mamba:
             kv = (cache.conv[i], cache.ssm[i])
         elif quant_cache:
@@ -1057,9 +1070,17 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),
             alibi=alibi, attn_temp=layer_attn_temp(cfg, temp, i),
             kv=kv, cache_at=start if cache is not None else None,
-            kernel=kernel, tp_axis=tp_axis)
+            kernel=kernel, tp_axis=tp_axis, ssm=ssm_in)
         if cache is not None:
-            if is_mamba:
+            if is_dual:
+                (kf, cf), (vf, sf) = kf, vf
+                new_k = (kvc.k if new_k is None else new_k).at[i].set(kf)
+                new_v = (kvc.v if new_v is None else new_v).at[i].set(vf)
+                new_conv = (cache.conv if new_conv is None else new_conv
+                            ).at[i].set(cf)
+                new_ssm = (cache.ssm if new_ssm is None else new_ssm
+                           ).at[i].set(sf)
+            elif is_mamba:
                 new_conv = (cache.conv if new_conv is None else new_conv
                             ).at[i].set(kf)
                 new_ssm = (cache.ssm if new_ssm is None else new_ssm

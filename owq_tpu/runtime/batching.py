@@ -108,7 +108,13 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
                                      attn_temp=layer_attn_temp(cfg, temp, i),
                                      alibi=alibi, kernel=kernel,
                                      valid_len=valid_len)
-        if "mamba" in blk:
+        if "mamba" in blk and "attn" in blk:  # falcon-h1 dual layer
+            (kk, cc), (vv, ss) = k, v
+            ks.append(kk[0])
+            vs.append(vv[0])
+            convs.append(cc[0].astype(jnp.float32))
+            ssms.append(ss[0].astype(jnp.float32))
+        elif "mamba" in blk:
             ks.append(kzero)
             vs.append(vzero)
             convs.append(k[0].astype(jnp.float32))

@@ -866,3 +866,30 @@ def tiny_granite4(vocab=97, hidden=32, inter=16, shared_inter=24, layers=3,
     )
     model = GraniteMoeHybridForCausalLM(cfg).eval()
     return model
+
+
+def tiny_falcon_h1(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                   kv_heads=2, m_heads=8, m_head_dim=8, m_state=16,
+                   m_groups=2, chunk=8, rms_norm=True, before_gate=True,
+                   max_pos=64, seed=0):
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = FalconH1Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, mamba_d_ssm=m_heads * m_head_dim,
+        mamba_n_heads=m_heads, mamba_d_head=m_head_dim,
+        mamba_d_state=m_state, mamba_d_conv=4, mamba_n_groups=m_groups,
+        mamba_chunk_size=chunk, max_position_embeddings=max_pos,
+        embedding_multiplier=2.0, lm_head_multiplier=0.5,
+        attention_in_multiplier=1.5, attention_out_multiplier=0.7,
+        ssm_in_multiplier=1.2, ssm_out_multiplier=0.8, key_multiplier=0.9,
+        mlp_multipliers=[1.3, 0.6],
+        ssm_multipliers=[1.1, 0.9, 1.05, 0.95, 1.2],
+        mamba_rms_norm=rms_norm, mamba_norm_before_gate=before_gate,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = FalconH1ForCausalLM(cfg).eval()
+    return model

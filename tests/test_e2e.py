@@ -299,7 +299,7 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "arcee", "seed-oss", "ernie", "exaone",
                                     "llama4", "hunyuan", "hunyuan-moe",
                                     "phimoe", "granitemoe", "bamba",
-                                    "granite-4"])
+                                    "granite-4", "falcon-h1"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -374,6 +374,7 @@ def test_quantize_new_families(calib, family):
         # hybrid mamba2/attention: in_proj/out_proj quantize via SSD taps
         "bamba": lambda: hf_tiny.tiny_bamba(),
         "granite-4": lambda: hf_tiny.tiny_granite4(),
+        "falcon-h1": lambda: hf_tiny.tiny_falcon_h1(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

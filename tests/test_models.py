@@ -906,3 +906,37 @@ def test_bamba_chained_multi_token_decode(rng):
                                 cache)
     np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 13],
                                atol=3e-4, rtol=1e-3)
+
+
+def test_falcon_h1_parity(rng):
+    # every layer: attention AND a mamba2 mixer in parallel on one normed
+    # input; the muP multiplier zoo folds into weights at import
+    model = hf_tiny.tiny_falcon_h1(rms_norm=True, before_gate=True)
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids)
+    assert cfg.layer_types == ("mamba_attention",) * 2
+    assert cfg.embed_scale == 2.0 and cfg.logit_scale == 0.5
+
+
+def test_falcon_h1_parity_gating_modes(rng):
+    for rms, bg in [(True, False), (False, True)]:
+        model = hf_tiny.tiny_falcon_h1(rms_norm=rms, before_gate=bg, seed=1)
+        ids = rng.integers(0, 97, size=(1, 9))
+        _parity(model, ids)
+
+
+def test_falcon_h1_cache_decode_matches_full(rng):
+    # dual layers carry BOTH a kv slice and conv/ssm states in HybridCache
+    model = hf_tiny.tiny_falcon_h1()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=3e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=3e-4, rtol=1e-3)
