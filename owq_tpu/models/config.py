@@ -139,6 +139,15 @@ class ModelConfig:
     mamba_n_groups: int = 1
     mamba_chunk: int = 256
     mamba_norm_mode: str = "gated_rms"
+    # gated-delta-net linear attention (qwen3-next "linear_attention"
+    # layers): separate k/v head geometry + conv over the raw q|k|v stream
+    gdn_k_heads: int = 0
+    gdn_v_heads: int = 0
+    gdn_k_dim: int = 0
+    gdn_v_dim: int = 0
+    gdn_conv: int = 4
+    gdn_chunk: int = 64
+    attn_gate: bool = False  # qwen3-next: q_proj also emits an output gate
     mla: bool = False
     q_lora_rank: Optional[int] = None
     kv_lora_rank: int = 0
@@ -172,6 +181,19 @@ class ModelConfig:
     def has_mamba(self) -> bool:
         return bool(self.layer_types) and any(
             "mamba" in t for t in self.layer_types)
+
+    @property
+    def has_gdn(self) -> bool:
+        return bool(self.layer_types) and "linear_attention" in self.layer_types
+
+    def gdn_spec(self):
+        from .gdn import GDNSpec
+
+        return GDNSpec(num_k_heads=self.gdn_k_heads,
+                       num_v_heads=self.gdn_v_heads,
+                       head_k_dim=self.gdn_k_dim, head_v_dim=self.gdn_v_dim,
+                       d_conv=self.gdn_conv, chunk_size=self.gdn_chunk,
+                       activation=self.activation)
 
     @property
     def v_dim(self) -> int:
@@ -309,6 +331,22 @@ ARCH_REGISTRY["nemotron"] = ArchSpec(
 # persimmon: neox-shaped linear set (fused query_key_value, 2-layer MLP)
 ARCH_REGISTRY["persimmon"] = dataclasses.replace(ARCH_REGISTRY["neox"],
                                                  family="persimmon")
+# qwen3_next: llama attention + gdn projections + (moe) gated mlp
+ARCH_REGISTRY["qwen3_next"] = ArchSpec(
+    family="qwen3_next",
+    map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v", "o": "attn.o",
+               "in_proj_qkvz": "gdn.in_proj_qkvz",
+               "in_proj_ba": "gdn.in_proj_ba", "out_proj": "gdn.out_proj",
+               "up": "mlp.up", "gate": "mlp.gate", "down": "mlp.down"},
+    ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+            "gdn.in_proj_qkvz": 1.0, "gdn.in_proj_ba": 1.0,
+            "gdn.out_proj": 1.0,
+            "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.q", "attn.k", "attn.v", "gdn.in_proj_qkvz",
+                 "gdn.in_proj_ba"),
+                ("attn.o", "gdn.out_proj"), ("mlp.up", "mlp.gate"),
+                ("mlp.down",)),
+)
 # bamba: llama attention + mamba in/out projections + gated mlp
 ARCH_REGISTRY["bamba"] = ArchSpec(
     family="bamba",
@@ -371,6 +409,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["mixtral"]
     if "mistral" in name or "zephyr" in name:
         return ARCH_REGISTRY["mistral"]
+    if "qwen3-next" in name or "qwen3_next" in name:
+        return ARCH_REGISTRY["qwen3_next"]
     if "qwen" in name:
         return ARCH_REGISTRY["qwen2"]
     if "gemma" in name:
@@ -1290,6 +1330,49 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=fc.moe_top_k,
             router_kind="mixtral",
             router_norm_topk=p_norm is not None,
+        )
+    if mt == "qwen3_next":
+        # hybrid gated-delta-net linear attention + gated full attention:
+        # most layers are GDN mixers; attention layers emit an extra
+        # per-head output gate from q_proj and use rms1p qk-norms and
+        # partial (0.25) rotary; MoE is qwen2-moe-shaped (sigmoid-gated
+        # shared expert)
+        return ModelConfig(
+            family="qwen3_next",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rotary_pct=getattr(hf_config, "partial_rotary_factor", 0.25),
+            norm_type="rmsnorm1p",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            qk_norm="head",
+            attn_gate=True,
+            layer_types=tuple(hf_config.layer_types),
+            gdn_k_heads=hf_config.linear_num_key_heads,
+            gdn_v_heads=hf_config.linear_num_value_heads,
+            gdn_k_dim=hf_config.linear_key_head_dim,
+            gdn_v_dim=hf_config.linear_value_head_dim,
+            gdn_conv=hf_config.linear_conv_kernel_dim,
+            num_experts=getattr(hf_config, "num_experts", 0) or 0,
+            num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 0)
+            or 0,
+            n_shared_experts=(1 if getattr(
+                hf_config, "shared_expert_intermediate_size", 0) else 0),
+            router_kind="mixtral",
+            router_norm_topk=getattr(hf_config, "norm_topk_prob", True),
         )
     if mt == "falcon_h1":
         # every layer runs attention AND a mamba2 mixer in parallel on the

@@ -475,6 +475,80 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "qwen3_next":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+            }
+            if lp + "mlp.gate.weight" in sd:  # sparse MoE layer
+                mp = lp + "mlp."
+                mlp: Dict[str, Any] = {
+                    "router": _linear(sd, mp + "gate", dtype),
+                    "experts": [
+                        {"gate": _linear(sd, f"{mp}experts.{e}.gate_proj",
+                                         dtype),
+                         "up": _linear(sd, f"{mp}experts.{e}.up_proj", dtype),
+                         "down": _linear(sd, f"{mp}experts.{e}.down_proj",
+                                         dtype)}
+                        for e in range(cfg.num_experts)],
+                    "shared": {
+                        "gate": _linear(sd, mp + "shared_expert.gate_proj",
+                                        dtype),
+                        "up": _linear(sd, mp + "shared_expert.up_proj",
+                                      dtype),
+                        "down": _linear(sd, mp + "shared_expert.down_proj",
+                                        dtype),
+                    },
+                    "shared_gate": _linear(sd, mp + "shared_expert_gate",
+                                           dtype),
+                }
+            else:
+                mlp = {
+                    "gate": _linear(sd, lp + "mlp.gate_proj", dtype),
+                    "up": _linear(sd, lp + "mlp.up_proj", dtype),
+                    "down": _linear(sd, lp + "mlp.down_proj", dtype),
+                }
+            blk["mlp"] = mlp
+            if lp + "linear_attn.in_proj_qkvz.weight" in sd:
+                cw = _np(sd[lp + "linear_attn.conv1d.weight"])
+                gd = {
+                    "in_proj_qkvz": _linear(sd, lp + "linear_attn.in_proj_qkvz",
+                                            dtype),
+                    "in_proj_ba": _linear(sd, lp + "linear_attn.in_proj_ba",
+                                          dtype),
+                    "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                    "dt_bias": jnp.asarray(
+                        _np(sd[lp + "linear_attn.dt_bias"]), jnp.float32),
+                    "A_log": jnp.asarray(_np(sd[lp + "linear_attn.A_log"]),
+                                         jnp.float32),
+                    "norm_w": jnp.asarray(
+                        _np(sd[lp + "linear_attn.norm.weight"]), jnp.float32),
+                    "out_proj": _linear(sd, lp + "linear_attn.out_proj",
+                                        dtype),
+                }
+                if lp + "linear_attn.conv1d.bias" in sd:
+                    gd["conv_b"] = jnp.asarray(
+                        _np(sd[lp + "linear_attn.conv1d.bias"]), jnp.float32)
+                blk["gdn"] = gd
+            else:
+                blk["attn"] = {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                    "q_norm": _ln(sd, lp + "self_attn.q_norm", dtype),
+                    "k_norm": _ln(sd, lp + "self_attn.k_norm", dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
     elif fam == "falcon_h1":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),

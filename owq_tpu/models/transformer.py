@@ -73,9 +73,12 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
     with shared experts) this is the union over layers — callers filter to
     the names actually present in each block.
     """
-    if cfg.has_mamba:
-        names = ["attn.q", "attn.k", "attn.v", "attn.o",
-                 "mamba.in_proj", "mamba.out_proj"]
+    if cfg.has_mamba or cfg.has_gdn:
+        names = ["attn.q", "attn.k", "attn.v", "attn.o"]
+        if cfg.has_mamba:
+            names += ["mamba.in_proj", "mamba.out_proj"]
+        if cfg.has_gdn:
+            names += ["gdn.in_proj_qkvz", "gdn.in_proj_ba", "gdn.out_proj"]
         if cfg.num_experts:
             for e in range(cfg.num_experts):
                 names += [f"mlp.experts.{e}.gate", f"mlp.experts.{e}.up",
@@ -168,7 +171,7 @@ class KVCache:
 
 def init_cache(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16):
-    if cfg.has_mamba:  # hybrid SSM models carry conv/ssm states too
+    if cfg.has_mamba or cfg.has_gdn:  # hybrids carry mixer states too
         return init_hybrid_cache(cfg, batch, max_len, dtype=dtype)
     base = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
     return KVCache(k=jnp.zeros(base + (cfg.head_dim,), dtype),
@@ -231,9 +234,20 @@ class HybridCache:
         return self.kv.max_len
 
 
+def hybrid_state_shapes(cfg: ModelConfig):
+    """(conv [C,K], state [H,P,N]) per-layer shapes for the linear mixer."""
+    if cfg.has_gdn:
+        g = cfg.gdn_spec()
+        return ((g.conv_dim, g.d_conv),
+                (g.num_v_heads, g.head_k_dim, g.head_v_dim))
+    spec = cfg.mamba_spec()
+    return ((spec.conv_dim, spec.d_conv),
+            (spec.num_heads, spec.head_dim, spec.d_state))
+
+
 def init_hybrid_cache(cfg: ModelConfig, batch: int, max_len: int,
                       dtype=jnp.bfloat16) -> HybridCache:
-    spec = cfg.mamba_spec()
+    cshape, sshape = hybrid_state_shapes(cfg)
     return HybridCache(
         kv=KVCache(
             k=jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads,
@@ -241,10 +255,8 @@ def init_hybrid_cache(cfg: ModelConfig, batch: int, max_len: int,
             v=jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads,
                          cfg.v_dim), dtype),
             length=jnp.zeros((), jnp.int32)),
-        conv=jnp.zeros((cfg.num_layers, batch, spec.conv_dim, spec.d_conv),
-                       jnp.float32),
-        ssm=jnp.zeros((cfg.num_layers, batch, spec.num_heads, spec.head_dim,
-                       spec.d_state), jnp.float32))
+        conv=jnp.zeros((cfg.num_layers, batch) + cshape, jnp.float32),
+        ssm=jnp.zeros((cfg.num_layers, batch) + sshape, jnp.float32))
 
 
 def _quantize_kv(x: jnp.ndarray):
@@ -506,6 +518,11 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
             if name in taps:
                 tapped[name] = x_ln
         q = _lin(attn_p["q"], x_ln, kernel)
+        attn_gate = None
+        if cfg.attn_gate:  # qwen3-next: per-head [query | gate] halves
+            qg = q.reshape(B, T, H, 2 * hd)
+            q = qg[..., :hd].reshape(B, T, H * hd)
+            attn_gate = qg[..., hd:].reshape(B, T, H * hd)
         k = _lin(attn_p["k"], x_ln, kernel)
         v = _lin(attn_p["v"], x_ln, kernel)
         if cfg.qk_norm == "proj":  # olmo2/olmoe: rms over the projection
@@ -575,6 +592,10 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
                          softcap=cfg.attn_logit_softcap,
                          sinks=attn_p.get("sinks") if cfg.attn_sinks else None)
     ctx = ctx.reshape(B, T, H * (cfg.v_dim if cfg.mla else hd))
+    if cfg.attn_gate:
+        ctx = (ctx.astype(jnp.float32)
+               * jax.nn.sigmoid(attn_gate.astype(jnp.float32))
+               ).astype(ctx.dtype)
     if "attn.o" in taps:
         tapped["attn.o"] = ctx
     attn_out = _lin(attn_p["o"], ctx, kernel)
@@ -647,7 +668,30 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 blk["mamba"], spec, x_ln, eps=cfg.norm_eps,
                 kernel=kernel, taps=taps, valid_len=valid_len)
             tapped.update(t2)
-    if "attn" in blk:
+    if "gdn" in blk:
+        # gated-delta-net linear attention (qwen3-next); same cache slots
+        # as mamba layers (conv raw-input window + a recurrent matrix)
+        from .gdn import gdn_full, gdn_step
+
+        gspec = cfg.gdn_spec()
+        state_in = ssm if ssm is not None else kv
+        if state_in is not None and T == 1:
+            conv_in, rec_in = state_in
+            attn_out, (k_full, v_full) = gdn_step(
+                blk["gdn"], gspec, x_ln, conv_in, rec_in,
+                eps=cfg.norm_eps, kernel=kernel)
+        elif state_in is not None:
+            conv_in, rec_in = state_in
+            attn_out, (k_full, v_full), t2 = gdn_full(
+                blk["gdn"], gspec, x_ln, eps=cfg.norm_eps, kernel=kernel,
+                taps=taps, conv_state=conv_in, rec_state=rec_in)
+            tapped.update(t2)
+        else:
+            attn_out, (k_full, v_full), t2 = gdn_full(
+                blk["gdn"], gspec, x_ln, eps=cfg.norm_eps, kernel=kernel,
+                taps=taps, valid_len=valid_len)
+            tapped.update(t2)
+    elif "attn" in blk:
         attn_out, k_full, v_full = _attention_part(
             blk, cfg, x_ln, res, B=B, T=T, mask_bias=mask_bias,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
@@ -1052,7 +1096,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     new_k, new_v, new_ks, new_vs = None, None, None, None
     new_conv, new_ssm = None, None
     for i, blk in enumerate(params["layers"]):
-        is_mamba = "mamba" in blk
+        is_mamba = "mamba" in blk or "gdn" in blk
         is_dual = is_mamba and "attn" in blk  # falcon-h1 parallel mixers
         ssm_in = None
         if cache is None:

@@ -94,27 +94,29 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
             if cfg.attn_temperature_tuning else None)
     ks, vs = [], []
     convs, ssms = [], []
-    hybrid = cfg.has_mamba
+    hybrid = cfg.has_mamba or cfg.has_gdn
     if hybrid:
-        spec = cfg.mamba_spec()
+        from ..models.transformer import hybrid_state_shapes
+
+        cshape, sshape = hybrid_state_shapes(cfg)
         kzero = jnp.zeros((T, cfg.num_kv_heads, cfg.head_dim), dtype)
         vzero = jnp.zeros((T, cfg.num_kv_heads, cfg.v_dim), dtype)
-        czero = jnp.zeros((spec.conv_dim, spec.d_conv), jnp.float32)
-        szero = jnp.zeros((spec.num_heads, spec.head_dim, spec.d_state),
-                          jnp.float32)
+        czero = jnp.zeros(cshape, jnp.float32)
+        szero = jnp.zeros(sshape, jnp.float32)
     for i, blk in enumerate(params["layers"]):
         x, (k, v), _ = block_forward(blk, cfg, x, mask_bias=masks[i],
                                      rope=layer_rope(cfg, rope, i),
                                      attn_temp=layer_attn_temp(cfg, temp, i),
                                      alibi=alibi, kernel=kernel,
                                      valid_len=valid_len)
-        if "mamba" in blk and "attn" in blk:  # falcon-h1 dual layer
+        mix = "mamba" in blk or "gdn" in blk
+        if mix and "attn" in blk:  # falcon-h1 dual layer
             (kk, cc), (vv, ss) = k, v
             ks.append(kk[0])
             vs.append(vv[0])
             convs.append(cc[0].astype(jnp.float32))
             ssms.append(ss[0].astype(jnp.float32))
-        elif "mamba" in blk:
+        elif mix:
             ks.append(kzero)
             vs.append(vzero)
             convs.append(k[0].astype(jnp.float32))
@@ -223,14 +225,16 @@ class Engine:
             k=jnp.zeros(base + (cfg.head_dim,), cache_dtype),
             v=jnp.zeros(base + (cfg.v_dim,), cache_dtype),
             length=jnp.zeros((max_batch,), jnp.int32))
-        if cfg.has_mamba:
-            spec = cfg.mamba_spec()
+        if cfg.has_mamba or cfg.has_gdn:
+            from ..models.transformer import hybrid_state_shapes
+
+            cshape, sshape = hybrid_state_shapes(cfg)
             self.cache = HybridCache(
                 kv=kv,
-                conv=jnp.zeros((cfg.num_layers, max_batch, spec.conv_dim,
-                                spec.d_conv), jnp.float32),
-                ssm=jnp.zeros((cfg.num_layers, max_batch, spec.num_heads,
-                               spec.head_dim, spec.d_state), jnp.float32))
+                conv=jnp.zeros((cfg.num_layers, max_batch) + cshape,
+                               jnp.float32),
+                ssm=jnp.zeros((cfg.num_layers, max_batch) + sshape,
+                              jnp.float32))
         else:
             self.cache = kv
         self.cur_tok = np.zeros((max_batch,), np.int32)
@@ -268,7 +272,8 @@ class Engine:
             last_logits, kvs = _prefill_kv(
                 self.params, self.cfg, jnp.asarray(ids),
                 jnp.asarray(n, jnp.int32), self.kernel, self.compute_dtype)
-            insert = (_insert_slot_hybrid if self.cfg.has_mamba
+            insert = (_insert_slot_hybrid
+                      if self.cfg.has_mamba or self.cfg.has_gdn
                       else _insert_slot)
             self.cache = insert(self.cache, kvs,
                                 jnp.asarray(slot, jnp.int32),

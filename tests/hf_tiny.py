@@ -893,3 +893,28 @@ def tiny_falcon_h1(vocab=97, hidden=32, inter=48, layers=2, heads=4,
     )
     model = FalconH1ForCausalLM(cfg).eval()
     return model
+
+
+def tiny_qwen3_next(vocab=97, hidden=32, inter=48, layers=4, heads=4,
+                    kv_heads=2, head_dim=16, gk_heads=2, gv_heads=4,
+                    gk_dim=8, gv_dim=8, experts=4, topk=2, moe_inter=16,
+                    shared_inter=24, max_pos=64, seed=0):
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen3NextConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        linear_num_key_heads=gk_heads, linear_num_value_heads=gv_heads,
+        linear_key_head_dim=gk_dim, linear_value_head_dim=gv_dim,
+        linear_conv_kernel_dim=4, num_experts=experts,
+        num_experts_per_tok=topk, moe_intermediate_size=moe_inter,
+        shared_expert_intermediate_size=shared_inter,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=max_pos, norm_topk_prob=True,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = Qwen3NextForCausalLM(cfg).eval()
+    return model

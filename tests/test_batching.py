@@ -133,3 +133,18 @@ def test_engine_falcon_h1_dual(rng):
                  prompt_buckets=(16,))
     out = eng.run(prompts, max_new_tokens=5)
     assert [out[i] for i in sorted(out)] == want
+
+
+def test_engine_qwen3_next_gdn(rng):
+    # gated-delta-net layers through the engine slot pool
+    model = hf_tiny.tiny_qwen3_next(layers=2)
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (8, 5)]
+    want = [generate(params, cfg, p[None, :], 5, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=5)
+    assert [out[i] for i in sorted(out)] == want

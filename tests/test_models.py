@@ -940,3 +940,46 @@ def test_falcon_h1_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=3e-4, rtol=1e-3)
+
+
+def test_qwen3_next_parity_gdn(rng):
+    # gated-delta-net linear attention (chunked delta rule with a
+    # triangular-solve in-chunk correction) + gated full attention +
+    # sigmoid-gated shared-expert MoE; rms1p norms everywhere
+    model = hf_tiny.tiny_qwen3_next()
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids)
+    assert cfg.has_gdn and cfg.attn_gate
+    assert cfg.layer_types[-1] == "full_attention"
+
+
+def test_qwen3_next_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_qwen3_next()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=3e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_qwen3_next_chained_multi_token_decode(rng):
+    model = hf_tiny.tiny_qwen3_next(layers=2)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 14)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :5]), cache)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, 5:11]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 10],
+                               atol=3e-4, rtol=1e-3)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, 11:14]),
+                                cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 13],
+                               atol=3e-4, rtol=1e-3)
