@@ -465,6 +465,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["hunyuan"]
     if "bamba" in name:
         return ARCH_REGISTRY["bamba"]
+    if "mamba" in name:
+        return ARCH_REGISTRY["bamba"]
     if "granite-4" in name or "granite_4" in name:
         return ARCH_REGISTRY["bamba"]
     if "dbrx" in name:
@@ -1466,6 +1468,33 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             mamba_d_conv=hf_config.mamba_d_conv,
             mamba_n_groups=hf_config.mamba_n_groups,
             mamba_chunk=hf_config.mamba_chunk_size,
+        )
+    if mt == "mamba2":
+        # pure SSD language model (codestral-mamba class): every block is
+        # norm -> mamba2 mixer -> residual, no attention, no mlp
+        return ModelConfig(
+            family="mamba2",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=int(hf_config.expand * hf_config.hidden_size),
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_heads,
+            num_kv_heads=hf_config.num_heads,
+            max_position_embeddings=getattr(hf_config,
+                                            "max_position_embeddings", 2048),
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",  # tables unused: every layer is a mixer
+            rope_layers=(0,) * hf_config.num_hidden_layers,
+            norm_type="rmsnorm",
+            layer_types=("mamba",) * hf_config.num_hidden_layers,
+            mamba_heads=hf_config.num_heads,
+            mamba_head_dim=hf_config.head_dim,
+            mamba_d_state=hf_config.state_size,
+            mamba_d_conv=hf_config.conv_kernel,
+            mamba_n_groups=hf_config.n_groups,
+            mamba_chunk=hf_config.chunk_size,
         )
     if mt == "bamba":
         # hybrid mamba2/attention: most layers are SSD mixers; the few

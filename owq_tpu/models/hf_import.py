@@ -475,6 +475,33 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "mamba2":
+        base = "backbone."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embeddings.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm_f", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            cw = _np(sd[lp + "mixer.conv1d.weight"])
+            mm = {
+                "in_proj": _linear(sd, lp + "mixer.in_proj", dtype),
+                "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                "dt_bias": jnp.asarray(_np(sd[lp + "mixer.dt_bias"]),
+                                       jnp.float32),
+                "A_log": jnp.asarray(_np(sd[lp + "mixer.A_log"]),
+                                     jnp.float32),
+                "D": jnp.asarray(_np(sd[lp + "mixer.D"]), jnp.float32),
+                "norm_w": jnp.asarray(_np(sd[lp + "mixer.norm.weight"]),
+                                      jnp.float32),
+                "out_proj": _linear(sd, lp + "mixer.out_proj", dtype),
+            }
+            if lp + "mixer.conv1d.bias" in sd:
+                mm["conv_b"] = jnp.asarray(
+                    _np(sd[lp + "mixer.conv1d.bias"]), jnp.float32)
+            layers.append({"ln1": _ln(sd, lp + "norm", dtype), "mamba": mm})
+        p["layers"] = layers
+
     elif fam == "qwen3_next":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),

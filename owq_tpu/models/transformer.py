@@ -744,6 +744,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         attn_out = attn_out * cfg.residual_multiplier
 
     x = res + attn_out
+    if "mlp" not in blk:  # pure-SSM blocks (mamba2 LMs): norm+mixer only
+        if not pre_norm:
+            x = _norm(blk.get("ln1"), cfg, x)
+        return x, (k_full, v_full), tapped
     if not pre_norm:
         x = _norm(blk.get("ln1"), cfg, x)
     res = x

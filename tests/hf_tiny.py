@@ -918,3 +918,18 @@ def tiny_qwen3_next(vocab=97, hidden=32, inter=48, layers=4, heads=4,
     )
     model = Qwen3NextForCausalLM(cfg).eval()
     return model
+
+
+def tiny_mamba2(vocab=97, hidden=32, layers=2, m_heads=8, m_head_dim=8,
+                m_state=16, m_groups=2, chunk=8, seed=0):
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Mamba2Config(
+        vocab_size=vocab, hidden_size=hidden, num_hidden_layers=layers,
+        num_heads=m_heads, head_dim=m_head_dim, state_size=m_state,
+        n_groups=m_groups, conv_kernel=4, expand=2, chunk_size=chunk,
+        tie_word_embeddings=False,
+    )
+    model = Mamba2ForCausalLM(cfg).eval()
+    return model

@@ -983,3 +983,28 @@ def test_qwen3_next_chained_multi_token_decode(rng):
                                 cache)
     np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 13],
                                atol=3e-4, rtol=1e-3)
+
+
+def test_mamba2_pure_ssm_parity(rng):
+    # codestral-mamba class: every block is norm -> SSD mixer -> residual
+    # (no attention, no mlp)
+    model = hf_tiny.tiny_mamba2()
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids, atol=5e-4)
+    assert cfg.layer_types == ("mamba", "mamba")
+
+
+def test_mamba2_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_mamba2()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=5e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=5e-4, rtol=1e-3)
