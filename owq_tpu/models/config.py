@@ -139,6 +139,9 @@ class ModelConfig:
     mamba_n_groups: int = 1
     mamba_chunk: int = 256
     mamba_norm_mode: str = "gated_rms"
+    mamba_version: int = 2          # 2 = SSD; 1 = selective scan (jamba)
+    mamba_inner: int = 0            # mamba-1 inner width (expand * hidden)
+    mamba_dt_rank: int = 0          # mamba-1 low-rank dt projection
     # gated-delta-net linear attention (qwen3-next "linear_attention"
     # layers): separate k/v head geometry + conv over the raw q|k|v stream
     gdn_k_heads: int = 0
@@ -165,8 +168,14 @@ class ModelConfig:
         return self.head_dim_override or self.hidden_size // self.num_heads
 
     def mamba_spec(self):
-        from .ssm import MambaSpec
+        from .ssm import Mamba1Spec, MambaSpec
 
+        if self.mamba_version == 1:
+            return Mamba1Spec(intermediate=self.mamba_inner,
+                              d_state=self.mamba_d_state,
+                              d_conv=self.mamba_d_conv,
+                              dt_rank=self.mamba_dt_rank,
+                              activation=self.activation)
         return MambaSpec(num_heads=self.mamba_heads,
                          head_dim=self.mamba_head_dim,
                          d_state=self.mamba_d_state,
@@ -347,6 +356,22 @@ ARCH_REGISTRY["qwen3_next"] = ArchSpec(
                 ("attn.o", "gdn.out_proj"), ("mlp.up", "mlp.gate"),
                 ("mlp.down",)),
 )
+# jamba: llama attention + mamba-1 projections + gated (moe) mlp
+ARCH_REGISTRY["jamba"] = ArchSpec(
+    family="jamba",
+    map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v", "o": "attn.o",
+               "in_proj": "mamba.in_proj", "x_proj": "mamba.x_proj",
+               "dt_proj": "mamba.dt_proj", "out_proj": "mamba.out_proj",
+               "up": "mlp.up", "gate": "mlp.gate", "down": "mlp.down"},
+    ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+            "mamba.in_proj": 1.0, "mamba.x_proj": 1.0, "mamba.dt_proj": 1.0,
+            "mamba.out_proj": 1.0,
+            "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.q", "attn.k", "attn.v", "mamba.in_proj"),
+                ("mamba.x_proj",), ("mamba.dt_proj",),
+                ("attn.o", "mamba.out_proj"), ("mlp.up", "mlp.gate"),
+                ("mlp.down",)),
+)
 # bamba: llama attention + mamba in/out projections + gated mlp
 ARCH_REGISTRY["bamba"] = ArchSpec(
     family="bamba",
@@ -465,6 +490,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["hunyuan"]
     if "bamba" in name:
         return ARCH_REGISTRY["bamba"]
+    if "jamba" in name:
+        return ARCH_REGISTRY["jamba"]
     if "mamba" in name:
         return ARCH_REGISTRY["bamba"]
     if "granite-4" in name or "granite_4" in name:
@@ -1468,6 +1495,39 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             mamba_d_conv=hf_config.mamba_d_conv,
             mamba_n_groups=hf_config.mamba_n_groups,
             mamba_chunk=hf_config.mamba_chunk_size,
+        )
+    if mt == "jamba":
+        # NoPE attention + mamba-1 (selective scan with jamba's dt/b/c rms
+        # norms) + mixtral-style MoE without top-k renorm on expert layers
+        period, off = hf_config.attn_layer_period, hf_config.attn_layer_offset
+        lt = tuple("attention" if (i % period) == off else "mamba"
+                   for i in range(hf_config.num_hidden_layers))
+        return ModelConfig(
+            family="jamba",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",  # jamba attention is NoPE
+            rope_layers=(0,) * hf_config.num_hidden_layers,
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            layer_types=lt,
+            mamba_version=1,
+            mamba_inner=hf_config.mamba_expand * hf_config.hidden_size,
+            mamba_d_state=hf_config.mamba_d_state,
+            mamba_d_conv=hf_config.mamba_d_conv,
+            mamba_dt_rank=hf_config.mamba_dt_rank,
+            num_experts=hf_config.num_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            router_kind="mixtral",
+            router_norm_topk=False,
         )
     if mt == "mamba2":
         # pure SSD language model (codestral-mamba class): every block is

@@ -475,6 +475,72 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "jamba":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "final_layernorm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            fp = lp + "feed_forward."
+            if fp + "router.weight" in sd:  # expert layer
+                mlp: Dict[str, Any] = {
+                    "router": _linear(sd, fp + "router", dtype),
+                    "experts": [
+                        {"gate": _linear(sd, f"{fp}experts.{e}.gate_proj",
+                                         dtype),
+                         "up": _linear(sd, f"{fp}experts.{e}.up_proj", dtype),
+                         "down": _linear(sd, f"{fp}experts.{e}.down_proj",
+                                         dtype)}
+                        for e in range(cfg.num_experts)],
+                }
+            else:
+                mlp = {
+                    "gate": _linear(sd, fp + "gate_proj", dtype),
+                    "up": _linear(sd, fp + "up_proj", dtype),
+                    "down": _linear(sd, fp + "down_proj", dtype),
+                }
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "ln2": _ln(sd, lp + "pre_ff_layernorm", dtype),
+                "mlp": mlp,
+            }
+            if lp + "mamba.in_proj.weight" in sd:
+                cw = _np(sd[lp + "mamba.conv1d.weight"])
+                mm = {
+                    "in_proj": _linear(sd, lp + "mamba.in_proj", dtype),
+                    "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                    "x_proj": _linear(sd, lp + "mamba.x_proj", dtype),
+                    "dt_proj": _linear(sd, lp + "mamba.dt_proj", dtype),
+                    "A_log": jnp.asarray(_np(sd[lp + "mamba.A_log"]),
+                                         jnp.float32),
+                    "D": jnp.asarray(_np(sd[lp + "mamba.D"]), jnp.float32),
+                    "out_proj": _linear(sd, lp + "mamba.out_proj", dtype),
+                    "dt_norm": jnp.asarray(
+                        _np(sd[lp + "mamba.dt_layernorm.weight"]),
+                        jnp.float32),
+                    "b_norm": jnp.asarray(
+                        _np(sd[lp + "mamba.b_layernorm.weight"]),
+                        jnp.float32),
+                    "c_norm": jnp.asarray(
+                        _np(sd[lp + "mamba.c_layernorm.weight"]),
+                        jnp.float32),
+                }
+                if lp + "mamba.conv1d.bias" in sd:
+                    mm["conv_b"] = jnp.asarray(
+                        _np(sd[lp + "mamba.conv1d.bias"]), jnp.float32)
+                blk["mamba"] = mm
+            else:
+                blk["attn"] = {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
     elif fam == "mamba2":
         base = "backbone."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embeddings.weight"]),

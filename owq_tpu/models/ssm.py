@@ -24,7 +24,8 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mamba2_full", "mamba2_step", "MambaSpec"]
+__all__ = ["mamba2_full", "mamba2_step", "MambaSpec",
+           "mamba1_full", "mamba1_step", "Mamba1Spec"]
 
 
 class MambaSpec:
@@ -309,4 +310,162 @@ def mamba2_step(mp: Dict[str, Any], spec: MambaSpec, x: jnp.ndarray,
 
     y = _gate_norm(y, gate[:, None, :], mp, spec, eps)
     out = _lin(mp["out_proj"], y.astype(x.dtype), kernel)
+    return out, (conv_state, ssm_state)
+
+
+# ---------------------------------------------------------------------------
+# Mamba-1 (selective scan) — Jamba / falcon-mamba class
+# ---------------------------------------------------------------------------
+
+class Mamba1Spec:
+    """Static geometry of a mamba-1 selective-scan mixer."""
+
+    def __init__(self, *, intermediate: int, d_state: int, d_conv: int,
+                 dt_rank: int, activation: str = "silu"):
+        self.intermediate = intermediate
+        self.d_state = d_state
+        self.d_conv = d_conv
+        self.dt_rank = dt_rank
+        self.activation = activation
+        self.conv_dim = intermediate  # conv runs over the inner channels
+
+    def key(self):
+        return (self.intermediate, self.d_state, self.d_conv, self.dt_rank,
+                self.activation)
+
+
+def _maybe_rms(p, key, x, eps):
+    w = p.get(key)
+    if w is None:
+        return x
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(
+        x.dtype)
+
+
+def _mamba1_ssm_params(mp, spec: Mamba1Spec, h, eps, kernel, taps, tap_prefix,
+                       tapped):
+    """h [B,T,inner] (post-conv, activated) -> (dt [B,T,inner],
+    B_ [B,T,N], C_ [B,T,N]) with jamba's optional dt/b/c rms norms."""
+    if f"{tap_prefix}.x_proj" in taps:
+        tapped[f"{tap_prefix}.x_proj"] = h
+    sp = _lin(mp["x_proj"], h, kernel)
+    dt_r = sp[..., :spec.dt_rank]
+    B_ = sp[..., spec.dt_rank:spec.dt_rank + spec.d_state]
+    C_ = sp[..., spec.dt_rank + spec.d_state:]
+    dt_r = _maybe_rms(mp, "dt_norm", dt_r, eps)
+    B_ = _maybe_rms(mp, "b_norm", B_, eps)
+    C_ = _maybe_rms(mp, "c_norm", C_, eps)
+    if f"{tap_prefix}.dt_proj" in taps:
+        tapped[f"{tap_prefix}.dt_proj"] = dt_r
+    dt = jax.nn.softplus(_lin(mp["dt_proj"], dt_r, kernel).astype(jnp.float32))
+    return dt, B_.astype(jnp.float32), C_.astype(jnp.float32)
+
+
+def mamba1_full(mp: Dict[str, Any], spec: Mamba1Spec, x: jnp.ndarray, *,
+                eps: float, kernel: str = "xla", taps: Sequence[str] = (),
+                tap_prefix: str = "mamba",
+                conv_state: Optional[jnp.ndarray] = None,
+                ssm_state: Optional[jnp.ndarray] = None,
+                valid_len: Optional[jnp.ndarray] = None,
+                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
+                           Dict[str, jnp.ndarray]]:
+    """Full-sequence selective scan via lax.associative_scan (log-depth —
+    no sequential token loop).  Continues exactly from (conv_state,
+    ssm_state); ``valid_len`` freezes the recurrence on right-pad steps."""
+    B, T, _ = x.shape
+    inner, N, K = spec.intermediate, spec.d_state, spec.d_conv
+    tapped: Dict[str, jnp.ndarray] = {}
+
+    if f"{tap_prefix}.in_proj" in taps:
+        tapped[f"{tap_prefix}.in_proj"] = x
+    proj = _lin(mp["in_proj"], x, kernel)
+    h, gate = proj[..., :inner], proj[..., inner:]
+
+    tok_valid = None
+    if valid_len is not None:
+        vl = jnp.broadcast_to(jnp.atleast_1d(valid_len), (B,))
+        tok_valid = (jnp.arange(T, dtype=jnp.int32)[None, :] < vl[:, None])
+        h = h * tok_valid[..., None].astype(h.dtype)
+    h_t = jnp.swapaxes(h, 1, 2)
+    if conv_state is None:
+        if valid_len is not None:
+            padded = jnp.pad(h_t, ((0, 0), (0, 0), (K, 0)))
+            idx = vl[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+            conv_state_new = jnp.take_along_axis(padded, idx[:, None, :],
+                                                 axis=-1)
+        else:
+            conv_state_new = jnp.pad(
+                h_t, ((0, 0), (0, 0), (max(K - T, 0), 0)))[:, :, -K:]
+        left_ctx = None
+    else:
+        conv_state_new = jnp.concatenate(
+            [conv_state.astype(h_t.dtype), h_t], axis=-1)[:, :, -K:]
+        left_ctx = jnp.swapaxes(conv_state[:, :, 1:], 1, 2)
+
+    h = _act(_depthwise_causal_conv(h, mp["conv_w"], mp.get("conv_b"),
+                                    left_ctx=left_ctx), spec.activation)
+    if tok_valid is not None:
+        h = h * tok_valid[..., None].astype(h.dtype)
+
+    dt, B_, C_ = _mamba1_ssm_params(mp, spec, h, eps, kernel, taps,
+                                    tap_prefix, tapped)
+    if tok_valid is not None:
+        dt = dt * tok_valid[..., None]  # dA=1, dBu=0 on pad steps
+
+    A = -jnp.exp(mp["A_log"].astype(jnp.float32))        # [inner, N]
+    h32 = h.astype(jnp.float32)
+    dA = jnp.exp(dt[..., None] * A[None, None])          # [B,T,inner,N]
+    dBu = dt[..., None] * B_[:, :, None, :] * h32[..., None]
+
+    def comb(l, r):
+        return (l[0] * r[0], r[0] * l[1] + r[1])
+
+    Acum, hs = jax.lax.associative_scan(comb, (dA, dBu), axis=1)
+    if ssm_state is not None:
+        hs = hs + Acum * ssm_state.astype(jnp.float32)[:, None]
+    ssm_state_new = hs[:, -1]
+
+    y = jnp.einsum("btin,btn->bti", hs, C_)
+    y = y + h32 * mp["D"].astype(jnp.float32)[None, None]
+    y = y * jax.nn.silu(gate.astype(jnp.float32))
+    y = y.astype(x.dtype)
+    if f"{tap_prefix}.out_proj" in taps:
+        tapped[f"{tap_prefix}.out_proj"] = y
+    out = _lin(mp["out_proj"], y, kernel)
+    return out, (conv_state_new.astype(jnp.float32),
+                 ssm_state_new.astype(jnp.float32)), tapped
+
+
+def mamba1_step(mp: Dict[str, Any], spec: Mamba1Spec, x: jnp.ndarray,
+                conv_state: jnp.ndarray, ssm_state: jnp.ndarray, *,
+                eps: float, kernel: str = "xla"
+                ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One-token recurrent selective-scan update.  x: [B, 1, hidden]."""
+    B = x.shape[0]
+    inner, N = spec.intermediate, spec.d_state
+
+    proj = _lin(mp["in_proj"], x, kernel)[:, 0]
+    h, gate = proj[..., :inner], proj[..., inner:]
+
+    conv_state = jnp.concatenate(
+        [conv_state[:, :, 1:], h[:, :, None]], axis=-1)
+    conv_out = jnp.sum(conv_state.astype(jnp.float32)
+                       * mp["conv_w"].astype(jnp.float32).T[None], axis=-1)
+    if mp.get("conv_b") is not None:
+        conv_out = conv_out + mp["conv_b"].astype(jnp.float32)
+    h = _act(conv_out, spec.activation)                  # [B, inner] f32
+
+    dt, B_, C_ = _mamba1_ssm_params(mp, spec, h[:, None], eps, kernel, (),
+                                    "mamba", {})
+    dt, B_, C_ = dt[:, 0], B_[:, 0], C_[:, 0]
+    A = -jnp.exp(mp["A_log"].astype(jnp.float32))
+    dA = jnp.exp(dt[..., None] * A[None])
+    dBu = dt[..., None] * B_[:, None, :] * h[..., None]
+    ssm_state = ssm_state.astype(jnp.float32) * dA + dBu
+    y = jnp.einsum("bin,bn->bi", ssm_state, C_)
+    y = y + h * mp["D"].astype(jnp.float32)[None]
+    y = (y * jax.nn.silu(gate.astype(jnp.float32))).astype(x.dtype)[:, None]
+    out = _lin(mp["out_proj"], y, kernel)
     return out, (conv_state, ssm_state)

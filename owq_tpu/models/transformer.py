@@ -77,6 +77,8 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
         names = ["attn.q", "attn.k", "attn.v", "attn.o"]
         if cfg.has_mamba:
             names += ["mamba.in_proj", "mamba.out_proj"]
+            if cfg.mamba_version == 1:
+                names += ["mamba.x_proj", "mamba.dt_proj"]
         if cfg.has_gdn:
             names += ["gdn.in_proj_qkvz", "gdn.in_proj_ba", "gdn.out_proj"]
         if cfg.num_experts:
@@ -241,6 +243,9 @@ def hybrid_state_shapes(cfg: ModelConfig):
         return ((g.conv_dim, g.d_conv),
                 (g.num_v_heads, g.head_k_dim, g.head_v_dim))
     spec = cfg.mamba_spec()
+    if cfg.mamba_version == 1:
+        return ((spec.conv_dim, spec.d_conv),
+                (spec.intermediate, spec.d_state))
     return ((spec.conv_dim, spec.d_conv),
             (spec.num_heads, spec.head_dim, spec.d_state))
 
@@ -646,8 +651,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         # from a zero state); multi-token with a live cache (prefill into
         # a fresh slot, speculative verification, chained windows) runs
         # the chunked SSD form continuing exactly from the cached states.
-        from .ssm import mamba2_full, mamba2_step
+        from .ssm import mamba1_full, mamba1_step, mamba2_full, mamba2_step
 
+        if cfg.mamba_version == 1:
+            mamba2_full, mamba2_step = mamba1_full, mamba1_step
         spec = cfg.mamba_spec()
         state_in = ssm if ssm is not None else (
             kv if "attn" not in blk else None)

@@ -933,3 +933,23 @@ def tiny_mamba2(vocab=97, hidden=32, layers=2, m_heads=8, m_head_dim=8,
     )
     model = Mamba2ForCausalLM(cfg).eval()
     return model
+
+
+def tiny_jamba(vocab=97, hidden=32, inter=48, layers=4, heads=4, kv_heads=2,
+               experts=4, topk=2, m_state=16, dt_rank=8, max_pos=64, seed=0):
+    from transformers import JambaConfig, JambaForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = JambaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, attn_layer_offset=1,
+        attn_layer_period=2, expert_layer_offset=1, expert_layer_period=2,
+        num_experts=experts, num_experts_per_tok=topk,
+        mamba_d_state=m_state, mamba_d_conv=4, mamba_expand=2,
+        mamba_dt_rank=dt_rank, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, use_mamba_kernels=False,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = JambaForCausalLM(cfg).eval()
+    return model

@@ -1008,3 +1008,45 @@ def test_mamba2_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_jamba_parity_mamba1(rng):
+    # mamba-1 selective scan (log-depth associative scan, jamba dt/b/c rms
+    # norms) + NoPE attention + MoE without top-k renorm
+    model = hf_tiny.tiny_jamba()
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids)
+    assert cfg.mamba_version == 1 and cfg.rope_layers == (0, 0, 0, 0)
+    assert cfg.layer_types == ("mamba", "attention", "mamba", "attention")
+
+
+def test_jamba_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_jamba()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=3e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_jamba_chained_multi_token_decode(rng):
+    model = hf_tiny.tiny_jamba(layers=2)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 14)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :5]), cache)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, 5:11]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 10],
+                               atol=3e-4, rtol=1e-3)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, 11:14]),
+                                cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 13],
+                               atol=3e-4, rtol=1e-3)
