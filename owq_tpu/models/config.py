@@ -142,6 +142,7 @@ class ModelConfig:
     mamba_version: int = 2          # 2 = SSD; 1 = selective scan (jamba)
     mamba_inner: int = 0            # mamba-1 inner width (expand * hidden)
     mamba_dt_rank: int = 0          # mamba-1 low-rank dt projection
+    mamba_bcdt_rms_eps: Optional[float] = None  # falcon-mamba weightless rms
     # gated-delta-net linear attention (qwen3-next "linear_attention"
     # layers): separate k/v head geometry + conv over the raw q|k|v stream
     gdn_k_heads: int = 0
@@ -175,7 +176,8 @@ class ModelConfig:
                               d_state=self.mamba_d_state,
                               d_conv=self.mamba_d_conv,
                               dt_rank=self.mamba_dt_rank,
-                              activation=self.activation)
+                              activation=self.activation,
+                              bcdt_rms_eps=self.mamba_bcdt_rms_eps)
         return MambaSpec(num_heads=self.mamba_heads,
                          head_dim=self.mamba_head_dim,
                          d_state=self.mamba_d_state,
@@ -428,10 +430,14 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["bloom"]
     if "falcon-h1" in name or "falcon_h1" in name:
         return ARCH_REGISTRY["bamba"]
+    if "falcon-mamba" in name or "falcon_mamba" in name:
+        return ARCH_REGISTRY["jamba"]
     if "falcon" in name:
         return ARCH_REGISTRY["falcon"]
     if "mixtral" in name:
         return ARCH_REGISTRY["mixtral"]
+    if "codestral" in name and "mamba" in name:
+        return ARCH_REGISTRY["bamba"]
     if "mistral" in name or "zephyr" in name:
         return ARCH_REGISTRY["mistral"]
     if "qwen3-next" in name or "qwen3_next" in name:
@@ -488,12 +494,12 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["exaone"]
     if "hunyuan" in name:
         return ARCH_REGISTRY["hunyuan"]
-    if "bamba" in name:
-        return ARCH_REGISTRY["bamba"]
     if "jamba" in name:
         return ARCH_REGISTRY["jamba"]
-    if "mamba" in name:
+    if "bamba" in name or "codestral" in name or "mamba2" in name:
         return ARCH_REGISTRY["bamba"]
+    if "mamba" in name:  # mamba-1 LMs (incl. falcon-mamba)
+        return ARCH_REGISTRY["jamba"]
     if "granite-4" in name or "granite_4" in name:
         return ARCH_REGISTRY["bamba"]
     if "dbrx" in name:
@@ -1528,6 +1534,33 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=hf_config.num_experts_per_tok,
             router_kind="mixtral",
             router_norm_topk=False,
+        )
+    if mt in ("mamba", "falcon_mamba"):
+        # pure mamba-1 LMs; falcon-mamba adds WEIGHTLESS rms on dt/B/C
+        return ModelConfig(
+            family="mamba1",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=1,
+            num_kv_heads=1,
+            max_position_embeddings=getattr(hf_config,
+                                            "max_position_embeddings", 2048),
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",  # tables unused: every layer is a mixer
+            rope_layers=(0,) * hf_config.num_hidden_layers,
+            norm_type="rmsnorm",
+            layer_types=("mamba",) * hf_config.num_hidden_layers,
+            mamba_version=1,
+            mamba_inner=hf_config.intermediate_size,
+            mamba_d_state=hf_config.state_size,
+            mamba_d_conv=hf_config.conv_kernel,
+            mamba_dt_rank=hf_config.time_step_rank,
+            mamba_bcdt_rms_eps=(hf_config.mixer_rms_eps
+                                if mt == "falcon_mamba" else None),
         )
     if mt == "mamba2":
         # pure SSD language model (codestral-mamba class): every block is

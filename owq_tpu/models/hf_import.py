@@ -541,7 +541,7 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
-    elif fam == "mamba2":
+    elif fam in ("mamba2", "mamba1"):
         base = "backbone."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embeddings.weight"]),
                                         dtype)
@@ -553,15 +553,20 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             mm = {
                 "in_proj": _linear(sd, lp + "mixer.in_proj", dtype),
                 "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
-                "dt_bias": jnp.asarray(_np(sd[lp + "mixer.dt_bias"]),
-                                       jnp.float32),
                 "A_log": jnp.asarray(_np(sd[lp + "mixer.A_log"]),
                                      jnp.float32),
                 "D": jnp.asarray(_np(sd[lp + "mixer.D"]), jnp.float32),
-                "norm_w": jnp.asarray(_np(sd[lp + "mixer.norm.weight"]),
-                                      jnp.float32),
                 "out_proj": _linear(sd, lp + "mixer.out_proj", dtype),
             }
+            if lp + "mixer.dt_bias" in sd:  # mamba2 SSD
+                mm["dt_bias"] = jnp.asarray(_np(sd[lp + "mixer.dt_bias"]),
+                                            jnp.float32)
+            if lp + "mixer.norm.weight" in sd:
+                mm["norm_w"] = jnp.asarray(
+                    _np(sd[lp + "mixer.norm.weight"]), jnp.float32)
+            if lp + "mixer.x_proj.weight" in sd:  # mamba1 selective scan
+                mm["x_proj"] = _linear(sd, lp + "mixer.x_proj", dtype)
+                mm["dt_proj"] = _linear(sd, lp + "mixer.dt_proj", dtype)
             if lp + "mixer.conv1d.bias" in sd:
                 mm["conv_b"] = jnp.asarray(
                     _np(sd[lp + "mixer.conv1d.bias"]), jnp.float32)

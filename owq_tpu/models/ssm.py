@@ -321,17 +321,20 @@ class Mamba1Spec:
     """Static geometry of a mamba-1 selective-scan mixer."""
 
     def __init__(self, *, intermediate: int, d_state: int, d_conv: int,
-                 dt_rank: int, activation: str = "silu"):
+                 dt_rank: int, activation: str = "silu",
+                 bcdt_rms_eps: Optional[float] = None):
         self.intermediate = intermediate
         self.d_state = d_state
         self.d_conv = d_conv
         self.dt_rank = dt_rank
         self.activation = activation
         self.conv_dim = intermediate  # conv runs over the inner channels
+        # falcon-mamba: WEIGHTLESS rms on dt/B/C with its own epsilon
+        self.bcdt_rms_eps = bcdt_rms_eps
 
     def key(self):
         return (self.intermediate, self.d_state, self.d_conv, self.dt_rank,
-                self.activation)
+                self.activation, self.bcdt_rms_eps)
 
 
 def _maybe_rms(p, key, x, eps):
@@ -354,9 +357,18 @@ def _mamba1_ssm_params(mp, spec: Mamba1Spec, h, eps, kernel, taps, tap_prefix,
     dt_r = sp[..., :spec.dt_rank]
     B_ = sp[..., spec.dt_rank:spec.dt_rank + spec.d_state]
     C_ = sp[..., spec.dt_rank + spec.d_state:]
-    dt_r = _maybe_rms(mp, "dt_norm", dt_r, eps)
-    B_ = _maybe_rms(mp, "b_norm", B_, eps)
-    C_ = _maybe_rms(mp, "c_norm", C_, eps)
+    if spec.bcdt_rms_eps is not None:  # falcon-mamba weightless rms
+        def wrms(t):
+            t32 = t.astype(jnp.float32)
+            var = jnp.mean(t32 * t32, axis=-1, keepdims=True)
+            return (t32 * jax.lax.rsqrt(var + spec.bcdt_rms_eps)).astype(
+                t.dtype)
+
+        dt_r, B_, C_ = wrms(dt_r), wrms(B_), wrms(C_)
+    else:
+        dt_r = _maybe_rms(mp, "dt_norm", dt_r, eps)
+        B_ = _maybe_rms(mp, "b_norm", B_, eps)
+        C_ = _maybe_rms(mp, "c_norm", C_, eps)
     if f"{tap_prefix}.dt_proj" in taps:
         tapped[f"{tap_prefix}.dt_proj"] = dt_r
     dt = jax.nn.softplus(_lin(mp["dt_proj"], dt_r, kernel).astype(jnp.float32))

@@ -953,3 +953,20 @@ def tiny_jamba(vocab=97, hidden=32, inter=48, layers=4, heads=4, kv_heads=2,
     )
     model = JambaForCausalLM(cfg).eval()
     return model
+
+
+def tiny_mamba1(vocab=97, hidden=32, layers=2, m_state=16, dt_rank=8,
+                falcon=False, seed=0):
+    import transformers
+
+    torch.manual_seed(seed)
+    if falcon:
+        cfg = transformers.FalconMambaConfig(
+            vocab_size=vocab, hidden_size=hidden, num_hidden_layers=layers,
+            state_size=m_state, conv_kernel=4, expand=2,
+            time_step_rank=dt_rank, use_mambapy=False)
+        return transformers.FalconMambaForCausalLM(cfg).eval()
+    cfg = transformers.MambaConfig(
+        vocab_size=vocab, hidden_size=hidden, num_hidden_layers=layers,
+        state_size=m_state, conv_kernel=4, expand=2, time_step_rank=dt_rank)
+    return transformers.MambaForCausalLM(cfg).eval()

@@ -300,7 +300,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "llama4", "hunyuan", "hunyuan-moe",
                                     "phimoe", "granitemoe", "bamba",
                                     "granite-4", "falcon-h1",
-                                    "qwen3-next", "mamba2", "jamba"])
+                                    "qwen3-next", "mamba2", "jamba",
+                                    "falcon-mamba"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -379,6 +380,7 @@ def test_quantize_new_families(calib, family):
         "qwen3-next": lambda: hf_tiny.tiny_qwen3_next(),
         "mamba2": lambda: hf_tiny.tiny_mamba2(),
         "jamba": lambda: hf_tiny.tiny_jamba(),
+        "falcon-mamba": lambda: hf_tiny.tiny_mamba1(falcon=True),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

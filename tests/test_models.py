@@ -1050,3 +1050,35 @@ def test_jamba_chained_multi_token_decode(rng):
                                 cache)
     np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 13],
                                atol=3e-4, rtol=1e-3)
+
+
+def test_mamba1_pure_lm_parity(rng):
+    # state-spaces mamba LMs: pure selective-scan blocks, tied embeddings
+    model = hf_tiny.tiny_mamba1(falcon=False)
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids, atol=5e-4)
+    assert cfg.mamba_version == 1 and cfg.mamba_bcdt_rms_eps is None
+
+
+def test_falcon_mamba_parity(rng):
+    # falcon-mamba: WEIGHTLESS rms on dt/B/C with its own epsilon
+    model = hf_tiny.tiny_mamba1(falcon=True)
+    ids = rng.integers(0, 97, size=(2, 12))
+    params, cfg = _parity(model, ids, atol=5e-4)
+    assert cfg.mamba_bcdt_rms_eps is not None
+
+
+def test_mamba1_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_mamba1(falcon=True)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=5e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=5e-4, rtol=1e-3)
