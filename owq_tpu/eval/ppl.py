@@ -84,7 +84,8 @@ def _final_nll(params, cfg: ModelConfig, x, ids):
 def _eval_ppl_layerwise(params, cfg, windows: np.ndarray, seqlen: int, *,
                         batch: int = 1, kernel: str = "xla",
                         verbose: bool = False) -> float:
-    from ..models.transformer import layer_attn_temp, layer_rope
+    from ..models.transformer import (layer_alpha_beta,
+                                      layer_attn_temp, layer_rope)
     from ..recon.pipeline import _block_out, calibration_inputs
 
     nwin = windows.shape[0]
@@ -97,7 +98,8 @@ def _eval_ppl_layerwise(params, cfg, windows: np.ndarray, seqlen: int, *,
             y = _block_out(blk, cfg, jnp.asarray(x[s:s + batch]),
                            aux["masks"][li],
                            layer_rope(cfg, aux["rope"], li), aux["alibi"],
-                           layer_attn_temp(cfg, aux["temp"], li))
+                           layer_attn_temp(cfg, aux["temp"], li),
+                           layer_alpha_beta(cfg, li))
             outs.append(np.asarray(y))
         x = np.concatenate(outs, axis=0)
         del blk

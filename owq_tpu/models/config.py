@@ -151,6 +151,12 @@ class ModelConfig:
     gdn_v_dim: int = 0
     gdn_conv: int = 4
     gdn_chunk: int = 64
+    # minimax lightning (decay linear) attention + deepnorm-style residual
+    lightning_block: int = 0        # block size (0 = no lightning layers)
+    # per-layer (attn_alpha, attn_beta, mlp_alpha, mlp_beta): the residual
+    # stream is the NORMED input scaled by alpha, the branch by beta
+    layer_alpha_beta: Optional[Tuple[Tuple[float, float, float, float],
+                                     ...]] = None
     attn_gate: bool = False  # qwen3-next: q_proj also emits an output gate
     mla: bool = False
     q_lora_rank: Optional[int] = None
@@ -195,7 +201,20 @@ class ModelConfig:
 
     @property
     def has_gdn(self) -> bool:
-        return bool(self.layer_types) and "linear_attention" in self.layer_types
+        return (self.gdn_k_heads > 0 and bool(self.layer_types)
+                and "linear_attention" in self.layer_types)
+
+    @property
+    def has_lightning(self) -> bool:
+        return self.lightning_block > 0
+
+    def lightning_spec(self):
+        from .lightning import LightningSpec
+
+        return LightningSpec(num_heads=self.num_heads,
+                             head_dim=self.head_dim,
+                             block_size=self.lightning_block,
+                             activation=self.activation)
 
     def gdn_spec(self):
         from .gdn import GDNSpec
@@ -358,6 +377,23 @@ ARCH_REGISTRY["qwen3_next"] = ArchSpec(
                 ("attn.o", "gdn.out_proj"), ("mlp.up", "mlp.gate"),
                 ("mlp.down",)),
 )
+# minimax: llama attention + lightning projections + moe mlp
+ARCH_REGISTRY["minimax"] = ArchSpec(
+    family="minimax",
+    map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v", "o": "attn.o",
+               "qkv_proj": "lightning.qkv_proj",
+               "output_gate": "lightning.output_gate",
+               "out_proj": "lightning.out_proj",
+               "up": "mlp.up", "gate": "mlp.gate", "down": "mlp.down"},
+    ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+            "lightning.qkv_proj": 1.0, "lightning.output_gate": 1.0,
+            "lightning.out_proj": 1.0,
+            "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.q", "attn.k", "attn.v", "lightning.qkv_proj",
+                 "lightning.output_gate"),
+                ("attn.o", "lightning.out_proj"), ("mlp.up", "mlp.gate"),
+                ("mlp.down",)),
+)
 # jamba: llama attention + mamba-1 projections + gated (moe) mlp
 ARCH_REGISTRY["jamba"] = ArchSpec(
     family="jamba",
@@ -494,6 +530,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["exaone"]
     if "hunyuan" in name:
         return ARCH_REGISTRY["hunyuan"]
+    if "minimax" in name:
+        return ARCH_REGISTRY["minimax"]
     if "jamba" in name:
         return ARCH_REGISTRY["jamba"]
     if "bamba" in name or "codestral" in name or "mamba2" in name:
@@ -1534,6 +1572,49 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=hf_config.num_experts_per_tok,
             router_kind="mixtral",
             router_norm_topk=False,
+        )
+    if mt == "minimax":
+        # lightning (decay linear) attention on most layers + rope full
+        # attention on the rest; deepnorm-style residuals (the normed input
+        # is the residual, scaled per layer kind); mixtral-shaped MoE
+        lt = tuple(hf_config.layer_types)
+        ab = tuple(
+            ((hf_config.linear_attn_alpha_factor,
+              hf_config.linear_attn_beta_factor,
+              hf_config.mlp_alpha_factor, hf_config.mlp_beta_factor)
+             if t == "linear_attention" else
+             (hf_config.full_attn_alpha_factor,
+              hf_config.full_attn_beta_factor,
+              hf_config.mlp_alpha_factor, hf_config.mlp_beta_factor))
+            for t in lt)
+        return ModelConfig(
+            family="minimax",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_layers=tuple(int(t == "full_attention") for t in lt),
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            sliding_window=getattr(hf_config, "sliding_window", None),
+            layer_types=lt,
+            lightning_block=hf_config.block_size,
+            layer_alpha_beta=ab,
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            router_kind="mixtral",
+            router_norm_topk=True,
         )
     if mt in ("mamba", "falcon_mamba"):
         # pure mamba-1 LMs; falcon-mamba adds WEIGHTLESS rms on dt/B/C

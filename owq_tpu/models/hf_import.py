@@ -541,6 +541,49 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "minimax":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            moe = lp + "block_sparse_moe."
+            mlp = {
+                "router": _linear(sd, moe + "gate", dtype),
+                "experts": [
+                    {"gate": _linear(sd, f"{moe}experts.{e}.w1", dtype),
+                     "up": _linear(sd, f"{moe}experts.{e}.w3", dtype),
+                     "down": _linear(sd, f"{moe}experts.{e}.w2", dtype)}
+                    for e in range(cfg.num_experts)],
+            }
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "mlp": mlp,
+            }
+            ap = lp + "self_attn."
+            if ap + "qkv_proj.weight" in sd:  # lightning layer
+                blk["lightning"] = {
+                    "qkv_proj": _linear(sd, ap + "qkv_proj", dtype),
+                    "output_gate": _linear(sd, ap + "output_gate", dtype),
+                    "out_proj": _linear(sd, ap + "out_proj", dtype),
+                    "norm_w": jnp.asarray(_np(sd[ap + "norm.weight"]),
+                                          jnp.float32),
+                    "slope": jnp.asarray(
+                        _np(sd[ap + "slope_rate"]).reshape(-1), jnp.float32),
+                }
+            else:
+                blk["attn"] = {
+                    "q": _linear(sd, ap + "q_proj", dtype),
+                    "k": _linear(sd, ap + "k_proj", dtype),
+                    "v": _linear(sd, ap + "v_proj", dtype),
+                    "o": _linear(sd, ap + "o_proj", dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
     elif fam in ("mamba2", "mamba1"):
         base = "backbone."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embeddings.weight"]),

@@ -73,8 +73,11 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
     with shared experts) this is the union over layers — callers filter to
     the names actually present in each block.
     """
-    if cfg.has_mamba or cfg.has_gdn:
+    if cfg.has_mamba or cfg.has_gdn or cfg.has_lightning:
         names = ["attn.q", "attn.k", "attn.v", "attn.o"]
+        if cfg.has_lightning:
+            names += ["lightning.qkv_proj", "lightning.output_gate",
+                      "lightning.out_proj"]
         if cfg.has_mamba:
             names += ["mamba.in_proj", "mamba.out_proj"]
             if cfg.mamba_version == 1:
@@ -173,7 +176,7 @@ class KVCache:
 
 def init_cache(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16):
-    if cfg.has_mamba or cfg.has_gdn:  # hybrids carry mixer states too
+    if cfg.has_mamba or cfg.has_gdn or cfg.has_lightning:
         return init_hybrid_cache(cfg, batch, max_len, dtype=dtype)
     base = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
     return KVCache(k=jnp.zeros(base + (cfg.head_dim,), dtype),
@@ -238,6 +241,8 @@ class HybridCache:
 
 def hybrid_state_shapes(cfg: ModelConfig):
     """(conv [C,K], state [H,P,N]) per-layer shapes for the linear mixer."""
+    if cfg.has_lightning:
+        return ((1, 1), (cfg.num_heads, cfg.head_dim, cfg.head_dim))
     if cfg.has_gdn:
         g = cfg.gdn_spec()
         return ((g.conv_dim, g.d_conv),
@@ -619,6 +624,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   attn_temp: Optional[jnp.ndarray] = None,
                   valid_len: Optional[jnp.ndarray] = None,
                   ssm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  alpha_beta: Optional[Tuple[float, float, float, float]]
+                  = None,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -643,8 +650,34 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     res = x
     x_ln = (_norm(blk.get("ln1"), cfg, x)
             if pre_norm and cfg.input_norms else x)
+    if alpha_beta is not None:  # minimax deepnorm-style residual
+        res = x_ln
     conv_f = ssm_f = None
-    if "mamba" in blk:
+    if "lightning" in blk:
+        # minimax decay linear attention; the state is a per-head KV matrix
+        from .lightning import lightning_full, lightning_step
+
+        lspec = cfg.lightning_spec()
+        state_in = ssm if ssm is not None else kv
+        if state_in is not None and T == 1:
+            m_out, s_new = lightning_step(
+                blk["lightning"], lspec, x_ln, state_in[1],
+                eps=cfg.norm_eps, kernel=kernel)
+        elif state_in is not None:
+            m_out, s_new, t2 = lightning_full(
+                blk["lightning"], lspec, x_ln, eps=cfg.norm_eps,
+                kernel=kernel, taps=taps, state=state_in[1])
+            tapped.update(t2)
+        else:
+            m_out, s_new, t2 = lightning_full(
+                blk["lightning"], lspec, x_ln, eps=cfg.norm_eps,
+                kernel=kernel, taps=taps, valid_len=valid_len)
+            tapped.update(t2)
+        # the conv slot is a dummy [1,1] placeholder for lightning layers
+        conv_f = (state_in[0] if state_in is not None
+                  else jnp.zeros((B, 1, 1), jnp.float32))
+        ssm_f = s_new
+    elif "mamba" in blk:
         # mamba-2 mixer (bamba/granite-4 hybrid layers; falcon-h1 runs it
         # in PARALLEL with attention on the same normed input).  With a
         # cache and T==1 the recurrent single-step update runs (exact even
@@ -750,7 +783,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if cfg.residual_multiplier is not None:  # granite
         attn_out = attn_out * cfg.residual_multiplier
 
-    x = res + attn_out
+    if alpha_beta is not None:
+        x = res * alpha_beta[0] + attn_out * alpha_beta[1]
+    else:
+        x = res + attn_out
     if "mlp" not in blk:  # pure-SSM blocks (mamba2 LMs): norm+mixer only
         if not pre_norm:
             x = _norm(blk.get("ln1"), cfg, x)
@@ -760,6 +796,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     res = x
     x_ln2 = (_norm(blk.get("ln2"), cfg, x)
              if pre_norm and cfg.input_norms else x)
+    if alpha_beta is not None:
+        res = x_ln2
     mlp = blk["mlp"]
     if cfg.num_experts and "experts" in mlp:
         # Sparse MoE, computed densely: every (local) expert processes all
@@ -904,7 +942,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             mlp_out = mlp_out + shared_out
         if cfg.residual_multiplier is not None:
             mlp_out = mlp_out * cfg.residual_multiplier
-        y = res + mlp_out
+        if alpha_beta is not None:
+            y = res * alpha_beta[2] + mlp_out * alpha_beta[3]
+        else:
+            y = res + mlp_out
         if not pre_norm:
             y = _norm(blk.get("ln2"), cfg, y)
         return y, (k_full, v_full), tapped
@@ -928,7 +969,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
         if cfg.residual_multiplier is not None:
             mlp_out = mlp_out * cfg.residual_multiplier
-        y = res + mlp_out
+        if alpha_beta is not None:
+            y = res * alpha_beta[2] + mlp_out * alpha_beta[3]
+        else:
+            y = res + mlp_out
     else:
         if "mlp.fc1" in taps:
             tapped["mlp.fc1"] = x_ln2
@@ -942,7 +986,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
         if cfg.residual_multiplier is not None:
             mlp_out = mlp_out * cfg.residual_multiplier
-        y = res + mlp_out
+        if alpha_beta is not None:
+            y = res * alpha_beta[2] + mlp_out * alpha_beta[3]
+        else:
+            y = res + mlp_out
     if not pre_norm:
         y = _norm(blk.get("ln2"), cfg, y)
     return y, (k_full, v_full), tapped
@@ -1008,6 +1055,13 @@ def attn_temperature(cfg: ModelConfig, positions: jnp.ndarray) -> jnp.ndarray:
     p = positions.astype(jnp.float32)
     return (jnp.log1p(jnp.floor((p + 1.0) / cfg.temp_tuning_floor))
             * cfg.temp_tuning_scale + 1.0)
+
+
+def layer_alpha_beta(cfg: ModelConfig, i: int):
+    """Per-layer deepnorm residual factors (minimax), else None."""
+    if cfg.layer_alpha_beta is None:
+        return None
+    return cfg.layer_alpha_beta[i]
 
 
 def layer_attn_temp(cfg: ModelConfig, temp, i: int):
@@ -1107,7 +1161,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     new_k, new_v, new_ks, new_vs = None, None, None, None
     new_conv, new_ssm = None, None
     for i, blk in enumerate(params["layers"]):
-        is_mamba = "mamba" in blk or "gdn" in blk
+        is_mamba = "mamba" in blk or "gdn" in blk or "lightning" in blk
         is_dual = is_mamba and "attn" in blk  # falcon-h1 parallel mixers
         ssm_in = None
         if cache is None:
@@ -1125,7 +1179,8 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),
             alibi=alibi, attn_temp=layer_attn_temp(cfg, temp, i),
             kv=kv, cache_at=start if cache is not None else None,
-            kernel=kernel, tp_axis=tp_axis, ssm=ssm_in)
+            kernel=kernel, tp_axis=tp_axis, ssm=ssm_in,
+            alpha_beta=layer_alpha_beta(cfg, i))
         if cache is not None:
             if is_dual:
                 (kf, cf), (vf, sf) = kf, vf

@@ -26,6 +26,7 @@ from ..models.config import ModelConfig
 from ..models.layers import alibi_bias, causal_mask_bias, rope_cos_sin
 from ..models.transformer import (KVCache, attn_temperature,
                                   block_forward, embed,
+                                  layer_alpha_beta,
                                   layer_attn_temp, layer_rope,
                                   unembed)
 
@@ -80,6 +81,7 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
             blk, cfg, x, mask_bias=masks[layer_off + i],
             rope=layer_rope(cfg, rope, layer_off + i),
             attn_temp=layer_attn_temp(cfg, temp, layer_off + i),
+            alpha_beta=layer_alpha_beta(cfg, layer_off + i),
             alibi=alibi, kv=pair, cache_at=start if with_cache else None,
             kernel=kernel)
         if with_cache:

@@ -34,6 +34,7 @@ from ..core.quantizer import QuantSpec, find_params_mse, find_params_minmax, fak
 from ..models.config import ArchSpec, ModelConfig
 from ..models.transformer import (QUANTIZABLE, attn_temperature,
                                   block_forward, embed,
+                                  layer_alpha_beta,
                                   layer_attn_temp, layer_rope,
                                   quantizable_names)
 from ..models.layers import causal_mask_bias, rope_cos_sin, alibi_bias
@@ -190,7 +191,7 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "taps"))
 def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
-                  taps: tuple):
+                  taps: tuple, alpha_beta=None):
     """One pass over a chunk: per-tap X^T X (f32) + block outputs."""
     B = x.shape[0]
     mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
@@ -204,7 +205,8 @@ def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
     if temp is not None:
         temp_b = jnp.broadcast_to(temp, (B,) + temp.shape[1:])
     y, _, tapped = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
-                                 alibi=alibi_b, attn_temp=temp_b, taps=taps)
+                                 alibi=alibi_b, attn_temp=temp_b, taps=taps,
+                                 alpha_beta=alpha_beta)
     outers = {}
     for name, act in tapped.items():
         a = act.reshape(-1, act.shape[-1]).astype(jnp.float32)
@@ -213,7 +215,8 @@ def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi, temp):
+def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
+               alpha_beta=None):
     B = x.shape[0]
     mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
     rope_b = None
@@ -226,7 +229,8 @@ def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi, temp):
     if temp is not None:
         temp_b = jnp.broadcast_to(temp, (B,) + temp.shape[1:])
     y, _, _ = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
-                            alibi=alibi_b, attn_temp=temp_b)
+                            alibi=alibi_b, attn_temp=temp_b,
+                            alpha_beta=alpha_beta)
     return y
 
 
@@ -296,7 +300,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                 y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
                                aux["masks"][li],
                                layer_rope(cfg, aux["rope"], li), aux["alibi"],
-                               layer_attn_temp(cfg, aux["temp"], li))
+                               layer_attn_temp(cfg, aux["temp"], li),
+                           layer_alpha_beta(cfg, li))
                 outs.append(np.asarray(y) if offload else y)
             x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
             if offload:
@@ -315,7 +320,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                                           layer_rope(cfg, aux["rope"], li),
                                           aux["alibi"],
                                           layer_attn_temp(cfg, aux["temp"],
-                                                          li), taps)
+                                                          li), taps,
+                                          layer_alpha_beta(cfg, li))
                 for n in taps:
                     hessians[n] = outers[n] if hessians[n] is None else hessians[n] + outers[n]
 
@@ -361,7 +367,8 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
             y = _block_out(blk, cfg, jnp.asarray(x[s:s + chunk]),
                            aux["masks"][li], layer_rope(cfg, aux["rope"], li),
                            aux["alibi"],
-                           layer_attn_temp(cfg, aux["temp"], li))
+                           layer_attn_temp(cfg, aux["temp"], li),
+                           layer_alpha_beta(cfg, li))
             outs.append(np.asarray(y) if offload else y)
         x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
         if offload:

@@ -77,6 +77,7 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x = embed(params, cfg, ids, positions, dtype=dtype)
     from ..models.transformer import (attn_temperature,
+                                      layer_alpha_beta,
                                       layer_attn_temp,
                                       layer_mask_biases,
                                       layer_rope)
@@ -94,7 +95,7 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
             if cfg.attn_temperature_tuning else None)
     ks, vs = [], []
     convs, ssms = [], []
-    hybrid = cfg.has_mamba or cfg.has_gdn
+    hybrid = cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
     if hybrid:
         from ..models.transformer import hybrid_state_shapes
 
@@ -108,8 +109,9 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
                                      rope=layer_rope(cfg, rope, i),
                                      attn_temp=layer_attn_temp(cfg, temp, i),
                                      alibi=alibi, kernel=kernel,
-                                     valid_len=valid_len)
-        mix = "mamba" in blk or "gdn" in blk
+                                     valid_len=valid_len,
+                                     alpha_beta=layer_alpha_beta(cfg, i))
+        mix = "mamba" in blk or "gdn" in blk or "lightning" in blk
         if mix and "attn" in blk:  # falcon-h1 dual layer
             (kk, cc), (vv, ss) = k, v
             ks.append(kk[0])
@@ -225,7 +227,7 @@ class Engine:
             k=jnp.zeros(base + (cfg.head_dim,), cache_dtype),
             v=jnp.zeros(base + (cfg.v_dim,), cache_dtype),
             length=jnp.zeros((max_batch,), jnp.int32))
-        if cfg.has_mamba or cfg.has_gdn:
+        if cfg.has_mamba or cfg.has_gdn or cfg.has_lightning:
             from ..models.transformer import hybrid_state_shapes
 
             cshape, sshape = hybrid_state_shapes(cfg)
@@ -273,7 +275,8 @@ class Engine:
                 self.params, self.cfg, jnp.asarray(ids),
                 jnp.asarray(n, jnp.int32), self.kernel, self.compute_dtype)
             insert = (_insert_slot_hybrid
-                      if self.cfg.has_mamba or self.cfg.has_gdn
+                      if (self.cfg.has_mamba or self.cfg.has_gdn
+                          or self.cfg.has_lightning)
                       else _insert_slot)
             self.cache = insert(self.cache, kvs,
                                 jnp.asarray(slot, jnp.int32),

@@ -970,3 +970,28 @@ def tiny_mamba1(vocab=97, hidden=32, layers=2, m_state=16, dt_rank=8,
         vocab_size=vocab, hidden_size=hidden, num_hidden_layers=layers,
         state_size=m_state, conv_kernel=4, expand=2, time_step_rank=dt_rank)
     return transformers.MambaForCausalLM(cfg).eval()
+
+
+def tiny_minimax(vocab=97, hidden=32, inter=16, layers=2, heads=4,
+                 kv_heads=2, head_dim=8, block=8, experts=4, topk=2,
+                 alphas=None, max_pos=64, seed=0):
+    from transformers import MiniMaxConfig, MiniMaxForCausalLM
+
+    torch.manual_seed(seed)
+    kw = dict(zip(("linear_attn_alpha_factor", "linear_attn_beta_factor",
+                   "full_attn_alpha_factor", "full_attn_beta_factor",
+                   "mlp_alpha_factor", "mlp_beta_factor"),
+                  alphas or (1, 1, 1, 1, 1, 1)))
+    cfg = MiniMaxConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        layer_types=(["linear_attention", "full_attention"]
+                     * ((layers + 1) // 2))[:layers],
+        block_size=block, num_local_experts=experts,
+        num_experts_per_tok=topk, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-5, sliding_window=None, tie_word_embeddings=False,
+        attn_implementation="eager", **kw,
+    )
+    model = MiniMaxForCausalLM(cfg).eval()
+    return model

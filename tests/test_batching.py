@@ -148,3 +148,19 @@ def test_engine_qwen3_next_gdn(rng):
                  prompt_buckets=(16,))
     out = eng.run(prompts, max_new_tokens=5)
     assert [out[i] for i in sorted(out)] == want
+
+
+def test_engine_minimax_lightning(rng):
+    # lightning state through the engine: padded-bucket prefill rescales
+    # the per-head decay exactly, then per-slot recurrent decode
+    model = hf_tiny.tiny_minimax()
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (9, 5)]
+    want = [generate(params, cfg, p[None, :], 5, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=5)
+    assert [out[i] for i in sorted(out)] == want

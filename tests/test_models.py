@@ -1082,3 +1082,34 @@ def test_mamba1_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_minimax_parity_lightning(rng):
+    # lightning decay linear attention + rope full attention + deepnorm
+    # residuals (the NORMED input is the residual stream)
+    model = hf_tiny.tiny_minimax()
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids)
+    assert cfg.has_lightning and cfg.layer_alpha_beta is not None
+
+
+def test_minimax_parity_scaled_residuals(rng):
+    model = hf_tiny.tiny_minimax(alphas=(0.9, 1.1, 1.05, 0.95, 1.02, 0.97))
+    ids = rng.integers(0, 97, size=(1, 11))
+    _parity(model, ids)
+
+
+def test_minimax_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_minimax()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=3e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=3e-4, rtol=1e-3)
