@@ -153,6 +153,7 @@ class ModelConfig:
     gdn_chunk: int = 64
     # minimax lightning (decay linear) attention + deepnorm-style residual
     lightning_block: int = 0        # block size (0 = no lightning layers)
+    shortconv_L: int = 0            # lfm2 gated short-conv kernel length
     # per-layer (attn_alpha, attn_beta, mlp_alpha, mlp_beta): the residual
     # stream is the NORMED input scaled by alpha, the branch by beta
     layer_alpha_beta: Optional[Tuple[Tuple[float, float, float, float],
@@ -207,6 +208,10 @@ class ModelConfig:
     @property
     def has_lightning(self) -> bool:
         return self.lightning_block > 0
+
+    @property
+    def has_shortconv(self) -> bool:
+        return self.shortconv_L > 0
 
     def lightning_spec(self):
         from .lightning import LightningSpec
@@ -377,6 +382,19 @@ ARCH_REGISTRY["qwen3_next"] = ArchSpec(
                 ("attn.o", "gdn.out_proj"), ("mlp.up", "mlp.gate"),
                 ("mlp.down",)),
 )
+# lfm2: llama attention + short-conv projections + gated mlp
+ARCH_REGISTRY["lfm2"] = ArchSpec(
+    family="lfm2",
+    map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v", "o": "attn.o",
+               "in_proj": "conv.in_proj", "out_proj": "conv.out_proj",
+               "w1": "mlp.gate", "w3": "mlp.up", "w2": "mlp.down"},
+    ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+            "conv.in_proj": 1.0, "conv.out_proj": 1.0,
+            "mlp.up": 0.375, "mlp.gate": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.q", "attn.k", "attn.v", "conv.in_proj"),
+                ("attn.o", "conv.out_proj"), ("mlp.up", "mlp.gate"),
+                ("mlp.down",)),
+)
 # minimax: llama attention + lightning projections + moe mlp
 ARCH_REGISTRY["minimax"] = ArchSpec(
     family="minimax",
@@ -532,6 +550,10 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["hunyuan"]
     if "minimax" in name:
         return ARCH_REGISTRY["minimax"]
+    if "lfm2" in name or "lfm-2" in name:
+        return ARCH_REGISTRY["lfm2"]
+    if "apertus" in name:
+        return ARCH_REGISTRY["nemotron"]
     if "jamba" in name:
         return ARCH_REGISTRY["jamba"]
     if "bamba" in name or "codestral" in name or "mamba2" in name:
@@ -1572,6 +1594,55 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts_per_tok=hf_config.num_experts_per_tok,
             router_kind="mixtral",
             router_norm_topk=False,
+        )
+    if mt == "lfm2":
+        # liquid LFM2: gated short-conv layers (y = out_proj(C*conv(B*x)))
+        # alternating with GQA attention (per-head rms qk-norm)
+        return ModelConfig(
+            family="lfm2",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 1000000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation="silu",
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            qk_norm="head",
+            layer_types=tuple(hf_config.layer_types),
+            shortconv_L=hf_config.conv_L_cache,
+        )
+    if mt == "apertus":
+        # llama attention + per-head rms qk-norm + non-gated xIELU MLP
+        # (learnable alpha_p/alpha_n per layer)
+        return ModelConfig(
+            family="nemotron",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=False,
+            qk_norm="head",
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            mlp_bias=getattr(hf_config, "mlp_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
         )
     if mt == "minimax":
         # lightning (decay linear) attention on most layers + rope full

@@ -541,6 +541,46 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "lfm2":
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "embedding_norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, lp + "operator_norm", dtype),
+                "ln2": _ln(sd, lp + "ffn_norm", dtype),
+                "mlp": {
+                    "gate": _linear(sd, lp + "feed_forward.w1", dtype),
+                    "up": _linear(sd, lp + "feed_forward.w3", dtype),
+                    "down": _linear(sd, lp + "feed_forward.w2", dtype),
+                },
+            }
+            if lp + "conv.in_proj.weight" in sd:
+                cw = _np(sd[lp + "conv.conv.weight"])  # [hid, 1, L]
+                cv = {
+                    "in_proj": _linear(sd, lp + "conv.in_proj", dtype),
+                    "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                    "out_proj": _linear(sd, lp + "conv.out_proj", dtype),
+                }
+                if lp + "conv.conv.bias" in sd:
+                    cv["conv_b"] = jnp.asarray(_np(sd[lp + "conv.conv.bias"]),
+                                               jnp.float32)
+                blk["conv"] = cv
+            else:
+                blk["attn"] = {
+                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                    "o": _linear(sd, lp + "self_attn.out_proj", dtype),
+                    "q_norm": _ln(sd, lp + "self_attn.q_layernorm", dtype),
+                    "k_norm": _ln(sd, lp + "self_attn.k_layernorm", dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
     elif fam == "minimax":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
@@ -1005,19 +1045,35 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
         layers = []
         for i in range(cfg.num_layers):
             lp = f"{base}layers.{i}."
+            attn = {
+                "q": _linear(sd, lp + "self_attn.q_proj", dtype),
+                "k": _linear(sd, lp + "self_attn.k_proj", dtype),
+                "v": _linear(sd, lp + "self_attn.v_proj", dtype),
+                "o": _linear(sd, lp + "self_attn.o_proj", dtype),
+            }
+            if lp + "self_attn.q_norm.weight" in sd:  # apertus qk-norm
+                attn["q_norm"] = _ln(sd, lp + "self_attn.q_norm", dtype)
+                attn["k_norm"] = _ln(sd, lp + "self_attn.k_norm", dtype)
+            mlp = {
+                "fc1": _linear(sd, lp + "mlp.up_proj", dtype),
+                "fc2": _linear(sd, lp + "mlp.down_proj", dtype),
+            }
+            if lp + "mlp.act_fn.alpha_p" in sd:  # apertus learnable xIELU
+                mlp["act"] = {
+                    k: jnp.asarray(_np(sd[lp + f"mlp.act_fn.{k}"]),
+                                   jnp.float32)
+                    for k in ("alpha_p", "alpha_n", "beta", "eps")}
+            ln_name = ("attention_layernorm"
+                       if lp + "attention_layernorm.weight" in sd
+                       else "input_layernorm")
+            ff_name = ("feedforward_layernorm"
+                       if lp + "feedforward_layernorm.weight" in sd
+                       else "post_attention_layernorm")
             layers.append({
-                "ln1": _ln(sd, lp + "input_layernorm", dtype),
-                "attn": {
-                    "q": _linear(sd, lp + "self_attn.q_proj", dtype),
-                    "k": _linear(sd, lp + "self_attn.k_proj", dtype),
-                    "v": _linear(sd, lp + "self_attn.v_proj", dtype),
-                    "o": _linear(sd, lp + "self_attn.o_proj", dtype),
-                },
-                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
-                "mlp": {
-                    "fc1": _linear(sd, lp + "mlp.up_proj", dtype),
-                    "fc2": _linear(sd, lp + "mlp.down_proj", dtype),
-                },
+                "ln1": _ln(sd, lp + ln_name, dtype),
+                "attn": attn,
+                "ln2": _ln(sd, lp + ff_name, dtype),
+                "mlp": mlp,
             })
         p["layers"] = layers
 

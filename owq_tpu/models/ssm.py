@@ -481,3 +481,72 @@ def mamba1_step(mp: Dict[str, Any], spec: Mamba1Spec, x: jnp.ndarray,
     y = (y * jax.nn.silu(gate.astype(jnp.float32))).astype(x.dtype)[:, None]
     out = _lin(mp["out_proj"], y, kernel)
     return out, (conv_state, ssm_state)
+
+
+# ---------------------------------------------------------------------------
+# LFM2 gated short convolution (no state-space; just a depthwise conv)
+# ---------------------------------------------------------------------------
+
+def shortconv_full(mp: Dict[str, Any], L: int, x: jnp.ndarray, *,
+                   kernel: str = "xla", taps: Sequence[str] = (),
+                   conv_state: Optional[jnp.ndarray] = None,
+                   valid_len: Optional[jnp.ndarray] = None,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                              Dict[str, jnp.ndarray]]:
+    """y = out_proj(C * conv(B * x)) with B,C,x = chunk3(in_proj(h))."""
+    Bsz, T, _ = x.shape
+    tapped: Dict[str, jnp.ndarray] = {}
+    if "conv.in_proj" in taps:
+        tapped["conv.in_proj"] = x
+    bcx = _lin(mp["in_proj"], x, kernel)
+    hid = bcx.shape[-1] // 3
+    B_, C_, x_ = bcx[..., :hid], bcx[..., hid:2 * hid], bcx[..., 2 * hid:]
+    Bx = B_ * x_
+
+    if valid_len is not None:
+        vl = jnp.broadcast_to(jnp.atleast_1d(valid_len), (Bsz,))
+        tok_valid = (jnp.arange(T, dtype=jnp.int32)[None, :] < vl[:, None])
+        Bx = Bx * tok_valid[..., None].astype(Bx.dtype)
+    Bx_t = jnp.swapaxes(Bx, 1, 2)
+    if conv_state is None:
+        if valid_len is not None:
+            padded = jnp.pad(Bx_t, ((0, 0), (0, 0), (L, 0)))
+            idx = vl[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+            conv_state_new = jnp.take_along_axis(padded, idx[:, None, :],
+                                                 axis=-1)
+        else:
+            conv_state_new = jnp.pad(
+                Bx_t, ((0, 0), (0, 0), (max(L - T, 0), 0)))[:, :, -L:]
+        left_ctx = None
+    else:
+        conv_state_new = jnp.concatenate(
+            [conv_state.astype(Bx_t.dtype), Bx_t], axis=-1)[:, :, -L:]
+        left_ctx = jnp.swapaxes(conv_state[:, :, 1:], 1, 2)
+
+    conv_out = _depthwise_causal_conv(Bx, mp["conv_w"], mp.get("conv_b"),
+                                      left_ctx=left_ctx)
+    y = C_ * conv_out
+    if "conv.out_proj" in taps:
+        tapped["conv.out_proj"] = y
+    out = _lin(mp["out_proj"], y, kernel)
+    return out, conv_state_new.astype(jnp.float32), tapped
+
+
+def shortconv_step(mp: Dict[str, Any], L: int, x: jnp.ndarray,
+                   conv_state: jnp.ndarray, *, kernel: str = "xla"
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    Bsz = x.shape[0]
+    bcx = _lin(mp["in_proj"], x, kernel)[:, 0]
+    hid = bcx.shape[-1] // 3
+    B_, C_, x_ = bcx[..., :hid], bcx[..., hid:2 * hid], bcx[..., 2 * hid:]
+    Bx = B_ * x_
+    conv_state = jnp.concatenate(
+        [conv_state[:, :, 1:], Bx[:, :, None].astype(conv_state.dtype)],
+        axis=-1)
+    conv_out = jnp.sum(conv_state.astype(jnp.float32)
+                       * mp["conv_w"].astype(jnp.float32).T[None], axis=-1)
+    if mp.get("conv_b") is not None:
+        conv_out = conv_out + mp["conv_b"].astype(jnp.float32)
+    y = (C_.astype(jnp.float32) * conv_out).astype(x.dtype)[:, None]
+    out = _lin(mp["out_proj"], y, kernel)
+    return out, conv_state

@@ -73,8 +73,11 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
     with shared experts) this is the union over layers — callers filter to
     the names actually present in each block.
     """
-    if cfg.has_mamba or cfg.has_gdn or cfg.has_lightning:
+    if (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
+            or cfg.has_shortconv):
         names = ["attn.q", "attn.k", "attn.v", "attn.o"]
+        if cfg.has_shortconv:
+            names += ["conv.in_proj", "conv.out_proj"]
         if cfg.has_lightning:
             names += ["lightning.qkv_proj", "lightning.output_gate",
                       "lightning.out_proj"]
@@ -176,7 +179,8 @@ class KVCache:
 
 def init_cache(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16):
-    if cfg.has_mamba or cfg.has_gdn or cfg.has_lightning:
+    if (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
+            or cfg.has_shortconv):
         return init_hybrid_cache(cfg, batch, max_len, dtype=dtype)
     base = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
     return KVCache(k=jnp.zeros(base + (cfg.head_dim,), dtype),
@@ -243,6 +247,8 @@ def hybrid_state_shapes(cfg: ModelConfig):
     """(conv [C,K], state [H,P,N]) per-layer shapes for the linear mixer."""
     if cfg.has_lightning:
         return ((1, 1), (cfg.num_heads, cfg.head_dim, cfg.head_dim))
+    if cfg.has_shortconv:
+        return ((cfg.hidden_size, cfg.shortconv_L), (1, 1, 1))
     if cfg.has_gdn:
         g = cfg.gdn_spec()
         return ((g.conv_dim, g.d_conv),
@@ -431,6 +437,24 @@ def _qk_norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray,
     if cfg.norm_type == "rmsnorm1p":  # gemma-style zero-centered weights
         w = 1.0 + w
     return (y * w).astype(x.dtype)
+
+
+def _mlp_act(mlp: Dict[str, Any], cfg: ModelConfig,
+             h: jnp.ndarray) -> jnp.ndarray:
+    """Plain-MLP activation; xIELU (apertus) carries learnable params."""
+    if cfg.activation == "xielu":
+        a = mlp["act"]
+        h32 = h.astype(jnp.float32)
+        beta = a["beta"].astype(jnp.float32)
+        eps = a["eps"].astype(jnp.float32)
+        ap = jax.nn.softplus(a["alpha_p"].astype(jnp.float32))
+        an = beta + jax.nn.softplus(a["alpha_n"].astype(jnp.float32))
+        y = jnp.where(h32 > 0,
+                      ap * h32 * h32 + beta * h32,
+                      (jnp.expm1(jnp.minimum(h32, eps)) - h32) * an
+                      + beta * h32)
+        return y.astype(h.dtype)
+    return activation(h, cfg.activation)
 
 
 def _lin(p, x, kernel: str) -> jnp.ndarray:
@@ -653,7 +677,29 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if alpha_beta is not None:  # minimax deepnorm-style residual
         res = x_ln
     conv_f = ssm_f = None
-    if "lightning" in blk:
+    if "conv" in blk:
+        # lfm2 gated short conv; the cache is just the conv window
+        from .ssm import shortconv_full, shortconv_step
+
+        L = cfg.shortconv_L
+        state_in = ssm if ssm is not None else kv
+        if state_in is not None and T == 1:
+            m_out, c_new = shortconv_step(blk["conv"], L, x_ln, state_in[0],
+                                          kernel=kernel)
+        elif state_in is not None:
+            m_out, c_new, t2 = shortconv_full(
+                blk["conv"], L, x_ln, kernel=kernel, taps=taps,
+                conv_state=state_in[0])
+            tapped.update(t2)
+        else:
+            m_out, c_new, t2 = shortconv_full(
+                blk["conv"], L, x_ln, kernel=kernel, taps=taps,
+                valid_len=valid_len)
+            tapped.update(t2)
+        conv_f = c_new
+        ssm_f = (state_in[1] if state_in is not None
+                 else jnp.zeros((B, 1, 1, 1), jnp.float32))
+    elif "lightning" in blk:
         # minimax decay linear attention; the state is a per-head KV matrix
         from .lightning import lightning_full, lightning_step
 
@@ -763,8 +809,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         else:
             if "mlp.fc1" in taps:
                 tapped["mlp.fc1"] = mlp_in
-            h = activation(_lin(blk["mlp"]["fc1"], mlp_in, kernel),
-                           cfg.activation)
+            h = _mlp_act(blk["mlp"], cfg,
+                         _lin(blk["mlp"]["fc1"], mlp_in, kernel))
             if "mlp.fc2" in taps:
                 tapped["mlp.fc2"] = h
             mlp_out = _lin(blk["mlp"]["fc2"], h, kernel)
@@ -976,7 +1022,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     else:
         if "mlp.fc1" in taps:
             tapped["mlp.fc1"] = x_ln2
-        h = activation(_lin(mlp["fc1"], x_ln2, kernel), cfg.activation)
+        h = _mlp_act(mlp, cfg, _lin(mlp["fc1"], x_ln2, kernel))
         if "mlp.fc2" in taps:
             tapped["mlp.fc2"] = h
         mlp_out = _lin(mlp["fc2"], h, kernel)
@@ -1161,7 +1207,8 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     new_k, new_v, new_ks, new_vs = None, None, None, None
     new_conv, new_ssm = None, None
     for i, blk in enumerate(params["layers"]):
-        is_mamba = "mamba" in blk or "gdn" in blk or "lightning" in blk
+        is_mamba = ("mamba" in blk or "gdn" in blk or "lightning" in blk
+                    or "conv" in blk)
         is_dual = is_mamba and "attn" in blk  # falcon-h1 parallel mixers
         ssm_in = None
         if cache is None:

@@ -995,3 +995,37 @@ def tiny_minimax(vocab=97, hidden=32, inter=16, layers=2, heads=4,
     )
     model = MiniMaxForCausalLM(cfg).eval()
     return model
+
+
+def tiny_lfm2(vocab=97, hidden=32, inter=48, layers=2, heads=4, kv_heads=2,
+              conv_L=3, max_pos=64, seed=0):
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Lfm2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        layer_types=(["conv", "full_attention"] * layers)[:layers],
+        conv_L_cache=conv_L, max_position_embeddings=max_pos,
+        block_auto_adjust_ff_dim=False, norm_eps=1e-5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Lfm2ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_apertus(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                 kv_heads=2, max_pos=64, seed=0):
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = ApertusConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, rope_scaling=None, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = ApertusForCausalLM(cfg).eval()
+    return model

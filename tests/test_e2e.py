@@ -301,7 +301,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "phimoe", "granitemoe", "bamba",
                                     "granite-4", "falcon-h1",
                                     "qwen3-next", "mamba2", "jamba",
-                                    "falcon-mamba", "minimax"])
+                                    "falcon-mamba", "minimax", "lfm2",
+                                    "apertus"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -382,6 +383,8 @@ def test_quantize_new_families(calib, family):
         "jamba": lambda: hf_tiny.tiny_jamba(),
         "falcon-mamba": lambda: hf_tiny.tiny_mamba1(falcon=True),
         "minimax": lambda: hf_tiny.tiny_minimax(),
+        "lfm2": lambda: hf_tiny.tiny_lfm2(),
+        "apertus": lambda: hf_tiny.tiny_apertus(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

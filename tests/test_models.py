@@ -1113,3 +1113,38 @@ def test_minimax_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
                                    atol=3e-4, rtol=1e-3)
+
+
+def test_lfm2_parity_shortconv(rng):
+    # gated short-conv layers (y = out_proj(C*conv(B*x))) alternating with
+    # qk-normed GQA attention
+    model = hf_tiny.tiny_lfm2()
+    ids = rng.integers(0, 97, size=(2, 13))
+    params, cfg = _parity(model, ids)
+    assert cfg.has_shortconv and cfg.layer_types == ("conv",
+                                                     "full_attention")
+
+
+def test_lfm2_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_lfm2()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=3e-4, rtol=1e-3)
+    for t in range(6, 12):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, 0], full[:, t],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_apertus_parity_xielu(rng):
+    # non-gated MLP with learnable xIELU activation + per-head qk-norm
+    model = hf_tiny.tiny_apertus()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.activation == "xielu" and not cfg.gated_mlp
+    assert "act" in params["layers"][0]["mlp"]
