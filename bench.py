@@ -61,11 +61,18 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=6,
                     help="best-of-N timing (the shared TPU pool has noisy\n                    neighbors: identical programs measure 1-3x apart\n                    between runs; only the best sample reflects the\n                    hardware)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (harness smoke test when the "
+                         "TPU tunnel is unavailable; numbers are not "
+                         "meaningful)")
     args = ap.parse_args()
 
     from functools import partial
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     try:  # persistent compile cache (first 7b compile is slow over the tunnel)
         jax.config.update("jax_compilation_cache_dir",
