@@ -1128,6 +1128,38 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
                          if getattr(hf_config, "use_sliding_window", False)
                          else None),
         )
+    if mt == "ernie4_5_moe":
+        # ernie dense wiring (biased linears, interleaved rope) + MoE:
+        # softmax scores, selection on bias-corrected scores, clamp-renorm,
+        # ungated shared experts, dense layers below moe_layer_start_index
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "use_bias", False),
+            mlp_bias=getattr(hf_config, "use_bias", False),
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            num_experts=hf_config.moe_num_experts,
+            num_experts_per_tok=hf_config.moe_k,
+            n_shared_experts=getattr(hf_config, "moe_num_shared_experts", 0),
+            first_k_dense=getattr(hf_config, "moe_layer_start_index", 0),
+            router_kind="ernie",  # softmax + bias-corrected selection
+            router_norm_topk=True,
+        )
     if mt in ("glm", "glm4"):
         # llama wiring + fused gate_up (split at import), qkv biases,
         # interleaved partial rotary; glm4 adds gemma2-style sandwich norms

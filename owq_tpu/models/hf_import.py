@@ -199,6 +199,10 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                     mlp["router_bias"] = jnp.asarray(
                         _np(sd[mp + "gate.e_score_correction_bias"]),
                         jnp.float32)
+                elif mp + "moe_statics.e_score_correction_bias" in sd:
+                    mlp["router_bias"] = jnp.asarray(
+                        _np(sd[mp + "moe_statics.e_score_correction_bias"]
+                            ).reshape(-1), jnp.float32)
                 if mp + "shared_experts.gate_proj.weight" in sd:  # glm4-moe
                     mlp["shared"] = {
                         "gate": _linear(sd, mp + "shared_experts.gate_proj",

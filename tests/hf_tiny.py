@@ -1029,3 +1029,26 @@ def tiny_apertus(vocab=97, hidden=32, inter=48, layers=2, heads=4,
     )
     model = ApertusForCausalLM(cfg).eval()
     return model
+
+
+def tiny_ernie45_moe(vocab=97, hidden=32, inter=48, moe_inter=16, layers=2,
+                     heads=4, kv_heads=2, experts=4, topk=2, shared=1,
+                     start=1, max_pos=64, seed=0):
+    from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Ernie4_5_MoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        moe_intermediate_size=moe_inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        moe_num_experts=experts, moe_k=topk, moe_num_shared_experts=shared,
+        moe_layer_start_index=start, max_position_embeddings=max_pos,
+        use_bias=False, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    model = Ernie4_5_MoeForCausalLM(cfg).eval()
+    with torch.no_grad():  # exercise the bias-corrected selection path
+        for layer in model.model.layers[start:]:
+            layer.mlp.moe_statics.e_score_correction_bias.uniform_(-0.2, 0.2)
+    return model

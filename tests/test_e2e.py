@@ -302,7 +302,7 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "granite-4", "falcon-h1",
                                     "qwen3-next", "mamba2", "jamba",
                                     "falcon-mamba", "minimax", "lfm2",
-                                    "apertus"])
+                                    "apertus", "ernie-moe"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -385,6 +385,7 @@ def test_quantize_new_families(calib, family):
         "minimax": lambda: hf_tiny.tiny_minimax(),
         "lfm2": lambda: hf_tiny.tiny_lfm2(),
         "apertus": lambda: hf_tiny.tiny_apertus(),
+        "ernie-moe": lambda: hf_tiny.tiny_ernie45_moe(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -1148,3 +1148,13 @@ def test_apertus_parity_xielu(rng):
     params, cfg = _parity(model, ids)
     assert cfg.activation == "xielu" and not cfg.gated_mlp
     assert "act" in params["layers"][0]["mlp"]
+
+
+def test_ernie45_moe_parity(rng):
+    # softmax routing selected on bias-corrected scores, clamp-renormalized
+    # weights, ungated shared experts, dense first layer
+    model = hf_tiny.tiny_ernie45_moe()
+    ids = rng.integers(0, 97, size=(2, 11))
+    params, cfg = _parity(model, ids)
+    assert cfg.router_kind == "ernie" and cfg.first_k_dense == 1
+    assert cfg.n_shared_experts == 1
