@@ -153,6 +153,11 @@ class ModelConfig:
     gdn_chunk: int = 64
     # minimax lightning (decay linear) attention + deepnorm-style residual
     lightning_block: int = 0        # block size (0 = no lightning layers)
+    # lightning head geometry pinned separately from attention num_heads so
+    # local_config (TP) can halve attention heads while the replicated
+    # lightning mixer keeps its global shape (0 = mirror num_heads/head_dim)
+    lightning_heads: int = 0
+    lightning_head_dim: int = 0
     shortconv_L: int = 0            # lfm2 gated short-conv kernel length
     # per-layer (attn_alpha, attn_beta, mlp_alpha, mlp_beta): the residual
     # stream is the NORMED input scaled by alpha, the branch by beta
@@ -216,8 +221,8 @@ class ModelConfig:
     def lightning_spec(self):
         from .lightning import LightningSpec
 
-        return LightningSpec(num_heads=self.num_heads,
-                             head_dim=self.head_dim,
+        return LightningSpec(num_heads=self.lightning_heads or self.num_heads,
+                             head_dim=self.lightning_head_dim or self.head_dim,
                              block_size=self.lightning_block,
                              activation=self.activation)
 
@@ -1713,6 +1718,9 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             sliding_window=getattr(hf_config, "sliding_window", None),
             layer_types=lt,
             lightning_block=hf_config.block_size,
+            lightning_heads=hf_config.num_attention_heads,
+            lightning_head_dim=(hf_config.hidden_size
+                                // hf_config.num_attention_heads),
             layer_alpha_beta=ab,
             num_experts=hf_config.num_local_experts,
             num_experts_per_tok=hf_config.num_experts_per_tok,

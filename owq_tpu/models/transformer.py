@@ -470,16 +470,17 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
     """Family-specific fused-QKV layouts -> q [B,T,H,hd], k/v [B,T,Hkv,hd]."""
     B, T = fused.shape[:2]
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if cfg.family in ("llama", "opt", "gpt2", "mpt", "dbrx"):
-        # gpt2 c_attn, mpt Wqkv, and runtime-fused projections
-        # (fuse_block_projections): plain [q | k | v] concat
+    if cfg.family in ("bloom", "neox", "persimmon"):
+        f = fused.reshape(B, T, H, 3, hd)
+        return f[:, :, :, 0], f[:, :, :, 1], f[:, :, :, 2]
+    if cfg.family != "falcon":
+        # gpt2 c_attn, mpt Wqkv, dbrx Wqkv, and runtime-fused projections
+        # (fuse_block_projections) on ANY separate-projection family:
+        # plain [q | k | v] concat
         q = fused[..., : H * hd].reshape(B, T, H, hd)
         k = fused[..., H * hd: (H + Hkv) * hd].reshape(B, T, Hkv, hd)
         v = fused[..., (H + Hkv) * hd:].reshape(B, T, Hkv, hd)
         return q, k, v
-    if cfg.family in ("bloom", "neox", "persimmon"):
-        f = fused.reshape(B, T, H, 3, hd)
-        return f[:, :, :, 0], f[:, :, :, 1], f[:, :, :, 2]
     # falcon
     if Hkv == H:  # no MQA/GQA: same [H, 3, hd] interleave as bloom new-arch
         f = fused.reshape(B, T, Hkv, -1, hd)
@@ -677,6 +678,10 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if alpha_beta is not None:  # minimax deepnorm-style residual
         res = x_ln
     conv_f = ssm_f = None
+    # linear mixers run REPLICATED under TP (every shard computes the full
+    # mixer from replicated params — see parallel/partition.py leaf_spec),
+    # so their output must NOT be psum-reduced like row-parallel attention
+    attn_reduced = False
     if "conv" in blk:
         # lfm2 gated short conv; the cache is just the conv window
         from .ssm import shortconv_full, shortconv_step
@@ -777,18 +782,25 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 blk["gdn"], gspec, x_ln, eps=cfg.norm_eps, kernel=kernel,
                 taps=taps, valid_len=valid_len)
             tapped.update(t2)
+        attn_reduced = True
     elif "attn" in blk:
         attn_out, k_full, v_full = _attention_part(
             blk, cfg, x_ln, res, B=B, T=T, mask_bias=mask_bias,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
             cache_at=cache_at, kernel=kernel, taps=taps,
             tapped=tapped, tp_axis=tp_axis)
-        if conv_f is not None:  # falcon-h1: parallel sum of both mixers
+        if conv_f is not None:  # falcon-h1: parallel sum of both mixers.
+            # o_proj output is row-parallel partial sums but the mamba half
+            # is replicated: reduce the attention half alone before adding
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            attn_reduced = True
             attn_out = attn_out + m_out
             k_full = (k_full, conv_f)
             v_full = (v_full, ssm_f)
     else:
         attn_out, k_full, v_full = m_out, conv_f, ssm_f
+        attn_reduced = True
 
     if cfg.parallel_block:
         # falcon-style: mlp reads the same LN output; one residual add.
@@ -822,7 +834,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         y = res + both
         return y, (k_full, v_full), tapped
 
-    if tp_axis is not None:
+    if tp_axis is not None and not attn_reduced:
         attn_out = jax.lax.psum(attn_out, tp_axis)
     if cfg.branch_norms:  # gemma2/olmo2/glm4: norm the branch before the add
         attn_out = _norm(blk.get("post_ln1"), cfg, attn_out)

@@ -248,17 +248,30 @@ def param_pspecs(params: Dict[str, Any],
                            if cfg is not None and cfg.qk_norm == "proj"
                            else None)
                 def leaf_spec(leaf, lin):
+                    if key in ("mamba", "gdn", "lightning", "conv"):
+                        # linear mixers: replicated (computed redundantly per
+                        # shard; attention/mlp still shard and psum) — their
+                        # params are small next to the mlp/expert weights
+                        return (_linear_spec(f"{key}.{leaf}", lin,
+                                             replicate=True)
+                                if hasattr(lin, "apply") else
+                                norm_spec(lin) if isinstance(lin, dict)
+                                else P())
                     if leaf.endswith("_norm"):
                         return qk_spec or norm_spec(lin)
                     if leaf == "router_bias":  # raw array (v3 noaux-tc bias)
                         return P()
                     if leaf == "sinks":  # gpt-oss per-head sink logits
                         return P(TP_AXIS)
-                    if leaf == "shared":  # deepseek shared experts: small,
-                        # replicated (their output adds after the EP psum)
-                        return {k2: _linear_spec(f"{key}.shared.{k2}", l2,
-                                                 replicate=True)
+                    if leaf in ("shared", "act"):  # small sub-trees (deepseek
+                        # shared experts / apertus xielu params): replicated
+                        return {k2: (_linear_spec(f"{key}.{leaf}.{k2}", l2,
+                                                  replicate=True)
+                                     if hasattr(l2, "apply") else P())
                                 for k2, l2 in lin.items()}
+                    if (not hasattr(lin, "apply")
+                            and not isinstance(lin, ExpertBank)):
+                        return P()  # raw array leaf
                     return _linear_spec(
                         f"{key}.{leaf}", lin,
                         replicate=(mqa and key == "attn"

@@ -82,12 +82,16 @@ def fuse_block_projections(params: Dict[str, Any], cfg: ModelConfig
     """
     if cfg.fused_qkv:
         return params, cfg
+    if cfg.attn_gate:
+        # qwen3-next q_proj is [query | gate] (2x width): a fused split by
+        # head counts would slice it wrong
+        return params, cfg
     for blk in params["layers"]:
-        attn = blk["attn"]
+        attn = blk.get("attn", {})  # mixer-only blocks have no attention
         if all(k in attn for k in ("q", "k", "v")):
             attn["qkv"] = fuse_linears([attn.pop("q"), attn.pop("k"),
                                         attn.pop("v")])
-        mlp = blk["mlp"]
+        mlp = blk.get("mlp", {})
         if cfg.gated_mlp and "gate" in mlp and "up" in mlp:
             mlp["gateup"] = fuse_linears([mlp.pop("gate"), mlp.pop("up")])
     return params, dataclasses.replace(cfg, fused_qkv=True)

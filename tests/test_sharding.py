@@ -327,3 +327,31 @@ def test_tp_gpt_oss_sinks_and_experts(rng):
         fwd = make_tp_forward(mesh, cfg, params_tp)
         got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("family", ["bamba", "falcon_h1", "qwen3_next",
+                                    "minimax", "lfm2", "jamba"])
+def test_tp_hybrid_mixer_forward_matches(rng, family):
+    """TP on hybrid linear-mixer models: the mixer params replicate
+    (computed redundantly per shard) while attention and mlp/experts shard
+    and psum — forward must match single-device exactly."""
+    makers = {
+        "bamba": lambda: hf_tiny.tiny_bamba(),
+        "falcon_h1": lambda: hf_tiny.tiny_falcon_h1(),
+        "qwen3_next": lambda: hf_tiny.tiny_qwen3_next(layers=2),
+        "minimax": lambda: hf_tiny.tiny_minimax(),
+        "lfm2": lambda: hf_tiny.tiny_lfm2(),
+        "jamba": lambda: hf_tiny.tiny_jamba(),
+    }
+    model = makers[family]()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(2, 8)).astype(np.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids))
+
+    params_tp, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        params_tp = place_params(params_tp, mesh, cfg)
+        fwd = make_tp_forward(mesh, cfg, params_tp)
+        got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=3e-4, rtol=1e-3)
