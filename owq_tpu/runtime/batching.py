@@ -154,10 +154,14 @@ def _insert_slot_hybrid(cache: HybridCache, kvs, slot: jnp.ndarray,
                         length: jnp.ndarray) -> HybridCache:
     k_new, v_new, conv_new, ssm_new = kvs
     kv = _insert_slot(cache.kv, (k_new, v_new), slot, length)
+    # state ranks differ per mixer kind (mamba2 ssm [H,P,N] vs mamba1
+    # [inner,N] vs lightning [H,dk,dk]): index rank-agnostically
     conv = jax.lax.dynamic_update_slice(
-        cache.conv, conv_new[:, None], (0, slot, 0, 0))
+        cache.conv, conv_new[:, None],
+        (0, slot) + (0,) * (cache.conv.ndim - 2))
     ssm = jax.lax.dynamic_update_slice(
-        cache.ssm, ssm_new[:, None], (0, slot, 0, 0, 0))
+        cache.ssm, ssm_new[:, None],
+        (0, slot) + (0,) * (cache.ssm.ndim - 2))
     return HybridCache(kv=kv, conv=conv, ssm=ssm)
 
 

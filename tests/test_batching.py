@@ -119,6 +119,38 @@ def test_engine_bamba_hybrid(rng):
     assert [out[i] for i in sorted(out)] == want
 
 
+def test_engine_jamba_mamba1(rng):
+    # mamba-1 hybrid (jamba): ssm slot states are rank-3 [inner, d_state]
+    # per layer, not mamba-2's [H, P, N] — insertion must be rank-agnostic
+    model = hf_tiny.tiny_jamba()
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (9, 5)]
+    want = [generate(params, cfg, p[None, :], 6, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=6)
+    assert [out[i] for i in sorted(out)] == want
+
+
+def test_engine_mamba2_pure_ssm(rng):
+    # attention-free mamba-2 LM through the engine: no kv bytes matter,
+    # only the conv/ssm slot states carry the sequence
+    model = hf_tiny.tiny_mamba2()
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (7, 4)]
+    want = [generate(params, cfg, p[None, :], 5, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=5)
+    assert [out[i] for i in sorted(out)] == want
+
+
 def test_engine_falcon_h1_dual(rng):
     # dual attention||mamba layers through the engine: both the kv slice
     # and the conv/ssm states must insert and decode per slot
