@@ -48,9 +48,9 @@ class Request:
     done: bool = False
 
 
-@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype"))
 def _prefill_kv(params, cfg: ModelConfig, ids: jnp.ndarray, length: jnp.ndarray,
-                kernel: str = "xla", dtype=jnp.bfloat16):
+                kernel: str = "xla", dtype=jnp.bfloat16,
+                tp_axis: Optional[str] = None):
     """Prompt forward without a cache; returns (last-valid logits [vocab],
     per-layer states) for insertion into a slot.
 
@@ -62,14 +62,14 @@ def _prefill_kv(params, cfg: ModelConfig, ids: jnp.ndarray, length: jnp.ndarray,
     """
     T = ids.shape[1]
     logits, _, kvs = _forward_collect(params, cfg, ids, kernel, dtype,
-                                      valid_len=length)
+                                      valid_len=length, tp_axis=tp_axis)
     last = jnp.take_along_axis(
         logits, (length - 1)[None, None, None], axis=1)[0, 0]
     return last, kvs
 
 
 def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
-                     valid_len=None):
+                     valid_len=None, tp_axis=None):
     """forward() variant that returns per-layer states for the tokens:
     (k, v) stacks for attention layers plus, on hybrid models, (conv, ssm)
     stacks for mamba layers (zero placeholders on the other kind)."""
@@ -109,7 +109,7 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
                                      rope=layer_rope(cfg, rope, i),
                                      attn_temp=layer_attn_temp(cfg, temp, i),
                                      alibi=alibi, kernel=kernel,
-                                     valid_len=valid_len,
+                                     valid_len=valid_len, tp_axis=tp_axis,
                                      alpha_beta=layer_alpha_beta(cfg, i))
         mix = "mamba" in blk or "gdn" in blk or "lightning" in blk
         if mix and "attn" in blk:  # falcon-h1 dual layer
@@ -136,7 +136,6 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
     return logits, x, (jnp.stack(ks), jnp.stack(vs))
 
 
-@partial(jax.jit, donate_argnames=("cache",))
 def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
                  ) -> KVCache:
     k_new, v_new = kvs
@@ -149,7 +148,6 @@ def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
     return KVCache(k=k, v=v, length=lengths)
 
 
-@partial(jax.jit, donate_argnames=("cache",))
 def _insert_slot_hybrid(cache: HybridCache, kvs, slot: jnp.ndarray,
                         length: jnp.ndarray) -> HybridCache:
     k_new, v_new, conv_new, ssm_new = kvs
@@ -165,13 +163,11 @@ def _insert_slot_hybrid(cache: HybridCache, kvs, slot: jnp.ndarray,
     return HybridCache(kv=kv, conv=conv, ssm=ssm)
 
 
-@partial(jax.jit, static_argnames=("cfg", "kernel", "dtype", "temperature",
-                                   "top_p", "steps"),
-         donate_argnames=("cache",))
 def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
                 active: jnp.ndarray, key, kernel: str = "xla",
                 dtype=jnp.bfloat16, temperature: float = 0.0,
-                top_p: float = 1.0, steps: int = 1):
+                top_p: float = 1.0, steps: int = 1,
+                tp_axis: Optional[str] = None):
     """``steps`` decode steps for every slot as one on-device scan.
 
     Multi-step scanning amortizes the host round trip per engine tick
@@ -186,7 +182,7 @@ def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
     def one(carry, _):
         toks, cache, key = carry
         logits, cache = forward(params, cfg, toks[:, None], cache=cache,
-                                kernel=kernel, dtype=dtype)
+                                kernel=kernel, dtype=dtype, tp_axis=tp_axis)
         key, sub = jax.random.split(key)
         nxt = _sample(logits[:, -1].astype(jnp.float32), sub, temperature,
                       top_p).astype(jnp.int32)
@@ -213,8 +209,15 @@ class Engine:
                  eos_token_id: Optional[int] = None,
                  cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  temperature: float = 0.0, top_p: float = 1.0, seed: int = 0,
-                 prompt_buckets: Sequence[int] = (32, 128, 512, 2048)):
-        self.params = params
+                 prompt_buckets: Sequence[int] = (32, 128, 512, 2048),
+                 mesh=None):
+        """``mesh``: a jax Mesh with a 'tp' axis turns on tensor-parallel
+        serving — ``params`` must be the UNSHARDED model; the engine splits
+        heads/ffn across the axis (shard_model_tp), shards the KV pool on
+        the head axis, replicates linear-mixer states, and runs every
+        device step (prefill / slot insert / decode scan) under shard_map
+        with the usual two psums per block riding ICI.  Host-side slot
+        bookkeeping is unchanged."""
         self.cfg = cfg
         self.kernel = kernel
         self.max_batch = max_batch
@@ -225,13 +228,50 @@ class Engine:
         self.top_p = top_p
         self._key = jax.random.PRNGKey(seed)
         self.prompt_buckets = sorted(prompt_buckets)
+        self.mesh = mesh
+        hybrid = cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
 
-        base = (cfg.num_layers, max_batch, max_len, cfg.num_kv_heads)
+        cache_sharding = None
+        if mesh is None:
+            self._cfg_dev = cfg
+            self._tp_axis = None
+            self.params = params
+            kv_heads = cfg.num_kv_heads
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.partition import (TP_AXIS, local_config,
+                                              param_pspecs, place_params,
+                                              shard_map, shard_model_tp)
+
+            tp = mesh.shape[TP_AXIS]
+            params, self._cfg_dev = shard_model_tp(params, cfg, tp)
+            self._tp_axis = TP_AXIS
+            pspecs = param_pspecs(params, cfg)
+            self.params = place_params(params, mesh, cfg)
+            kv_heads = cfg.num_kv_heads  # cache keeps GLOBAL heads; the
+            # head axis shards so each device holds its local heads' slices
+            hspec = None if cfg.num_kv_heads == 1 else TP_AXIS
+            kv_spec = KVCache(k=P(None, None, None, hspec, None),
+                              v=P(None, None, None, hspec, None),
+                              length=P())
+            state_spec = (P(None, None, hspec, None),) * 2  # [L,T,Hkv,hd]
+            if hybrid:
+                cache_spec = HybridCache(kv=kv_spec, conv=P(), ssm=P())
+                state_spec = state_spec + (P(), P())
+            else:
+                cache_spec = kv_spec
+            cache_sharding = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), cache_spec,
+                is_leaf=lambda x: isinstance(x, P))
+
+        base = (cfg.num_layers, max_batch, max_len, kv_heads)
         kv = KVCache(
             k=jnp.zeros(base + (cfg.head_dim,), cache_dtype),
             v=jnp.zeros(base + (cfg.v_dim,), cache_dtype),
             length=jnp.zeros((max_batch,), jnp.int32))
-        if cfg.has_mamba or cfg.has_gdn or cfg.has_lightning:
+        if hybrid:
             from ..models.transformer import hybrid_state_shapes
 
             cshape, sshape = hybrid_state_shapes(cfg)
@@ -243,6 +283,44 @@ class Engine:
                               jnp.float32))
         else:
             self.cache = kv
+        if cache_sharding is not None:
+            self.cache = jax.device_put(self.cache, cache_sharding)
+
+        # device-step callables; under TP each is shard_map'd over the mesh
+        cfg_dev, tpa = self._cfg_dev, self._tp_axis
+
+        def prefill_fn(p, ids, n):
+            return _prefill_kv(p, cfg_dev, ids, n, kernel, compute_dtype,
+                               tp_axis=tpa)
+
+        insert_fn = _insert_slot_hybrid if hybrid else _insert_slot
+
+        def decode_fn(steps):
+            def f(p, toks, cache, active, key):
+                return _decode_all(p, cfg_dev, toks, cache, active, key,
+                                   kernel, compute_dtype, temperature,
+                                   top_p, steps, tp_axis=tpa)
+            return f
+
+        if mesh is None:
+            self._prefill = jax.jit(prefill_fn)
+            self._insert = jax.jit(insert_fn, donate_argnums=(0,))
+            self._decode_factory = lambda steps: jax.jit(
+                decode_fn(steps), donate_argnums=(2,))
+        else:
+            self._prefill = jax.jit(shard_map(
+                prefill_fn, mesh=mesh, in_specs=(pspecs, P(), P()),
+                out_specs=(P(), state_spec), check_vma=False))
+            self._insert = jax.jit(shard_map(
+                insert_fn, mesh=mesh,
+                in_specs=(cache_spec, state_spec, P(), P()),
+                out_specs=cache_spec, check_vma=False), donate_argnums=(0,))
+            self._decode_factory = lambda steps: jax.jit(shard_map(
+                decode_fn(steps), mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, P(), P()),
+                out_specs=(P(), cache_spec), check_vma=False),
+                donate_argnums=(2,))
+        self._decode_fns: Dict[int, Any] = {}
         self.cur_tok = np.zeros((max_batch,), np.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.queue: deque = deque()
@@ -275,16 +353,11 @@ class Engine:
             bucket = self._bucket(n)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :n] = req.prompt
-            last_logits, kvs = _prefill_kv(
-                self.params, self.cfg, jnp.asarray(ids),
-                jnp.asarray(n, jnp.int32), self.kernel, self.compute_dtype)
-            insert = (_insert_slot_hybrid
-                      if (self.cfg.has_mamba or self.cfg.has_gdn
-                          or self.cfg.has_lightning)
-                      else _insert_slot)
-            self.cache = insert(self.cache, kvs,
-                                jnp.asarray(slot, jnp.int32),
-                                jnp.asarray(n, jnp.int32))
+            last_logits, kvs = self._prefill(
+                self.params, jnp.asarray(ids), jnp.asarray(n, jnp.int32))
+            self.cache = self._insert(self.cache, kvs,
+                                      jnp.asarray(slot, jnp.int32),
+                                      jnp.asarray(n, jnp.int32))
             first = int(jnp.argmax(last_logits.astype(jnp.float32)))
             req.generated.append(first)
             req.slot = slot
@@ -330,10 +403,11 @@ class Engine:
         active_mask = np.asarray(
             [r is not None for r in self.slot_req], bool)
         self._key, sub = jax.random.split(self._key)
-        toks, self.cache = _decode_all(
-            self.params, self.cfg, jnp.asarray(self.cur_tok), self.cache,
-            jnp.asarray(active_mask), sub, self.kernel, self.compute_dtype,
-            self.temperature, self.top_p, steps)
+        if steps not in self._decode_fns:
+            self._decode_fns[steps] = self._decode_factory(steps)
+        toks, self.cache = self._decode_fns[steps](
+            self.params, jnp.asarray(self.cur_tok), self.cache,
+            jnp.asarray(active_mask), sub)
         toks = np.asarray(toks)  # [B, steps]
         finished = []
         for slot, req in enumerate(self.slot_req):

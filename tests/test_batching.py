@@ -196,3 +196,30 @@ def test_engine_minimax_lightning(rng):
                  prompt_buckets=(16,))
     out = eng.run(prompts, max_new_tokens=5)
     assert [out[i] for i in sorted(out)] == want
+
+
+@pytest.mark.parametrize("family", ["llama", "bamba"])
+def test_engine_tensor_parallel(rng, family):
+    # TP serving: the engine shard_maps prefill/insert/decode over a 'tp'
+    # mesh (KV pool sharded on the head axis, mixer states replicated) —
+    # greedy outputs must match the single-device engine exactly
+    import copy
+
+    from owq_tpu.parallel import make_mesh
+
+    makers = {
+        "llama": lambda: hf_tiny.tiny_llama(hidden=32, inter=64, layers=2,
+                                            heads=4, kv_heads=2, vocab=97,
+                                            max_pos=128),
+        "bamba": lambda: hf_tiny.tiny_bamba(),
+    }
+    params, cfg = import_hf_model(makers[family]())
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (9, 5, 3)]
+    kw = dict(max_batch=2, max_len=64, cache_dtype=jnp.float32,
+              compute_dtype=jnp.float32, prompt_buckets=(16,))
+    want = Engine(params, cfg, **kw).run(prompts, max_new_tokens=6)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = Engine(copy.deepcopy(params), cfg, mesh=mesh, **kw)
+    got = eng.run(prompts, max_new_tokens=6)
+    assert [got[i] for i in sorted(got)] == [want[i] for i in sorted(want)]
