@@ -28,6 +28,14 @@ def main(argv=None) -> int:
                         "(temperature=0) requests — identical tokens, "
                         "fewer weight-streaming passes")
     p.add_argument("--draft-len", type=int, default=8)
+    p.add_argument("--engine", action="store_true",
+                   help="continuous-batching serving: concurrent requests "
+                        "share one slot pool instead of serializing")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="engine slot count (with --engine)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (implies --engine; shards "
+                        "the model over a tp mesh axis)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -38,26 +46,33 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
-    from ..serve.server import ModelWorker, serve
+    from ..serve.server import EngineWorker, ModelWorker, serve
     from .common import load_model
 
     try:
         tok = AutoTokenizer.from_pretrained(args.tokenizer, use_fast=False)
     except Exception:
         tok = AutoTokenizer.from_pretrained(args.tokenizer)
-    workers = []
-    params, cfg = load_model(args.model, dtype=jnp.bfloat16, load=args.load)
-    workers.append(ModelWorker(params, cfg, tok, kernel=args.kernel,
-                               max_len=args.max_len, name="a",
-                               speculative=args.speculative,
-                               draft_len=args.draft_len))
+
+    def make_worker(model, load, name):
+        params, cfg = load_model(model, dtype=jnp.bfloat16, load=load)
+        if args.engine or args.tp > 1:
+            mesh = None
+            if args.tp > 1:
+                from ..parallel import make_mesh
+
+                mesh = make_mesh(dp=1, tp=args.tp)
+            return EngineWorker(params, cfg, tok, kernel=args.kernel,
+                                max_len=args.max_len, name=name,
+                                max_batch=args.max_batch, mesh=mesh)
+        return ModelWorker(params, cfg, tok, kernel=args.kernel,
+                           max_len=args.max_len, name=name,
+                           speculative=args.speculative,
+                           draft_len=args.draft_len)
+
+    workers = [make_worker(args.model, args.load, "a")]
     if args.model_b or args.load_b:
-        params_b, cfg_b = load_model(args.model_b, dtype=jnp.bfloat16,
-                                     load=args.load_b)
-        workers.append(ModelWorker(params_b, cfg_b, tok, kernel=args.kernel,
-                                   max_len=args.max_len, name="b",
-                                   speculative=args.speculative,
-                                   draft_len=args.draft_len))
+        workers.append(make_worker(args.model_b, args.load_b, "b"))
     serve(workers, host=args.host, port=args.port)
     return 0
 

@@ -24,7 +24,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["ModelWorker", "serve", "build_prompt_llama2"]
+__all__ = ["EngineWorker", "ModelWorker", "serve", "build_prompt_llama2"]
 
 DEFAULT_SYSTEM = ("You are a helpful, respectful and honest assistant.")
 
@@ -144,6 +144,90 @@ class ModelWorker:
             self.stats["total_time_s"] += time.time() - t0
             self.stats["spec_forwards"] += spec_stats.get("forwards", 0)
             self.stats["spec_accepted"] += spec_stats.get("accepted", 0)
+
+
+class EngineWorker:
+    """Continuous-batching worker: concurrent /generate requests share one
+    Engine slot pool (requests join and leave the running batch without
+    stalling each other) instead of serializing on a lock like ModelWorker.
+    With ``mesh`` the engine runs tensor-parallel over the mesh's 'tp'
+    axis.  One background thread ticks the engine while any request is
+    live; each streaming response polls its request's token list.
+
+    ``temperature`` is fixed per engine (it is compiled into the decode
+    scan); per-request temperatures fall outside this worker.
+    """
+
+    def __init__(self, params, cfg, tokenizer, *, kernel: str = "xla",
+                 max_len: int = 2048, name: str = "model",
+                 max_batch: int = 8, mesh=None, temperature: float = 0.0,
+                 window: int = 4,
+                 prompt_buckets=(32, 128, 512, 2048)):
+        from ..runtime.batching import Engine
+
+        self.tok = tokenizer
+        self.name = name
+        self.max_len = max_len
+        self.window = window
+        self.eos = getattr(tokenizer, "eos_token_id", None)
+        self.eng = Engine(params, cfg, max_batch=max_batch, max_len=max_len,
+                          kernel=kernel, eos_token_id=self.eos,
+                          temperature=temperature, mesh=mesh,
+                          prompt_buckets=tuple(b for b in prompt_buckets
+                                               if b <= max_len))
+        self.stats: Dict[str, float] = {"requests": 0, "generated_tokens": 0,
+                                        "total_time_s": 0.0}
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def param_bytes(self) -> int:
+        import jax
+
+        return sum(getattr(l, "nbytes", 0)
+                   for l in jax.tree_util.tree_leaves(self.eng.params))
+
+    def _loop(self):
+        while True:
+            self._wake.wait()
+            with self._lock:
+                busy = (bool(self.eng.queue)
+                        or any(r is not None for r in self.eng.slot_req))
+                if busy:
+                    self.eng.step(self.window)
+            if not busy:
+                self._wake.clear()
+
+    def generate_stream(self, prompt: str, max_new_tokens: int = 128,
+                        temperature: float = 0.0):
+        """Yields decoded text increments (engine-batched)."""
+        del temperature  # fixed per engine; see class docstring
+        t0 = time.time()
+        ids = self.tok.encode(prompt, add_special_tokens=False)
+        ids = ids[-(self.max_len - max_new_tokens):]
+        with self._lock:
+            rid = self.eng.add_request(np.asarray(ids, np.int32),
+                                       max_new_tokens)
+            req = self.eng.requests[rid]
+        self._wake.set()
+        n_sent = sent = 0
+        out = []
+        while True:
+            done = req.done
+            gen = list(req.generated)  # ticker thread appends; snapshot
+            if len(gen) > n_sent:
+                out.extend(t for t in gen[n_sent:] if t != self.eos)
+                n_sent = len(gen)
+                text = self.tok.decode(out)
+                if len(text) > sent and not text.endswith("�"):
+                    yield text[sent:]
+                    sent = len(text)
+            if done:
+                break
+            time.sleep(0.005)
+        self.stats["requests"] += 1
+        self.stats["generated_tokens"] += len(out)
+        self.stats["total_time_s"] += time.time() - t0
 
 
 _PAGE = """<!doctype html><html><head><title>owq-tpu demo</title><style>

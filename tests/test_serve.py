@@ -72,3 +72,56 @@ def test_llama2_prompt_format():
     assert p.startswith("[INST] <<SYS>>\nsys msg\n<</SYS>>")
     assert "hi [/INST] hello! </s><s>" in p
     assert p.endswith("[INST] how are you [/INST]")
+
+
+@pytest.fixture(scope="module")
+def engine_server():
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2, max_pos=256)
+    params, cfg = import_hf_model(model)
+    from owq_tpu.serve.server import EngineWorker
+
+    w = EngineWorker(params, cfg, CharTok(), name="e", max_len=64,
+                     max_batch=2, prompt_buckets=(16,))
+    httpd = serve([w], port=0, block=False)
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", params, cfg
+    httpd.shutdown()
+
+
+def test_engine_worker_concurrent_streams(engine_server):
+    # three concurrent requests through a 2-slot engine pool: each stream
+    # must carry its own request's greedy tokens, matching ModelWorker
+    import concurrent.futures
+
+    url, params, cfg = engine_server
+    plain = ModelWorker(params, cfg, CharTok(), name="p", max_len=64)
+    prompts = ["hello there", "general kenobi", "ok"]
+    want = ["".join(plain.generate_stream(p, 8)) for p in prompts]
+
+    def fetch(prompt):
+        req = urllib.request.Request(
+            url + "/generate",
+            data=json.dumps({"prompt": prompt,
+                             "max_new_tokens": 8}).encode(),
+            method="POST")
+        return urllib.request.urlopen(req).read().decode()
+
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        got = list(ex.map(fetch, prompts))
+    assert got == want
+
+
+def test_engine_worker_tp(rng):
+    # EngineWorker over a tp=2 mesh streams the same greedy text
+    from owq_tpu.parallel import make_mesh
+    from owq_tpu.serve.server import EngineWorker
+
+    model = hf_tiny.tiny_llama(hidden=32, inter=64, layers=2, heads=4,
+                               kv_heads=2, vocab=97, max_pos=128)
+    params, cfg = import_hf_model(model)
+    plain = ModelWorker(params, cfg, CharTok(), name="p", max_len=64)
+    want = "".join(plain.generate_stream("hello there", 8))
+    tp = EngineWorker(params, cfg, CharTok(), name="t", max_len=64,
+                      max_batch=2, prompt_buckets=(16,),
+                      mesh=make_mesh(dp=1, tp=2))
+    got = "".join(tp.generate_stream("hello there", 8))
+    assert got == want
