@@ -28,6 +28,11 @@ def main(argv=None) -> int:
                         "(temperature=0) requests — identical tokens, "
                         "fewer weight-streaming passes")
     p.add_argument("--draft-len", type=int, default=8)
+    p.add_argument("--draft-model", default="",
+                   help="draft model for draft-MODEL speculation (HF path "
+                        "/ synthetic:<shape>); shares the tokenizer")
+    p.add_argument("--draft-load", default="",
+                   help="draft model checkpoint dir")
     p.add_argument("--engine", action="store_true",
                    help="continuous-batching serving: concurrent requests "
                         "share one slot pool instead of serializing")
@@ -65,10 +70,14 @@ def main(argv=None) -> int:
             return EngineWorker(params, cfg, tok, kernel=args.kernel,
                                 max_len=args.max_len, name=name,
                                 max_batch=args.max_batch, mesh=mesh)
+        draft = None
+        if args.draft_model or args.draft_load:
+            draft = load_model(args.draft_model, dtype=jnp.bfloat16,
+                               load=args.draft_load)
         return ModelWorker(params, cfg, tok, kernel=args.kernel,
                            max_len=args.max_len, name=name,
                            speculative=args.speculative,
-                           draft_len=args.draft_len)
+                           draft_len=args.draft_len, draft=draft)
 
     workers = [make_worker(args.model, args.load, "a")]
     if args.model_b or args.load_b:

@@ -47,7 +47,8 @@ class ModelWorker:
 
     def __init__(self, params, cfg, tokenizer, *, kernel: str = "xla",
                  max_len: int = 2048, name: str = "model",
-                 speculative: bool = False, draft_len: int = 8):
+                 speculative: bool = False, draft_len: int = 8,
+                 draft: Optional[tuple] = None):
         from ..models.config import ModelConfig  # noqa: F401
 
         self.params = params
@@ -56,10 +57,12 @@ class ModelWorker:
         self.kernel = kernel
         self.max_len = max_len
         self.name = name
-        # prompt-lookup speculation for greedy (temperature=0) requests:
-        # exact same tokens, fewer weight-streaming passes
-        self.speculative = speculative
+        # speculation for greedy (temperature=0) requests: exact same
+        # tokens, fewer weight-streaming passes.  ``draft=(params, cfg)``
+        # uses a draft MODEL; plain ``speculative`` uses prompt-lookup
+        self.speculative = speculative or draft is not None
         self.draft_len = draft_len
+        self.draft = draft
         self.lock = threading.Lock()
         self.stats: Dict[str, float] = {"requests": 0, "generated_tokens": 0,
                                         "total_time_s": 0.0,
@@ -119,18 +122,28 @@ class ModelWorker:
             self.stats["total_time_s"] += time.time() - t0
 
     def _generate_stream_speculative(self, ids, max_new_tokens, eos):
-        from ..runtime.speculative import stream_speculative
+        from ..runtime.speculative import (stream_speculative,
+                                           stream_speculative_draft)
 
         import numpy as np
+
+        if self.draft is not None:
+            def spec(**kw):
+                return stream_speculative_draft(
+                    self.params, self.cfg, self.draft[0], self.draft[1],
+                    **kw)
+        else:
+            def spec(**kw):
+                return stream_speculative(self.params, self.cfg, **kw)
 
         with self.lock:
             t0 = time.time()
             spec_stats: Dict[str, int] = {}
             out_tokens = []
             sent = 0
-            for chunk in stream_speculative(
-                    self.params, self.cfg,
-                    np.asarray([ids], np.int32), max_new_tokens,
+            for chunk in spec(
+                    prompt_ids=np.asarray([ids], np.int32),
+                    max_new_tokens=max_new_tokens,
                     draft_len=self.draft_len, kernel=self.kernel,
                     eos_id=eos, stats=spec_stats):
                 out_tokens.extend(

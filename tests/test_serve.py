@@ -125,3 +125,17 @@ def test_engine_worker_tp(rng):
                       mesh=make_mesh(dp=1, tp=2))
     got = "".join(tp.generate_stream("hello there", 8))
     assert got == want
+
+
+def test_generate_stream_draft_model():
+    # draft-model speculative worker streams the same greedy text
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2, max_pos=256)
+    params, cfg = import_hf_model(model)
+    draft = import_hf_model(
+        hf_tiny.tiny_opt(hidden=16, ffn=32, layers=1, max_pos=256))
+    plain = ModelWorker(params, cfg, CharTok(), name="p", max_len=256)
+    spec = ModelWorker(params, cfg, CharTok(), name="d", max_len=256,
+                       draft=draft, draft_len=4)
+    want = "".join(plain.generate_stream("hello there", 12))
+    got = "".join(spec.generate_stream("hello there", 12))
+    assert got == want

@@ -101,3 +101,67 @@ def test_speculative_eos_stops(llama):
     hits = np.nonzero(got[0] == eos)[0]
     if len(hits):
         assert hits[0] == got.shape[1] - 1
+
+
+@pytest.fixture(scope="module")
+def llama_draft():
+    # a SMALLER model with the same vocab as the llama fixture
+    model = hf_tiny.tiny_llama(hidden=16, inter=32, layers=1, heads=2,
+                               kv_heads=1, max_pos=256)
+    return import_hf_model(model)
+
+
+def test_draft_model_speculative_self_draft_accepts_all(llama, rng):
+    # drafting with the target itself: every draft is the target's own
+    # argmax, so all k drafts are accepted every round
+    from owq_tpu.runtime.speculative import generate_speculative_draft
+
+    params, cfg = llama
+    prompt = rng.integers(0, 97, size=(1, 12)).astype(np.int32)
+    ref = generate(params, cfg, prompt, 24, cache_dtype=jnp.float32)
+    got, stats = generate_speculative_draft(
+        params, cfg, params, cfg, prompt, 24, draft_len=4,
+        cache_dtype=jnp.float32, return_stats=True)
+    np.testing.assert_array_equal(got[0, :24], ref[0])
+    assert stats["accepted"] == stats["drafted"]
+    # 1 prefill + ceil(23/ (4+1)) verify rounds ≈ 6 target forwards
+    assert stats["forwards"] <= 7
+
+
+def test_draft_model_speculative_matches_greedy(llama, llama_draft, rng):
+    # a different (smaller, differently-initialized) draft: low acceptance,
+    # output must still be exactly the target's greedy tokens
+    from owq_tpu.runtime.speculative import generate_speculative_draft
+
+    params, cfg = llama
+    dparams, dcfg = llama_draft
+    prompt = rng.integers(0, 97, size=(1, 16)).astype(np.int32)
+    ref = generate(params, cfg, prompt, 24, cache_dtype=jnp.float32)
+    got, stats = generate_speculative_draft(
+        params, cfg, dparams, dcfg, prompt, 24, draft_len=4,
+        cache_dtype=jnp.float32, return_stats=True)
+    np.testing.assert_array_equal(got[0, :24], ref[0])
+    assert stats["drafted"] > 0
+
+
+def test_draft_model_speculative_eos_stops(llama, llama_draft):
+    from owq_tpu.runtime.speculative import generate_speculative_draft
+
+    params, cfg = llama
+    dparams, dcfg = llama_draft
+    prompt = np.array([[3, 1, 4, 1, 5]], np.int32)
+    ref = generate(params, cfg, prompt, 12, cache_dtype=jnp.float32)[0]
+    eos = int(ref[3])  # pretend the 4th greedy token is EOS
+    got = generate_speculative_draft(params, cfg, dparams, dcfg, prompt, 12,
+                                     draft_len=4, cache_dtype=jnp.float32,
+                                     eos_id=eos)
+    np.testing.assert_array_equal(got[0], ref[:4])
+
+
+def test_draft_model_speculative_rejects_hybrid():
+    from owq_tpu.runtime.speculative import generate_speculative_draft
+
+    params, cfg = import_hf_model(hf_tiny.tiny_bamba())
+    with pytest.raises(ValueError, match="roll back"):
+        generate_speculative_draft(params, cfg, params, cfg,
+                                   np.array([[1, 2, 3]], np.int32), 4)
