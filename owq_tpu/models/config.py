@@ -91,6 +91,9 @@ class ModelConfig:
     # per-layer rope on/off (cohere2: rope only on sliding layers; smollm3
     # no_rope_layers); None = rope on every layer
     rope_layers: Optional[Tuple[int, ...]] = None
+    # gemma3/olmo3 dual rope: sliding_attention layers use this base
+    # frequency WITHOUT rope_scaling; full layers use rope_theta+scaling
+    rope_local_theta: Optional[float] = None
     # literal attention scale multiplier (granite attention_multiplier);
     # overrides both head_dim**-0.5 and attn_scale_override when set
     attn_scale: Optional[float] = None
@@ -159,6 +162,9 @@ class ModelConfig:
     lightning_heads: int = 0
     lightning_head_dim: int = 0
     shortconv_L: int = 0            # lfm2 gated short-conv kernel length
+    # recurrentgemma griffin RG-LRU (0 = no recurrent layers)
+    griffin_lru_width: int = 0
+    griffin_conv_width: int = 4
     # per-layer (attn_alpha, attn_beta, mlp_alpha, mlp_beta): the residual
     # stream is the NORMED input scaled by alpha, the branch by beta
     layer_alpha_beta: Optional[Tuple[Tuple[float, float, float, float],
@@ -217,6 +223,18 @@ class ModelConfig:
     @property
     def has_shortconv(self) -> bool:
         return self.shortconv_L > 0
+
+    @property
+    def has_griffin(self) -> bool:
+        return self.griffin_lru_width > 0
+
+    def griffin_spec(self):
+        from .griffin import GriffinSpec
+
+        return GriffinSpec(lru_width=self.griffin_lru_width,
+                           num_heads=self.num_heads,
+                           conv_width=self.griffin_conv_width,
+                           activation=self.activation)
 
     def lightning_spec(self):
         from .lightning import LightningSpec
@@ -307,6 +325,39 @@ ARCH_REGISTRY: Dict[str, ArchSpec] = {
                    "c_fc": "mlp.fc1", "fc2": "mlp.fc2"},
         ratios={"attn.qkv": 1.0, "attn.o": 1.0, "mlp.fc1": 0.25, "mlp.fc2": 0.25},
         sequential=(("attn.qkv",), ("attn.o",), ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+    "gpt_neo": ArchSpec(
+        family="gpt_neo",
+        map_layer={"q_proj": "attn.q", "k_proj": "attn.k",
+                   "v_proj": "attn.v", "out_proj": "attn.o",
+                   "c_fc": "mlp.fc1", "c_proj": "mlp.fc2"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                    ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+    "codegen": ArchSpec(
+        family="codegen",
+        map_layer={"qkv_proj": "attn.qkv", "out_proj": "attn.o",
+                   "fc_in": "mlp.fc1", "fc_out": "mlp.fc2"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "mlp.fc1": 0.25, "mlp.fc2": 0.25},
+        sequential=(("attn.q", "attn.k", "attn.v"), ("attn.o",),
+                    ("mlp.fc1",), ("mlp.fc2",)),
+    ),
+    "recurrent_gemma": ArchSpec(
+        family="recurrent_gemma",
+        map_layer={"q_proj": "attn.q", "k_proj": "attn.k",
+                   "v_proj": "attn.v", "o_proj": "attn.o",
+                   "linear_y": "griffin.y", "linear_x": "griffin.x",
+                   "linear_out": "griffin.out", "gate_proj": "mlp.gate",
+                   "up_proj": "mlp.up", "down_proj": "mlp.down"},
+        ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+                "griffin.y": 1.0, "griffin.x": 1.0, "griffin.out": 1.0,
+                "mlp.gate": 0.375, "mlp.up": 0.375, "mlp.down": 0.375},
+        sequential=(("attn.q", "attn.k", "attn.v", "griffin.y",
+                     "griffin.x"), ("attn.o", "griffin.out"),
+                    ("mlp.gate", "mlp.up"), ("mlp.down",)),
     ),
     "gptj": ArchSpec(
         family="gptj",
@@ -503,10 +554,16 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["qwen3_next"]
     if "qwen" in name:
         return ARCH_REGISTRY["qwen2"]
+    if "recurrentgemma" in name or "recurrent-gemma" in name:
+        return ARCH_REGISTRY["recurrent_gemma"]
     if "gemma" in name:
         return ARCH_REGISTRY["gemma"]
     if "neox" in name or "pythia" in name:
         return ARCH_REGISTRY["neox"]
+    if "gpt-neo" in name or "gptneo" in name or "gpt_neo" in name:
+        return ARCH_REGISTRY["gpt_neo"]
+    if "codegen" in name:
+        return ARCH_REGISTRY["codegen"]
     if "phimoe" in name or "phi-3.5-moe" in name.lower():
         return ARCH_REGISTRY["phimoe"]
     if "phi-3" in name or "phi3" in name:
@@ -748,6 +805,164 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             qk_norm="proj",
             input_norms=False,
             branch_norms=True,
+        )
+    if mt in ("gemma3_text", "gemma3"):
+        # gemma2 sandwich norms + per-head rmsnorm1p qk-norm, and a DUAL
+        # rope: sliding layers use rope_local_base_freq unscaled, full
+        # layers rope_theta (+rope_scaling); no logit softcaps
+        if mt == "gemma3":  # multimodal wrapper: use the text tower config
+            hf_config = hf_config.text_config
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=hf_config.rope_theta,
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            rope_local_theta=hf_config.rope_local_base_freq,
+            tie_word_embeddings=True,
+            activation=(getattr(hf_config, "hidden_activation", None)
+                        or hf_config.hidden_act),
+            pos_embedding="rope",
+            norm_type="rmsnorm1p",
+            gated_mlp=True,
+            qk_norm="head",
+            head_dim_override=hf_config.head_dim,
+            embed_scale=float(hf_config.hidden_size) ** 0.5,
+            branch_norms=True,
+            attn_scale_override=hf_config.query_pre_attn_scalar,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            sliding_window=hf_config.sliding_window,
+            layer_types=tuple(hf_config.layer_types),
+        )
+    if mt == "olmo3":
+        # olmo2 (post-only branch norms + whole-projection qk-norm) with
+        # alternating sliding windows; rope_scaling (yarn) applies ONLY to
+        # full_attention layers — sliding layers keep the default tables
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            rope_local_theta=(getattr(hf_config, "rope_theta", 10000.0)
+                              if getattr(hf_config, "rope_scaling", None)
+                              else None),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            qk_norm="proj",
+            input_norms=False,
+            branch_norms=True,
+            sliding_window=hf_config.sliding_window,
+            layer_types=tuple(hf_config.layer_types),
+        )
+    if mt == "gpt_neo":
+        # alternating global/local(window) attention, learned positions,
+        # UNSCALED attention logits (softmax_scale=1.0), bias-less qkv
+        return ModelConfig(
+            family="gpt_neo",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=(hf_config.intermediate_size
+                               or 4 * hf_config.hidden_size),
+            num_layers=hf_config.num_layers,
+            num_heads=hf_config.num_heads,
+            num_kv_heads=hf_config.num_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        True),
+            activation=hf_config.activation_function,
+            pos_embedding="learned",
+            pos_offset=0,
+            norm_type="layernorm",
+            gated_mlp=False,
+            attn_bias=False,
+            mlp_bias=True,
+            attn_scale=1.0,
+            sliding_window=hf_config.window_size,
+            layer_types=tuple(
+                "sliding_attention" if t == "local" else "full_attention"
+                for t in hf_config.attention_layers),
+        )
+    if mt == "codegen":
+        # gptj-style parallel single-LN block; fused qkv_proj in mp_num=4
+        # groups of (q|v|k) re-laid to plain q/k/v at import
+        return ModelConfig(
+            family="codegen",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.n_embd,
+            intermediate_size=hf_config.n_inner or 4 * hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            num_kv_heads=hf_config.n_head,
+            max_position_embeddings=hf_config.n_positions,
+            norm_eps=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            activation=hf_config.activation_function,
+            pos_embedding="rope",
+            rope_style="interleaved",
+            rotary_dim=min(hf_config.rotary_dim,
+                           hf_config.n_ctx // hf_config.n_head),
+            norm_type="layernorm",
+            parallel_block=True,
+            attn_bias=False,
+            mlp_bias=True,
+            gated_mlp=False,
+        )
+    if mt == "recurrent_gemma":
+        # griffin: 2 RG-LRU recurrent layers per sliding-window attention
+        # layer (block_types cycle); bf16-rounded sqrt(hidden) embed scale,
+        # final logit softcap, MLP width = intermediate_size // 2
+        import ml_dtypes
+
+        return ModelConfig(
+            family="recurrent_gemma",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size // 2,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=hf_config.rope_theta,
+            rotary_pct=hf_config.partial_rotary_factor,
+            tie_word_embeddings=True,
+            activation=hf_config.hidden_activation,
+            pos_embedding="rope",
+            norm_type="rmsnorm1p",
+            gated_mlp=True,
+            mlp_bias=True,
+            head_dim_override=hf_config.head_dim,
+            embed_scale=float(ml_dtypes.bfloat16(
+                float(hf_config.hidden_size) ** 0.5)),
+            final_logit_softcap=hf_config.logits_soft_cap,
+            sliding_window=hf_config.attention_window_size,
+            griffin_lru_width=hf_config.lru_width or hf_config.hidden_size,
+            griffin_conv_width=hf_config.conv1d_width,
+            layer_types=tuple(
+                "sliding_attention" if t == "attention" else "recurrent"
+                for t in (list(hf_config.block_types) * 100)
+                [:hf_config.num_hidden_layers]),
         )
     if mt == "gemma2":
         return ModelConfig(

@@ -339,6 +339,126 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             })
         p["layers"] = layers
 
+    elif fam == "gpt_neo":
+        # HF GPTNeo (modeling_gpt_neo.py): wte+wpe embeddings, per-layer
+        # attn.attention.{q,k,v,out}_proj (qkv bias-less) and biased
+        # mlp.c_fc/c_proj Linears (not Conv1D), ln_f final norm
+        base = "transformer."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "wte.weight"]), dtype)
+        p["embed_positions"] = jnp.asarray(_np(sd[base + "wpe.weight"]),
+                                           dtype)
+        p["final_norm"] = _ln(sd, base + "ln_f", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}h.{i}."
+            ap = lp + "attn.attention."
+            layers.append({
+                "ln1": _ln(sd, lp + "ln_1", dtype),
+                "attn": {
+                    "q": _linear(sd, ap + "q_proj", dtype),
+                    "k": _linear(sd, ap + "k_proj", dtype),
+                    "v": _linear(sd, ap + "v_proj", dtype),
+                    "o": _linear(sd, ap + "out_proj", dtype),
+                },
+                "ln2": _ln(sd, lp + "ln_2", dtype),
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.c_fc", dtype),
+                    "fc2": _linear(sd, lp + "mlp.c_proj", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "codegen":
+        # HF CodeGen (modeling_codegen.py:164-172): one fused qkv_proj whose
+        # out features are mp_num=4 groups, each [q | v | k] of
+        # (H/mp_num) heads — re-laid here to plain q/k/v with the heads in
+        # (group, head-in-group) order to match _split_heads
+        base = "transformer."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "wte.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "ln_f", dtype)
+        mp = 4
+        local = cfg.num_heads * cfg.head_dim // mp
+
+        def _codegen_qkv(lin, part):  # part: 0=q, 1=v, 2=k
+            cols = np.concatenate(
+                [np.arange(g * 3 * local + part * local,
+                           g * 3 * local + (part + 1) * local)
+                 for g in range(mp)])
+            return DenseLinear(w=lin.w[:, cols],
+                               b=None if lin.b is None else lin.b[cols])
+
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}h.{i}."
+            qkv = _linear(sd, lp + "attn.qkv_proj", dtype)
+            layers.append({
+                "ln1": _ln(sd, lp + "ln_1", dtype),  # single LN (parallel)
+                "attn": {
+                    "q": _codegen_qkv(qkv, 0),
+                    "k": _codegen_qkv(qkv, 2),
+                    "v": _codegen_qkv(qkv, 1),
+                    "o": _linear(sd, lp + "attn.out_proj", dtype),
+                },
+                "mlp": {
+                    "fc1": _linear(sd, lp + "mlp.fc_in", dtype),
+                    "fc2": _linear(sd, lp + "mlp.fc_out", dtype),
+                },
+            })
+        p["layers"] = layers
+
+    elif fam == "recurrent_gemma":
+        # HF RecurrentGemma (modeling_recurrent_gemma.py): per-layer
+        # temporal_pre_norm/channel_pre_norm around a temporal block that is
+        # either sliding attention or a griffin RG-LRU recurrent block
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(
+            _np(sd[base + "embed_tokens.weight"]), dtype)
+        p["final_norm"] = _ln(sd, base + "final_norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            tb = lp + "temporal_block."
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, lp + "temporal_pre_norm", dtype),
+                "ln2": _ln(sd, lp + "channel_pre_norm", dtype),
+                "mlp": {
+                    "gate": _linear(sd, lp + "mlp_block.gate_proj", dtype),
+                    "up": _linear(sd, lp + "mlp_block.up_proj", dtype),
+                    "down": _linear(sd, lp + "mlp_block.down_proj", dtype),
+                },
+            }
+            if tb + "q_proj.weight" in sd:
+                blk["attn"] = {
+                    "q": _linear(sd, tb + "q_proj", dtype),
+                    "k": _linear(sd, tb + "k_proj", dtype),
+                    "v": _linear(sd, tb + "v_proj", dtype),
+                    "o": _linear(sd, tb + "o_proj", dtype),
+                }
+            else:
+                rg = tb + "rg_lru."
+                blk["griffin"] = {
+                    "y": _linear(sd, tb + "linear_y", dtype),
+                    "x": _linear(sd, tb + "linear_x", dtype),
+                    "out": _linear(sd, tb + "linear_out", dtype),
+                    # torch Conv1d weight [W, 1, K] -> taps-major [K, W]
+                    "conv_w": jnp.asarray(
+                        _np(sd[tb + "conv_1d.weight"])[:, 0, :].T, dtype),
+                    "conv_b": jnp.asarray(
+                        _np(sd[tb + "conv_1d.bias"]), dtype),
+                    "recurrent_param": jnp.asarray(
+                        _np(sd[rg + "recurrent_param"]), jnp.float32),
+                    "input_gate_w": jnp.asarray(
+                        _np(sd[rg + "input_gate_weight"]), dtype),
+                    "input_gate_b": jnp.asarray(
+                        _np(sd[rg + "input_gate_bias"]), dtype),
+                    "recurrent_gate_w": jnp.asarray(
+                        _np(sd[rg + "recurrent_gate_weight"]), dtype),
+                    "recurrent_gate_b": jnp.asarray(
+                        _np(sd[rg + "recurrent_gate_bias"]), dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
     elif fam == "neox":
         base = "gpt_neox."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_in.weight"]), dtype)

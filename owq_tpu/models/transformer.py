@@ -61,6 +61,10 @@ QUANTIZABLE = {
     "nemotron": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1",
                  "mlp.fc2"),
     "persimmon": ("attn.qkv", "attn.o", "mlp.fc1", "mlp.fc2"),
+    "gpt_neo": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1",
+                "mlp.fc2"),
+    "codegen": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1",
+                "mlp.fc2"),
 }
 
 
@@ -74,8 +78,10 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
     the names actually present in each block.
     """
     if (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
-            or cfg.has_shortconv):
+            or cfg.has_shortconv or cfg.has_griffin):
         names = ["attn.q", "attn.k", "attn.v", "attn.o"]
+        if cfg.has_griffin:
+            names += ["griffin.y", "griffin.x", "griffin.out"]
         if cfg.has_shortconv:
             names += ["conv.in_proj", "conv.out_proj"]
         if cfg.has_lightning:
@@ -180,7 +186,7 @@ class KVCache:
 def init_cache(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16):
     if (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
-            or cfg.has_shortconv):
+            or cfg.has_shortconv or cfg.has_griffin):
         return init_hybrid_cache(cfg, batch, max_len, dtype=dtype)
     base = (cfg.num_layers, batch, max_len, cfg.num_kv_heads)
     return KVCache(k=jnp.zeros(base + (cfg.head_dim,), dtype),
@@ -245,6 +251,9 @@ class HybridCache:
 
 def hybrid_state_shapes(cfg: ModelConfig):
     """(conv [C,K], state [H,P,N]) per-layer shapes for the linear mixer."""
+    if cfg.has_griffin:
+        return ((cfg.griffin_lru_width, cfg.griffin_conv_width - 1),
+                (cfg.griffin_lru_width,))
     if cfg.has_lightning:
         return ((1, 1), (cfg.num_heads, cfg.head_dim, cfg.head_dim))
     if cfg.has_shortconv:
@@ -392,6 +401,26 @@ def rope_tables(cfg: ModelConfig, positions: jnp.ndarray, dtype=jnp.float32,
     return rope_cos_sin(positions, rot, cfg.rope_theta, dtype=dtype,
                         style=cfg.rope_style, inv_freq=inv_freq,
                         attn_factor=attn_factor)
+
+
+def model_rope_tables(cfg: ModelConfig, positions: jnp.ndarray,
+                      dtype=jnp.float32, seq_len: Optional[int] = None):
+    """Rope tables for every layer of the model.
+
+    With ``cfg.rope_local_theta`` set (gemma3 / olmo3) returns a
+    (global, local) pair: sliding_attention layers use the local base
+    frequency WITHOUT rope_scaling (HF keeps a second rotary embedding
+    with rope_type='default'); layer_rope() picks per layer.  Otherwise
+    one shared table.
+    """
+    g = rope_tables(cfg, positions, dtype, seq_len)
+    if cfg.rope_local_theta is None:
+        return g
+    import dataclasses
+
+    lcfg = dataclasses.replace(cfg, rope_theta=cfg.rope_local_theta,
+                               rope_scaling=None, rope_local_theta=None)
+    return (g, rope_tables(lcfg, positions, dtype, seq_len))
 
 
 def _norm(p: Dict[str, jnp.ndarray], cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
@@ -759,7 +788,32 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 blk["mamba"], spec, x_ln, eps=cfg.norm_eps,
                 kernel=kernel, taps=taps, valid_len=valid_len)
             tapped.update(t2)
-    if "gdn" in blk:
+    if "griffin" in blk:
+        # recurrentgemma RG-LRU block (griffin.py); same HybridCache slots
+        # as mamba layers (conv raw-input window + a recurrent vector)
+        from .griffin import griffin_full, griffin_step
+
+        gs = cfg.griffin_spec()
+        state_in = ssm if ssm is not None else kv
+        if state_in is not None and T == 1:
+            conv_in, rec_in = state_in
+            attn_out, (k_full, v_full) = griffin_step(
+                blk["griffin"], gs, x_ln, conv_in, rec_in,
+                eps=cfg.norm_eps, kernel=kernel)
+        elif state_in is not None:
+            conv_in, rec_in = state_in
+            attn_out, (k_full, v_full), t2 = griffin_full(
+                blk["griffin"], gs, x_ln, eps=cfg.norm_eps, kernel=kernel,
+                taps=taps, conv_state=conv_in, rec_state=rec_in,
+                pos_start=cache_at)
+            tapped.update(t2)
+        else:
+            attn_out, (k_full, v_full), t2 = griffin_full(
+                blk["griffin"], gs, x_ln, eps=cfg.norm_eps, kernel=kernel,
+                taps=taps, valid_len=valid_len)
+            tapped.update(t2)
+        attn_reduced = True
+    elif "gdn" in blk:
         # gated-delta-net linear attention (qwen3-next); same cache slots
         # as mamba layers (conv raw-input window + a recurrent matrix)
         from .gdn import gdn_full, gdn_step
@@ -1099,8 +1153,15 @@ def layer_mask_biases(cfg: ModelConfig, positions, kv_valid, kv_pos):
 
 def layer_rope(cfg: ModelConfig, rope, i: int):
     """Per-layer rope tables: None on NoPE layers (cohere2 full-attention
-    layers / smollm3 no_rope_layers)."""
-    if rope is None or cfg.rope_layers is None:
+    layers / smollm3 no_rope_layers); with a (global, local) pair from
+    model_rope_tables (gemma3/olmo3), sliding layers take the local one."""
+    if rope is None:
+        return None
+    if cfg.rope_local_theta is not None:
+        g, loc = rope
+        rope = (loc if cfg.layer_types
+                and cfg.layer_types[i] == "sliding_attention" else g)
+    if cfg.rope_layers is None:
         return rope
     return rope if cfg.rope_layers[i] else None
 
@@ -1193,8 +1254,8 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         # length-dependent scaling types (dynamic NTK / longrope) plan for
         # the allocated window: the prompt length uncached, the cache
         # capacity when serving (static under jit, unlike HF's running max)
-        rope = rope_tables(cfg, positions,
-                           seq_len=T if cache is None else cache.max_len)
+        rope = model_rope_tables(
+            cfg, positions, seq_len=T if cache is None else cache.max_len)
     elif cfg.pos_embedding == "alibi":
         # bias depends on key positions; invalid slots are masked anyway
         if tp_axis is None or cfg.tp_size == 1:
@@ -1220,6 +1281,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     new_conv, new_ssm = None, None
     for i, blk in enumerate(params["layers"]):
         is_mamba = ("mamba" in blk or "gdn" in blk or "lightning" in blk
+                    or "griffin" in blk
                     or "conv" in blk)
         is_dual = is_mamba and "attn" in blk  # falcon-h1 parallel mixers
         ssm_in = None

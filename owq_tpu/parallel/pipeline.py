@@ -66,9 +66,9 @@ def _stage_fn(blocks, cfg: ModelConfig, x, positions, kv, start,
     masks = layer_mask_biases(cfg, positions, kv_valid, kv_pos)
     rope = alibi = None
     if cfg.pos_embedding == "rope":
-        from ..models.transformer import rope_tables
+        from ..models.transformer import model_rope_tables
 
-        rope = rope_tables(cfg, positions)
+        rope = model_rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, kv_pos * kv_valid, cfg.alibi_scheme)
 

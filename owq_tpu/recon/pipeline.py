@@ -179,9 +179,9 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
     rope = None
     alibi = None
     if cfg.pos_embedding == "rope":
-        from ..models.transformer import rope_tables
+        from ..models.transformer import model_rope_tables
 
-        rope = rope_tables(cfg, positions[:1])
+        rope = model_rope_tables(cfg, positions[:1])
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions[:1], cfg.alibi_scheme)
     temp = (attn_temperature(cfg, positions[:1])

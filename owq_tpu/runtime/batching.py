@@ -86,16 +86,17 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
                               positions)
     rope = alibi = None
     if cfg.pos_embedding == "rope":
-        from ..models.transformer import rope_tables
+        from ..models.transformer import model_rope_tables
 
-        rope = rope_tables(cfg, positions)
+        rope = model_rope_tables(cfg, positions)
     elif cfg.pos_embedding == "alibi":
         alibi = alibi_bias(cfg.num_heads, positions, cfg.alibi_scheme)
     temp = (attn_temperature(cfg, positions)
             if cfg.attn_temperature_tuning else None)
     ks, vs = [], []
     convs, ssms = [], []
-    hybrid = cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
+    hybrid = (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
+              or cfg.has_griffin)
     if hybrid:
         from ..models.transformer import hybrid_state_shapes
 
@@ -111,7 +112,8 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
                                      alibi=alibi, kernel=kernel,
                                      valid_len=valid_len, tp_axis=tp_axis,
                                      alpha_beta=layer_alpha_beta(cfg, i))
-        mix = "mamba" in blk or "gdn" in blk or "lightning" in blk
+        mix = ("mamba" in blk or "gdn" in blk or "lightning" in blk
+               or "griffin" in blk)
         if mix and "attn" in blk:  # falcon-h1 dual layer
             (kk, cc), (vv, ss) = k, v
             ks.append(kk[0])
@@ -229,7 +231,8 @@ class Engine:
         self._key = jax.random.PRNGKey(seed)
         self.prompt_buckets = sorted(prompt_buckets)
         self.mesh = mesh
-        hybrid = cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
+        hybrid = (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
+              or cfg.has_griffin)
 
         cache_sharding = None
         if mesh is None:

@@ -200,7 +200,8 @@ def stream_speculative_draft(params, cfg: ModelConfig, draft_params,
     from ..models.transformer import HybridCache  # noqa: F401
 
     for c in (cfg, draft_cfg):
-        if c.has_mamba or c.has_gdn or c.has_lightning or c.has_shortconv:
+        if (c.has_mamba or c.has_gdn or c.has_lightning
+                or c.has_shortconv or c.has_griffin):
             raise ValueError("draft speculation needs rollbackable KV "
                              "caches; linear-mixer states cannot roll back")
     dtype = dtype or cache_dtype

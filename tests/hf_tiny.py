@@ -1052,3 +1052,99 @@ def tiny_ernie45_moe(vocab=97, hidden=32, inter=48, moe_inter=16, layers=2,
         for layer in model.model.layers[start:]:
             layer.mlp.moe_statics.e_score_correction_bias.uniform_(-0.2, 0.2)
     return model
+
+
+def tiny_gemma3(vocab=97, hidden=32, inter=48, layers=4, heads=4, kv_heads=2,
+                head_dim=16, max_pos=64, sliding_window=8, seed=0,
+                rope_scaling=None):
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Gemma3TextConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        sliding_window=sliding_window, sliding_window_pattern=2,
+        query_pre_attn_scalar=24, rope_theta=1_000_000.0,
+        rope_local_base_freq=10_000.0, rope_scaling=rope_scaling,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    model = Gemma3ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_olmo3(vocab=97, hidden=32, inter=48, layers=4, heads=4, kv_heads=2,
+               max_pos=64, sliding_window=8, seed=0, rope_scaling=None):
+    from transformers import Olmo3Config, Olmo3ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Olmo3Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        sliding_window=sliding_window,
+        layer_types=(["sliding_attention", "sliding_attention",
+                      "sliding_attention", "full_attention"]
+                     * ((layers + 3) // 4))[:layers],
+        rope_scaling=rope_scaling,
+        attn_implementation="eager",
+    )
+    model = Olmo3ForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_gpt_neo(vocab=97, hidden=32, layers=4, heads=4, window=8,
+                 max_pos=64, seed=0):
+    from transformers import GPTNeoConfig, GPTNeoForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GPTNeoConfig(
+        vocab_size=vocab, hidden_size=hidden, num_layers=layers,
+        num_heads=heads, attention_types=[[["global", "local"], layers // 2]],
+        window_size=window, max_position_embeddings=max_pos,
+        attn_implementation="eager",
+    )
+    model = GPTNeoForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_codegen(vocab=97, hidden=32, layers=2, heads=4, rotary_dim=4,
+                 max_pos=64, seed=0):
+    from transformers import CodeGenConfig, CodeGenForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = CodeGenConfig(
+        vocab_size=vocab, n_embd=hidden, n_layer=layers, n_head=heads,
+        rotary_dim=rotary_dim, n_positions=max_pos, n_ctx=max_pos,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = CodeGenForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_recurrentgemma(vocab=97, hidden=32, inter=96, layers=3, heads=4,
+                        kv_heads=2, head_dim=8, lru_width=32, conv_width=4,
+                        window=16, max_pos=64, seed=0):
+    # NOTE window >= prompt length for HF parity: HF prefill masks purely
+    # causally (the window only exists via its rotating decode cache,
+    # modeling_recurrent_gemma.py:656-668); we use the paper-faithful
+    # sliding mask, identical whenever T <= window.
+    from transformers import (RecurrentGemmaConfig,
+                              RecurrentGemmaForCausalLM)
+
+    torch.manual_seed(seed)
+    cfg = RecurrentGemmaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        lru_width=lru_width, conv1d_width=conv_width,
+        attention_window_size=window, max_position_embeddings=max_pos,
+        block_types=["recurrent", "recurrent", "attention"],
+        logits_soft_cap=30.0, partial_rotary_factor=0.5,
+        attn_implementation="eager",
+    )
+    model = RecurrentGemmaForCausalLM(cfg).eval()
+    return model

@@ -223,3 +223,19 @@ def test_engine_tensor_parallel(rng, family):
     eng = Engine(copy.deepcopy(params), cfg, mesh=mesh, **kw)
     got = eng.run(prompts, max_new_tokens=6)
     assert [got[i] for i in sorted(got)] == [want[i] for i in sorted(want)]
+
+
+def test_engine_recurrentgemma_griffin(rng):
+    # RG-LRU layers through the engine slot pool: rank-2 recurrent states,
+    # pad-frozen bucket prefill, conv left-context continuation
+    model = hf_tiny.tiny_recurrentgemma()
+    params, cfg = import_hf_model(model)
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (9, 5)]
+    want = [generate(params, cfg, p[None, :], 5, max_len=64,
+                     cache_dtype=jnp.float32)[0].tolist() for p in prompts]
+    eng = Engine(params, cfg, max_batch=2, max_len=64,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,))
+    out = eng.run(prompts, max_new_tokens=5)
+    assert [out[i] for i in sorted(out)] == want

@@ -302,7 +302,9 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "granite-4", "falcon-h1",
                                     "qwen3-next", "mamba2", "jamba",
                                     "falcon-mamba", "minimax", "lfm2",
-                                    "apertus", "ernie-moe"])
+                                    "apertus", "ernie-moe", "gemma-3",
+                                    "olmo-3", "gpt-neo", "codegen",
+                                    "recurrentgemma"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -386,6 +388,11 @@ def test_quantize_new_families(calib, family):
         "lfm2": lambda: hf_tiny.tiny_lfm2(),
         "apertus": lambda: hf_tiny.tiny_apertus(),
         "ernie-moe": lambda: hf_tiny.tiny_ernie45_moe(),
+        "gemma-3": lambda: hf_tiny.tiny_gemma3(),
+        "olmo-3": lambda: hf_tiny.tiny_olmo3(),
+        "gpt-neo": lambda: hf_tiny.tiny_gpt_neo(),
+        "codegen": lambda: hf_tiny.tiny_codegen(),
+        "recurrentgemma": lambda: hf_tiny.tiny_recurrentgemma(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -1158,3 +1158,112 @@ def test_ernie45_moe_parity(rng):
     params, cfg = _parity(model, ids)
     assert cfg.router_kind == "ernie" and cfg.first_k_dense == 1
     assert cfg.n_shared_experts == 1
+
+
+def test_gemma3_parity(rng):
+    # gemma2 sandwich norms + per-head rmsnorm1p qk-norm + DUAL rope:
+    # sliding layers use rope_local_base_freq, full layers rope_theta
+    model = hf_tiny.tiny_gemma3()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids, atol=5e-4)
+
+
+def test_gemma3_parity_scaled_global_rope(rng):
+    # rope_scaling (linear, as on gemma3-4b+) applies ONLY to full layers;
+    # sliding layers keep the unscaled local tables
+    model = hf_tiny.tiny_gemma3(
+        rope_scaling={"rope_type": "linear", "factor": 4.0})
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids, atol=5e-4)
+
+
+def test_gemma3_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_gemma3(sliding_window=5)
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=1e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_olmo3_parity(rng):
+    # olmo2 post-only branch norms + whole-projection qk-norm, with
+    # alternating sliding windows
+    model = hf_tiny.tiny_olmo3()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids)
+
+
+def test_olmo3_parity_yarn_full_layers_only(rng):
+    # yarn rope_scaling applies only to full_attention layers (HF keeps a
+    # second default-rope embedding for sliding layers)
+    model = hf_tiny.tiny_olmo3(rope_scaling={
+        "rope_type": "yarn", "factor": 4.0,
+        "original_max_position_embeddings": 16})
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids, atol=5e-4)
+
+
+def test_gpt_neo_parity(rng):
+    # alternating global/local(256-token window) attention, UNSCALED
+    # attention logits, learned positions; T > window hits the boundary
+    model = hf_tiny.tiny_gpt_neo(window=8)
+    ids = rng.integers(0, 97, size=(2, 20))
+    _parity(model, ids)
+
+
+def test_codegen_parity(rng):
+    # gptj-style parallel block; fused qkv_proj in mp_num=4 groups of
+    # (q|v|k) re-laid at import; interleaved partial rotary
+    model = hf_tiny.tiny_codegen()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids)
+
+
+def test_codegen_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_codegen()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 8)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :5]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 4],
+                               atol=1e-4, rtol=1e-3)
+    for t in range(5, 8):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_recurrentgemma_parity(rng):
+    # griffin RG-LRU recurrent layers (block-diagonal per-head gates,
+    # sqrt(1-a^2) input normalizer with position-0 reset, depthwise conv)
+    # alternating with sliding attention; bf16-rounded embed normalizer,
+    # final logit softcap
+    model = hf_tiny.tiny_recurrentgemma()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids, atol=5e-4)
+
+
+def test_recurrentgemma_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_recurrentgemma()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=1e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
