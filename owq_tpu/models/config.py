@@ -530,6 +530,8 @@ ARCH_REGISTRY["deepseek"] = ArchSpec(
 def arch_for_model(model_name: str) -> ArchSpec:
     """Family by substring match, like the reference (misc.py:103-121)."""
     name = model_name.lower()
+    if "xglm" in name or "biogpt" in name:  # opt-shaped pre-LN decoders
+        return ARCH_REGISTRY["opt"]
     if "opt" in name:
         return ARCH_REGISTRY["opt"]
     if "llama-4" in name or "llama4" in name:
@@ -548,6 +550,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["mixtral"]
     if "codestral" in name and "mamba" in name:
         return ARCH_REGISTRY["bamba"]
+    if "ministral" in name:
+        return ARCH_REGISTRY["mistral"]
     if "mistral" in name or "zephyr" in name:
         return ARCH_REGISTRY["mistral"]
     if "qwen3-next" in name or "qwen3_next" in name:
@@ -661,6 +665,58 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             mlp_bias=True,
             gated_mlp=False,
         )
+    if mt == "xglm":
+        # fairseq-style multilingual GPT: tensor2tensor SINUSOIDAL positions
+        # (offset 2, table synthesized at import — the HF buffer is
+        # non-persistent), sqrt(d_model) embed scale, pre-LN opt block
+        return ModelConfig(
+            family="opt",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.d_model,
+            intermediate_size=hf_config.ffn_dim,
+            num_layers=hf_config.num_layers,
+            num_heads=hf_config.attention_heads,
+            num_kv_heads=hf_config.attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=1e-5,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        True),
+            activation=hf_config.activation_function,
+            embed_scale=(float(hf_config.d_model) ** 0.5
+                         if hf_config.scale_embedding else None),
+            pos_embedding="learned",
+            pos_offset=2,  # XGLMSinusoidalPositionalEmbedding offset
+            norm_type="layernorm",
+            attn_bias=True,
+            mlp_bias=True,
+            gated_mlp=False,
+        )
+    if mt == "biogpt":
+        # OPT-style pre-LN block; learned positions (offset 2) and a
+        # sqrt(hidden) embed scale; LayerNorms use the torch default eps
+        # (the config's layer_norm_eps is never forwarded by HF)
+        return ModelConfig(
+            family="opt",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_attention_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=1e-5,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        True),
+            activation=hf_config.hidden_act,
+            embed_scale=(float(hf_config.hidden_size) ** 0.5
+                         if hf_config.scale_embedding else None),
+            pos_embedding="learned",
+            pos_offset=2,  # BioGptLearnedPositionalEmbedding
+            norm_type="layernorm",
+            attn_bias=True,
+            mlp_bias=True,
+            gated_mlp=False,
+        )
     if mt == "llama":
         return ModelConfig(
             family="llama",
@@ -702,12 +758,17 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             mlp_bias=True,
             gated_mlp=False,
         )
-    if mt in ("mistral", "qwen2"):
+    if mt in ("mistral", "qwen2", "ministral"):
         # llama wiring; mistral adds sliding-window attention, qwen2 adds
-        # q/k/v projection biases (picked up from the state dict directly).
+        # q/k/v projection biases (picked up from the state dict directly),
+        # ministral declares per-layer sliding/full in layer_types.
         window = getattr(hf_config, "sliding_window", None)
         if mt == "qwen2" and not getattr(hf_config, "use_sliding_window", False):
             window = None
+        layer_types = (tuple(hf_config.layer_types)
+                       if mt == "ministral"
+                       and getattr(hf_config, "layer_types", None)
+                       else None)
         return ModelConfig(
             family="llama",
             vocab_size=hf_config.vocab_size,
@@ -728,6 +789,7 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             norm_type="rmsnorm",
             gated_mlp=True,
             sliding_window=window,
+            layer_types=layer_types,
             head_dim_override=getattr(hf_config, "head_dim", None),
         )
     if mt == "mixtral":
@@ -994,6 +1056,35 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
                 getattr(hf_config, "layer_types", None)
                 or ("sliding_attention" if i % 2 == 0 else "full_attention"
                     for i in range(hf_config.num_hidden_layers))),
+        )
+    if mt == "vaultgemma":
+        # gemma2 wiring (rmsnorm1p, softcaps, query_pre_attn_scalar,
+        # alternating sliding windows) but PRE-norms only: input_layernorm
+        # + pre_feedforward_layernorm, no post-branch sandwich norms
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=True,
+            activation=(getattr(hf_config, "hidden_activation", None)
+                        or hf_config.hidden_act),
+            pos_embedding="rope",
+            norm_type="rmsnorm1p",
+            gated_mlp=True,
+            head_dim_override=hf_config.head_dim,
+            embed_scale=float(hf_config.hidden_size) ** 0.5,
+            attn_scale_override=hf_config.query_pre_attn_scalar,
+            attn_logit_softcap=hf_config.attn_logit_softcapping,
+            final_logit_softcap=hf_config.final_logit_softcapping,
+            sliding_window=hf_config.sliding_window,
+            layer_types=tuple(hf_config.layer_types),
         )
     if mt == "gemma":
         return ModelConfig(

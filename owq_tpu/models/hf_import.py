@@ -54,16 +54,42 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                          "lm_head": None}
 
     if fam == "opt":
-        base = "model.decoder."
+        # three checkpoints share the fairseq decoder layout: OPT
+        # ("model.decoder."), BioGPT ("biogpt.", final norm "layer_norm"),
+        # XGLM ("model.", sinusoidal positions synthesized below)
+        if "biogpt.embed_tokens.weight" in sd:
+            base = "biogpt."
+        elif "model.decoder.embed_tokens.weight" in sd:
+            base = "model.decoder."
+        else:
+            base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]), dtype)
-        p["embed_positions"] = jnp.asarray(
-            _np(sd[base + "embed_positions.weight"]), dtype)
+        if base + "embed_positions.weight" in sd:
+            p["embed_positions"] = jnp.asarray(
+                _np(sd[base + "embed_positions.weight"]), dtype)
+        else:
+            # XGLM: the sinusoidal table is a non-persistent HF buffer —
+            # rebuild it (tensor2tensor layout: [sin | cos] concatenated,
+            # rows = max_pos + offset) exactly as
+            # XGLMSinusoidalPositionalEmbedding.get_embedding does
+            rows = cfg.max_position_embeddings + cfg.pos_offset
+            half = cfg.hidden_size // 2
+            freq = np.exp(np.arange(half, dtype=np.float64)
+                          * -(np.log(10000.0) / (half - 1)))
+            ang = np.arange(rows, dtype=np.float64)[:, None] * freq[None, :]
+            tab = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+            if cfg.hidden_size % 2 == 1:
+                tab = np.concatenate(
+                    [tab, np.zeros((rows, 1), tab.dtype)], axis=1)
+            p["embed_positions"] = jnp.asarray(tab.astype(np.float32), dtype)
         if base + "project_in.weight" in sd:
             p["project_in"] = _linear(sd, base + "project_in", dtype)
         if base + "project_out.weight" in sd:
             p["project_out"] = _linear(sd, base + "project_out", dtype)
         if base + "final_layer_norm.weight" in sd and cfg.do_layer_norm_before:
             p["final_norm"] = _ln(sd, base + "final_layer_norm", dtype)
+        elif base + "layer_norm.weight" in sd:  # biogpt/xglm final norm
+            p["final_norm"] = _ln(sd, base + "layer_norm", dtype)
         layers = []
         for i in range(cfg.num_layers):
             lp = f"{base}layers.{i}."
@@ -246,13 +272,17 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             blk = {"attn": attn, "mlp": mlp}
             if lp + "input_layernorm.weight" in sd:  # absent in olmo2
                 blk["ln1"] = _ln(sd, lp + "input_layernorm", dtype)
-            if lp + "pre_feedforward_layernorm.weight" in sd:
+            if (lp + "pre_feedforward_layernorm.weight" in sd
+                    and lp + "post_attention_layernorm.weight" in sd):
                 # gemma2 sandwich: ln2 = pre-ffn, post_ln* = branch norms
                 blk["ln2"] = _ln(sd, lp + "pre_feedforward_layernorm", dtype)
                 blk["post_ln1"] = _ln(sd, lp + "post_attention_layernorm",
                                       dtype)
                 blk["post_ln2"] = _ln(sd, lp + "post_feedforward_layernorm",
                                       dtype)
+            elif lp + "pre_feedforward_layernorm.weight" in sd:
+                # vaultgemma: gemma2 names but pre-norms only
+                blk["ln2"] = _ln(sd, lp + "pre_feedforward_layernorm", dtype)
             elif lp + "post_feedforward_layernorm.weight" in sd:
                 # olmo2: branch norms only
                 blk["post_ln1"] = _ln(sd, lp + "post_attention_layernorm",
@@ -1277,6 +1307,9 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
 
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         p["lm_head"] = _linear(sd, "lm_head", dtype)
+    elif (not cfg.tie_word_embeddings
+          and "output_projection.weight" in sd):  # biogpt untied head
+        p["lm_head"] = _linear(sd, "output_projection", dtype)
     return p
 
 

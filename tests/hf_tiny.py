@@ -1148,3 +1148,72 @@ def tiny_recurrentgemma(vocab=97, hidden=32, inter=96, layers=3, heads=4,
     )
     model = RecurrentGemmaForCausalLM(cfg).eval()
     return model
+
+
+def tiny_ministral(vocab=97, hidden=32, inter=48, layers=4, heads=4,
+                   kv_heads=2, window=8, max_pos=64, seed=0):
+    from transformers import MinistralConfig, MinistralForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = MinistralConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        # HF's MinistralAttention does getattr(config, "head_dim") which
+        # returns the config default None and crashes — pass it explicitly
+        head_dim=hidden // heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, sliding_window=window,
+        layer_types=["sliding_attention", "full_attention"] * (layers // 2),
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = MinistralForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_vaultgemma(vocab=97, hidden=32, inter=48, layers=4, heads=4,
+                    kv_heads=2, head_dim=16, window=8, max_pos=64, seed=0):
+    from transformers import VaultGemmaConfig, VaultGemmaForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = VaultGemmaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, head_dim=head_dim,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        query_pre_attn_scalar=head_dim, sliding_window=window,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        hidden_activation="gelu_pytorch_tanh",
+        attn_implementation="eager",
+    )
+    model = VaultGemmaForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_xglm(vocab=97, hidden=32, ffn=64, layers=2, heads=4, max_pos=64,
+              seed=0):
+    from transformers import XGLMConfig, XGLMForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = XGLMConfig(
+        vocab_size=vocab, d_model=hidden, ffn_dim=ffn, num_layers=layers,
+        attention_heads=heads, max_position_embeddings=max_pos,
+        activation_function="gelu", scale_embedding=True,
+        attn_implementation="eager",
+    )
+    model = XGLMForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_biogpt(vocab=97, hidden=32, inter=64, layers=2, heads=4,
+                max_pos=64, seed=0):
+    from transformers import BioGptConfig, BioGptForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = BioGptConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        max_position_embeddings=max_pos, scale_embedding=True,
+        attn_implementation="eager",
+    )
+    model = BioGptForCausalLM(cfg).eval()
+    return model

@@ -304,7 +304,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "falcon-mamba", "minimax", "lfm2",
                                     "apertus", "ernie-moe", "gemma-3",
                                     "olmo-3", "gpt-neo", "codegen",
-                                    "recurrentgemma"])
+                                    "recurrentgemma", "ministral",
+                                    "vaultgemma", "xglm", "biogpt"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -393,6 +394,10 @@ def test_quantize_new_families(calib, family):
         "gpt-neo": lambda: hf_tiny.tiny_gpt_neo(),
         "codegen": lambda: hf_tiny.tiny_codegen(),
         "recurrentgemma": lambda: hf_tiny.tiny_recurrentgemma(),
+        "ministral": lambda: hf_tiny.tiny_ministral(),
+        "vaultgemma": lambda: hf_tiny.tiny_vaultgemma(),
+        "xglm": lambda: hf_tiny.tiny_xglm(),
+        "biogpt": lambda: hf_tiny.tiny_biogpt(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

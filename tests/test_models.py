@@ -1267,3 +1267,35 @@ def test_recurrentgemma_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_ministral_parity(rng):
+    # mistral wiring with per-layer sliding/full layer_types; T > window
+    # exercises the sliding mask on the alternating layers
+    model = hf_tiny.tiny_ministral(window=8)
+    ids = rng.integers(0, 97, size=(2, 14))
+    _parity(model, ids)
+
+
+def test_vaultgemma_parity(rng):
+    # gemma2 softcaps/rmsnorm1p/embed-scale but PRE-norms only (no
+    # post-branch sandwich norms)
+    model = hf_tiny.tiny_vaultgemma(window=8)
+    ids = rng.integers(0, 97, size=(2, 13))
+    _parity(model, ids, atol=3e-4)
+
+
+def test_xglm_parity(rng):
+    # fairseq sinusoidal positions (offset 2, synthesized at import),
+    # sqrt(d) embed scale, pre-LN opt block, tied head
+    model = hf_tiny.tiny_xglm()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids)
+
+
+def test_biogpt_parity(rng):
+    # learned positions (offset 2) + sqrt(hidden) embed scale, final
+    # layer_norm, tied output_projection head
+    model = hf_tiny.tiny_biogpt()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids)
