@@ -81,6 +81,9 @@ class ModelConfig:
     # after rope on rope layers (llama4)
     qk_norm: Optional[str] = None
     input_norms: bool = True        # olmo2: no pre-attention/pre-mlp norms
+    # bitnet (microsoft BitNet b1.58): rmsnorm on the attention context
+    # right before o_proj and on act(gate)*up right before down_proj
+    sub_norms: bool = False
     branch_norms: bool = False      # gemma2/olmo2: post_ln on branch outputs
     attn_scale_override: Optional[float] = None  # gemma2 query_pre_attn_scalar
     attn_logit_softcap: Optional[float] = None   # gemma2 tanh soft-capping
@@ -538,6 +541,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["llama4"]
     if "llama" in name or "vicuna" in name:
         return ARCH_REGISTRY["llama"]
+    if "bitnet" in name:  # llama-shaped linear set with inner sub-norms
+        return ARCH_REGISTRY["llama"]
     if "bloom" in name:
         return ARCH_REGISTRY["bloom"]
     if "falcon-h1" in name or "falcon_h1" in name:
@@ -582,6 +587,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["starcoder2"]
     if "starcoder" in name or "santacoder" in name or "bigcode" in name:
         return ARCH_REGISTRY["gpt2"]
+    if "flexolmo" in name or "flex-olmo" in name or "flex_olmo" in name:
+        return ARCH_REGISTRY["olmoe"]
     if "olmoe" in name:
         return ARCH_REGISTRY["olmoe"]
     if "olmo" in name:
@@ -598,6 +605,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["persimmon"]
     if "smollm3" in name:
         return ARCH_REGISTRY["smollm3"]
+    if "dots" in name:  # dots.llm1: llama-shaped linear set
+        return ARCH_REGISTRY["llama"]
     if "deepseek" in name:
         return ARCH_REGISTRY["deepseek"]
     if "gpt-oss" in name or "gpt_oss" in name:
@@ -737,6 +746,34 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             pos_embedding="rope",
             norm_type="rmsnorm",
             gated_mlp=True,
+        )
+    if mt == "bitnet":
+        # BitNet b1.58 2B4T: llama block with two extra "sub" rmsnorms —
+        # attn_sub_norm on the attention context feeding o_proj and
+        # ffn_sub_norm on relu2(gate)*up feeding down_proj (the HF bf16
+        # master-weight checkpoint; ternary quantization of the weights is
+        # the job of THIS framework, not the modeling code)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            sub_norms=True,
         )
     if mt == "bloom":
         return ModelConfig(
@@ -2358,6 +2395,77 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             num_experts=hf_config.n_routed_experts,
             num_experts_per_tok=hf_config.num_experts_per_tok,
             n_shared_experts=hf_config.n_shared_experts,
+            first_k_dense=hf_config.first_k_dense_replace,
+            router_kind="deepseek_v3",
+            n_group=hf_config.n_group or 1,
+            topk_group=hf_config.topk_group or 1,
+            routed_scaling_factor=hf_config.routed_scaling_factor,
+            router_norm_topk=hf_config.norm_topk_prob,
+        )
+    if mt == "flex_olmo":
+        # allenai FlexOlmo: olmo2 block (post-only branch norms,
+        # whole-projection qk-norm) with a mixtral-style sparse MoE
+        # (softmax over all router logits, top-k, optional renorm)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            qk_norm="proj",
+            input_norms=False,
+            branch_norms=True,
+            num_experts=hf_config.num_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            router_kind="mixtral",
+            router_norm_topk=getattr(hf_config, "norm_topk_prob", False),
+        )
+    if mt == "dots1":
+        # rednote dots.llm1: qwen3-style attention (per-head rms qk-norm,
+        # full rotary, per-layer sliding/full in layer_types) + deepseek-v3
+        # MoE (sigmoid noaux-tc routing with e_score correction bias, group
+        # top2sum masking, shared experts, dense first-k layers)
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.hidden_act,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            attn_bias=getattr(hf_config, "attention_bias", False),
+            qk_norm="head",
+            head_dim_override=getattr(hf_config, "head_dim", None),
+            sliding_window=hf_config.sliding_window,
+            layer_types=(tuple(hf_config.layer_types)
+                         if getattr(hf_config, "layer_types", None)
+                         else None),
+            num_experts=hf_config.n_routed_experts or 0,
+            num_experts_per_tok=hf_config.num_experts_per_tok or 2,
+            n_shared_experts=hf_config.n_shared_experts or 0,
             first_k_dense=hf_config.first_k_dense_replace,
             router_kind="deepseek_v3",
             n_group=hf_config.n_group or 1,

@@ -261,6 +261,10 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
                 "v": _linear(sd, lp + "self_attn.v_proj", dtype),
                 "o": _linear(sd, lp + "self_attn.o_proj", dtype),
             }
+            if lp + "self_attn.attn_sub_norm.weight" in sd:  # bitnet
+                attn["o_norm"] = _ln(sd, lp + "self_attn.attn_sub_norm",
+                                     dtype)
+                mlp["down_norm"] = _ln(sd, lp + "mlp.ffn_sub_norm", dtype)
             if lp + "self_attn.q_norm.weight" in sd:  # qwen3/olmo2 qk-norm
                 attn["q_norm"] = _ln(sd, lp + "self_attn.q_norm", dtype)
                 attn["k_norm"] = _ln(sd, lp + "self_attn.k_norm", dtype)

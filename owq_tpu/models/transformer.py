@@ -660,6 +660,9 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
         ctx = (ctx.astype(jnp.float32)
                * jax.nn.sigmoid(attn_gate.astype(jnp.float32))
                ).astype(ctx.dtype)
+    if cfg.sub_norms:  # bitnet attn_sub_norm (before the tap so Hessians
+        # for o-proj quantization see the true layer input)
+        ctx = rmsnorm(ctx, attn_p["o_norm"]["w"], cfg.norm_eps)
     if "attn.o" in taps:
         tapped["attn.o"] = ctx
     attn_out = _lin(attn_p["o"], ctx, kernel)
@@ -1052,6 +1055,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                     _lin(mlp["shared_gate"], x_ln2, kernel).astype(
                         jnp.float32)).astype(shared_out.dtype)
             mlp_out = mlp_out + shared_out
+        if cfg.branch_norms:  # flex_olmo: post_feedforward_layernorm
+            mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
         if cfg.residual_multiplier is not None:
             mlp_out = mlp_out * cfg.residual_multiplier
         if alpha_beta is not None:
@@ -1072,6 +1077,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             g = _lin(mlp["gate"], x_ln2, kernel)
             u = _lin(mlp["up"], x_ln2, kernel)
         h = activation(g, cfg.activation) * u
+        if cfg.sub_norms:  # bitnet ffn_sub_norm
+            h = rmsnorm(h, mlp["down_norm"]["w"], cfg.norm_eps)
         if "mlp.down" in taps:
             tapped["mlp.down"] = h
         mlp_out = _lin(mlp["down"], h, kernel)

@@ -1217,3 +1217,64 @@ def tiny_biogpt(vocab=97, hidden=32, inter=64, layers=2, heads=4,
     )
     model = BioGptForCausalLM(cfg).eval()
     return model
+
+
+def tiny_bitnet(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                kv_heads=2, max_pos=64, seed=0):
+    from transformers import BitNetConfig, BitNetForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = BitNetConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=max_pos,
+        rms_norm_eps=1e-6, hidden_act="relu2", tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = BitNetForCausalLM(cfg).eval()
+    return model
+
+
+def tiny_dots1(vocab=97, hidden=32, inter=48, moe_inter=24, layers=3,
+               heads=4, kv_heads=2, experts=4, shared=1, top_k=2,
+               n_group=2, topk_group=1, first_k_dense=1, window=8,
+               max_pos=64, seed=0):
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Dots1Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        moe_intermediate_size=moe_inter, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        n_routed_experts=experts, n_shared_experts=shared,
+        num_experts_per_tok=top_k, n_group=n_group, topk_group=topk_group,
+        first_k_dense_replace=first_k_dense, norm_topk_prob=True,
+        routed_scaling_factor=1.5, sliding_window=window,
+        layer_types=["sliding_attention", "full_attention",
+                     "full_attention"][:layers],
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = Dots1ForCausalLM(cfg).eval()
+    # the e_score correction bias buffer ships non-zero in real checkpoints
+    for layer in model.model.layers[first_k_dense:]:
+        layer.mlp.gate.e_score_correction_bias.uniform_(-0.05, 0.05)
+    return model
+
+
+def tiny_flex_olmo(vocab=97, hidden=32, inter=48, layers=2, heads=4,
+                   kv_heads=2, experts=4, top_k=2, max_pos=64, seed=0):
+    from transformers import FlexOlmoConfig, FlexOlmoForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = FlexOlmoConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, num_experts=experts,
+        num_experts_per_tok=top_k, norm_topk_prob=False,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        pad_token_id=0,  # the config default is outside the tiny vocab
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = FlexOlmoForCausalLM(cfg).eval()
+    return model

@@ -305,7 +305,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "apertus", "ernie-moe", "gemma-3",
                                     "olmo-3", "gpt-neo", "codegen",
                                     "recurrentgemma", "ministral",
-                                    "vaultgemma", "xglm", "biogpt"])
+                                    "vaultgemma", "xglm", "biogpt",
+                                    "bitnet", "dots1", "flex-olmo"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -398,6 +399,9 @@ def test_quantize_new_families(calib, family):
         "vaultgemma": lambda: hf_tiny.tiny_vaultgemma(),
         "xglm": lambda: hf_tiny.tiny_xglm(),
         "biogpt": lambda: hf_tiny.tiny_biogpt(),
+        "bitnet": lambda: hf_tiny.tiny_bitnet(),
+        "dots1": lambda: hf_tiny.tiny_dots1(),
+        "flex-olmo": lambda: hf_tiny.tiny_flex_olmo(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -1299,3 +1299,27 @@ def test_biogpt_parity(rng):
     model = hf_tiny.tiny_biogpt()
     ids = rng.integers(0, 97, size=(2, 12))
     _parity(model, ids)
+
+
+def test_bitnet_parity(rng):
+    # llama block + attn_sub_norm before o_proj and ffn_sub_norm before
+    # down_proj; relu2 MLP activation
+    model = hf_tiny.tiny_bitnet()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids)
+
+
+def test_dots1_parity(rng):
+    # qwen3-style per-head qk-norm + sliding layer_types; deepseek-v3
+    # sigmoid noaux-tc MoE with shared experts and a dense first layer
+    model = hf_tiny.tiny_dots1(window=8)
+    ids = rng.integers(0, 97, size=(2, 14))
+    _parity(model, ids)
+
+
+def test_flex_olmo_parity(rng):
+    # olmo2 post-only branch norms + whole-projection qk-norm, with a
+    # mixtral-routed (unnormalized top-k) sparse MoE
+    model = hf_tiny.tiny_flex_olmo()
+    ids = rng.integers(0, 97, size=(2, 12))
+    _parity(model, ids)
