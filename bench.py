@@ -114,13 +114,15 @@ def main() -> None:
         eng = Engine(params, cfg, max_batch=args.batch,
                      max_len=args.tokens + 32, kernel=kernel,
                      prompt_buckets=(32,))
-        # warmup must compile the same decode window as the measured run
-        eng.run(prompts[:2], max_new_tokens=16)
-        eng2 = Engine(params, cfg, max_batch=args.batch,
-                      max_len=args.tokens + 32, kernel=kernel,
-                      prompt_buckets=(32,))
-        eng2.run(prompts, max_new_tokens=args.tokens)
-        tps = eng2.stats["throughput_tok_s"]
+        # warmup compiles every decode-window variant the measured run
+        # uses; the measurement then reuses the SAME engine (steady-state
+        # serving throughput — a server compiles once and serves forever;
+        # a fresh Engine would re-trace the whole model inside the timed
+        # window and measure jax tracing, not the chip)
+        eng.run(prompts[:2], max_new_tokens=args.tokens)
+        eng.reset_stats()
+        eng.run(prompts, max_new_tokens=args.tokens)
+        tps = eng.stats["throughput_tok_s"]
         result = {
             "metric": f"{name}_{args.bits}.01bit_engine_b{args.batch}",
             "value": round(tps, 2),

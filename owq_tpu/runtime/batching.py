@@ -332,6 +332,11 @@ class Engine:
         self.stats = {"generated_tokens": 0, "steps": 0, "prefills": 0}
 
     # -- public api ----------------------------------------------------
+    def reset_stats(self) -> None:
+        """Zero the throughput counters (e.g. after a warmup run, so a
+        measurement window reflects steady-state serving only)."""
+        self.stats = {"generated_tokens": 0, "steps": 0, "prefills": 0}
+
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
         rid = self._next_rid
         self._next_rid += 1
