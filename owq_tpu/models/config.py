@@ -146,6 +146,12 @@ class ModelConfig:
     mamba_chunk: int = 256
     mamba_norm_mode: str = "gated_rms"
     mamba_version: int = 2          # 2 = SSD; 1 = selective scan (jamba)
+    # zamba2: hybrid layers run a SHARED transformer block as a prefix on
+    # concat([x, embeddings]); its output (through a per-layer linear) is
+    # added to the mamba input (Zamba2HybridLayer).  The shared weights are
+    # materialized per hybrid layer at import with the per-layer LoRA
+    # adapters folded in.
+    zamba_block: bool = False
     mamba_inner: int = 0            # mamba-1 inner width (expand * hidden)
     mamba_dt_rank: int = 0          # mamba-1 low-rank dt projection
     mamba_bcdt_rms_eps: Optional[float] = None  # falcon-mamba weightless rms
@@ -206,7 +212,10 @@ class ModelConfig:
                          n_groups=self.mamba_n_groups,
                          chunk_size=self.mamba_chunk,
                          intermediate=self.mamba_heads * self.mamba_head_dim,
-                         activation=self.activation,
+                         # zamba2's mixer is always silu even though the
+                         # shared-block MLP uses cfg.activation (gelu)
+                         activation=("silu" if self.zamba_block
+                                     else self.activation),
                          norm_mode=self.mamba_norm_mode)
 
     @property
@@ -500,6 +509,22 @@ ARCH_REGISTRY["bamba"] = ArchSpec(
                 ("attn.o", "mamba.out_proj"), ("mlp.up", "mlp.gate"),
                 ("mlp.down",)),
 )
+# zamba2: shared-transformer prefix (fused gate_up + per-layer linear) on
+# hybrid layers + mamba2 mixer on every layer
+ARCH_REGISTRY["zamba2"] = ArchSpec(
+    family="zamba2",
+    map_layer={"q": "attn.q", "k": "attn.k", "v": "attn.v", "o": "attn.o",
+               "in_proj": "mamba.in_proj", "out_proj": "mamba.out_proj",
+               "gate_up": "zshared.gateup", "down": "zshared.down",
+               "linear": "zshared.proj"},
+    ratios={"attn.q": 1.0, "attn.k": 1.0, "attn.v": 1.0, "attn.o": 1.0,
+            "mamba.in_proj": 1.0, "mamba.out_proj": 1.0,
+            "zshared.gateup": 0.375, "zshared.down": 0.375,
+            "zshared.proj": 1.0},
+    sequential=(("attn.q", "attn.k", "attn.v", "mamba.in_proj"),
+                ("attn.o", "mamba.out_proj"), ("zshared.gateup",),
+                ("zshared.down",), ("zshared.proj",)),
+)
 # llama4: llama-shaped linear set
 ARCH_REGISTRY["llama4"] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                               family="llama4")
@@ -629,6 +654,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["lfm2"]
     if "apertus" in name:
         return ARCH_REGISTRY["nemotron"]
+    if "zamba" in name:
+        return ARCH_REGISTRY["zamba2"]
     if "jamba" in name:
         return ARCH_REGISTRY["jamba"]
     if "bamba" in name or "codestral" in name or "mamba2" in name:
@@ -2401,6 +2428,49 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             topk_group=hf_config.topk_group or 1,
             routed_scaling_factor=hf_config.routed_scaling_factor,
             router_norm_topk=hf_config.norm_topk_prob,
+        )
+    if mt == "zamba2":
+        # Zyphra Zamba2: every layer is a mamba2 mixer; "hybrid" layers
+        # additionally run a SHARED transformer block (attention over
+        # concat([x, embeddings]) — in-width 2*hidden, scale
+        # (head_dim/2)^-0.5 — then a fused gate|up MLP) whose output goes
+        # through a per-layer linear and is added to the mamba input.
+        # Shared-block weights are materialized per hybrid layer at import
+        # with the per-layer LoRA adapters folded in (exact: the adapters
+        # are plain linears), so OWQ quantizes each hybrid layer with its
+        # own Hessians.
+        L = hf_config.num_hidden_layers
+        lt = tuple("hybrid_mamba" if t == "hybrid" else "mamba"
+                   for t in hf_config.layers_block_type)
+        return ModelConfig(
+            family="zamba2",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=L,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        True),
+            activation=hf_config.hidden_act,  # shared-block MLP (gelu)
+            pos_embedding="rope",
+            rope_layers=(None if hf_config.use_mem_rope else (0,) * L),
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            head_dim_override=hf_config.attention_head_dim,
+            attn_scale_override=hf_config.attention_head_dim / 2,
+            layer_types=lt,
+            zamba_block=True,
+            mamba_heads=hf_config.n_mamba_heads,
+            mamba_head_dim=hf_config.mamba_headdim,
+            mamba_d_state=hf_config.mamba_d_state,
+            mamba_d_conv=hf_config.mamba_d_conv,
+            mamba_n_groups=hf_config.mamba_ngroups,
+            mamba_chunk=getattr(hf_config, "chunk_size", 256),
+            mamba_norm_mode="grouped_after",
         )
     if mt == "flex_olmo":
         # allenai FlexOlmo: olmo2 block (post-only branch norms,

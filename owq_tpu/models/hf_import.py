@@ -633,6 +633,80 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "zamba2":
+        # Every layer is a mamba2 mixer; hybrid layers add the SHARED
+        # transformer block (Zamba2HybridLayer).  HF registers the shared
+        # module under every hybrid layer's path, so each layer reads its
+        # own copy; the per-layer LoRA adapters (index = this layer's
+        # hybrid ordinal) are folded into the copied base weights
+        # (W + B@A — exact, the adapters are plain linears), giving each
+        # hybrid layer independent dense weights for OWQ.
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "final_layernorm", dtype)
+        layers = []
+        hybrid_idx = 0
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            hyb = lp + "shared_transformer.input_layernorm.weight" in sd
+            mp = lp + ("mamba_decoder." if hyb else "")
+            cw = _np(sd[mp + "mamba.conv1d.weight"])  # [conv_dim, 1, K]
+            mm = {
+                "in_proj": _linear(sd, mp + "mamba.in_proj", dtype),
+                "conv_w": jnp.asarray(cw[:, 0, :].T, jnp.float32),
+                "dt_bias": jnp.asarray(_np(sd[mp + "mamba.dt_bias"]),
+                                       jnp.float32),
+                "A_log": jnp.asarray(_np(sd[mp + "mamba.A_log"]),
+                                     jnp.float32),
+                "D": jnp.asarray(_np(sd[mp + "mamba.D"]), jnp.float32),
+                "norm_w": jnp.asarray(_np(sd[mp + "mamba.norm.weight"]),
+                                      jnp.float32),
+                "out_proj": _linear(sd, mp + "mamba.out_proj", dtype),
+            }
+            if mp + "mamba.conv1d.bias" in sd:
+                mm["conv_b"] = jnp.asarray(
+                    _np(sd[mp + "mamba.conv1d.bias"]), jnp.float32)
+            blk: Dict[str, Any] = {
+                "ln1": _ln(sd, mp + "input_layernorm", dtype),
+                "mamba": mm,
+            }
+            if hyb:
+                st = lp + "shared_transformer."
+                h = hybrid_idx
+                hybrid_idx += 1
+
+                def fold(prefix, adapters):
+                    w = _np(sd[prefix + ".weight"])
+                    a0 = f"{adapters}.{h}.0.weight"
+                    if a0 in sd:  # rank-r adapter: W + B @ A
+                        w = w + _np(sd[f"{adapters}.{h}.1.weight"]
+                                    ) @ _np(sd[a0])
+                    b = sd.get(prefix + ".bias")
+                    return DenseLinear(
+                        w=jnp.asarray(w.T, dtype),
+                        b=None if b is None else jnp.asarray(_np(b), dtype))
+
+                sa = st + "self_attn."
+                blk["attn"] = {
+                    "q": fold(sa + "q_proj", sa + "linear_q_adapter_list"),
+                    "k": fold(sa + "k_proj", sa + "linear_k_adapter_list"),
+                    "v": fold(sa + "v_proj", sa + "linear_v_adapter_list"),
+                    "o": _linear(sd, sa + "o_proj", dtype),
+                }
+                blk["zshared"] = {
+                    "ln_in": _ln(sd, st + "input_layernorm", dtype),
+                    "ln2": _ln(sd, st + "pre_ff_layernorm", dtype),
+                    "gateup": fold(
+                        st + "feed_forward.gate_up_proj",
+                        st + "feed_forward.gate_up_proj_adapter_list"),
+                    "down": _linear(sd, st + "feed_forward.down_proj",
+                                    dtype),
+                    "proj": _linear(sd, lp + "linear", dtype),
+                }
+            layers.append(blk)
+        p["layers"] = layers
+
     elif fam == "jamba":
         base = "model."
         p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),

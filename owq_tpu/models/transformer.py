@@ -77,6 +77,10 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
     with shared experts) this is the union over layers — callers filter to
     the names actually present in each block.
     """
+    if cfg.zamba_block:
+        return ("attn.q", "attn.k", "attn.v", "attn.o", "zshared.gateup",
+                "zshared.down", "zshared.proj", "mamba.in_proj",
+                "mamba.out_proj")
     if (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
             or cfg.has_shortconv or cfg.has_griffin):
         names = ["attn.q", "attn.k", "attn.v", "attn.o"]
@@ -683,6 +687,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   ssm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                   alpha_beta: Optional[Tuple[float, float, float, float]]
                   = None,
+                  embed0: Optional[jnp.ndarray] = None,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -700,13 +705,45 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     tapped: Dict[str, jnp.ndarray] = {}
 
+    zs = blk.get("zshared")
+    z_kv = None
+    if zs is not None:
+        # zamba2 hybrid layer (Zamba2HybridLayer): the shared transformer
+        # block runs as a PREFIX on concat([x, embeddings]) — attention
+        # with in-width 2*hidden, then pre-ff norm, a fused gate|up MLP,
+        # and a per-layer linear — and its output is ADDED to x before the
+        # mamba layer below.  No residual adds inside the prefix itself.
+        cat = jnp.concatenate([x, embed0.astype(x.dtype)], axis=-1)
+        z = rmsnorm(cat, zs["ln_in"]["w"], cfg.norm_eps)
+        z_attn, zk, zv = _attention_part(
+            blk, cfg, z, x, B=B, T=T, mask_bias=mask_bias, rope=rope,
+            alibi=alibi, attn_temp=attn_temp, kv=kv, cache_at=cache_at,
+            kernel=kernel, taps=taps, tapped=tapped, tp_axis=tp_axis)
+        f = rmsnorm(z_attn, zs["ln2"]["w"], cfg.norm_eps)
+        if "zshared.gateup" in taps:
+            tapped["zshared.gateup"] = f
+        gu = _lin(zs["gateup"], f, kernel)
+        g, u = jnp.split(gu, 2, axis=-1)
+        hgu = activation(g, cfg.activation) * u
+        if "zshared.down" in taps:
+            tapped["zshared.down"] = hgu
+        t = _lin(zs["down"], hgu, kernel)
+        if "zshared.proj" in taps:
+            tapped["zshared.proj"] = t
+        z_add = _lin(zs["proj"], t, kernel)
+        z_kv = (zk, zv)
+        kv = None  # the attention cache was consumed by the prefix
+
     # OPT-350m style post-norm: LN applied after the residual add
     # (HF OPTDecoderLayer with do_layer_norm_before=False).
     pre_norm = cfg.do_layer_norm_before
 
     res = x
-    x_ln = (_norm(blk.get("ln1"), cfg, x)
-            if pre_norm and cfg.input_norms else x)
+    # zamba2: the prefix output is added to the NORM input only — the
+    # mamba residual stays the pre-add hidden (Zamba2MambaDecoderLayer)
+    norm_in = x if zs is None else x + z_add
+    x_ln = (_norm(blk.get("ln1"), cfg, norm_in)
+            if pre_norm and cfg.input_norms else norm_in)
     if alpha_beta is not None:  # minimax deepnorm-style residual
         res = x_ln
     conv_f = ssm_f = None
@@ -840,7 +877,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 taps=taps, valid_len=valid_len)
             tapped.update(t2)
         attn_reduced = True
-    elif "attn" in blk:
+    elif "attn" in blk and zs is None:
         attn_out, k_full, v_full = _attention_part(
             blk, cfg, x_ln, res, B=B, T=T, mask_bias=mask_bias,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
@@ -905,6 +942,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if "mlp" not in blk:  # pure-SSM blocks (mamba2 LMs): norm+mixer only
         if not pre_norm:
             x = _norm(blk.get("ln1"), cfg, x)
+        if z_kv is not None:  # zamba2 hybrid: dual (attention + ssm) cache
+            return x, ((z_kv[0], k_full), (z_kv[1], v_full)), tapped
         return x, (k_full, v_full), tapped
     if not pre_norm:
         x = _norm(blk.get("ln1"), cfg, x)
@@ -1245,6 +1284,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         positions = start_vec[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
 
     x = embed(params, cfg, input_ids, positions, dtype=dtype)
+    embed0 = x if cfg.zamba_block else None  # zamba2 shared-block input
 
     if cache is None:
         kv_pos = positions
@@ -1308,7 +1348,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             alibi=alibi, attn_temp=layer_attn_temp(cfg, temp, i),
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis, ssm=ssm_in,
-            alpha_beta=layer_alpha_beta(cfg, i))
+            alpha_beta=layer_alpha_beta(cfg, i), embed0=embed0)
         if cache is not None:
             if is_dual:
                 (kf, cf), (vf, sf) = kf, vf

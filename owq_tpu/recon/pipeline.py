@@ -191,7 +191,7 @@ def calibration_inputs(params: Dict[str, Any], cfg: ModelConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "taps"))
 def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
-                  taps: tuple, alpha_beta=None):
+                  taps: tuple, alpha_beta=None, embed0=None):
     """One pass over a chunk: per-tap X^T X (f32) + block outputs."""
     B = x.shape[0]
     mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
@@ -206,7 +206,7 @@ def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
         temp_b = jnp.broadcast_to(temp, (B,) + temp.shape[1:])
     y, _, tapped = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
                                  alibi=alibi_b, attn_temp=temp_b, taps=taps,
-                                 alpha_beta=alpha_beta)
+                                 alpha_beta=alpha_beta, embed0=embed0)
     outers = {}
     for name, act in tapped.items():
         a = act.reshape(-1, act.shape[-1]).astype(jnp.float32)
@@ -216,7 +216,7 @@ def _tap_hessians(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
-               alpha_beta=None):
+               alpha_beta=None, embed0=None):
     B = x.shape[0]
     mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
     rope_b = None
@@ -230,7 +230,7 @@ def _block_out(blk, cfg: ModelConfig, x, mask, rope, alibi, temp,
         temp_b = jnp.broadcast_to(temp, (B,) + temp.shape[1:])
     y, _, _ = block_forward(blk, cfg, x, mask_bias=mask_b, rope=rope_b,
                             alibi=alibi_b, attn_temp=temp_b,
-                            alpha_beta=alpha_beta)
+                            alpha_beta=alpha_beta, embed0=embed0)
     return y
 
 
@@ -273,6 +273,12 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
 
     x, aux = calibration_inputs(params, cfg, input_ids, dtype=dtype)
     ns = x.shape[0]
+    # zamba2: every hybrid block also reads the embedding output directly
+    # (shared-transformer prefix input); keep the block-0 activations
+    embed0 = x if cfg.zamba_block else None
+
+    def e0(s):
+        return None if embed0 is None else jnp.asarray(embed0[s:s + chunk])
     quantizers: Dict[str, QuantInfo] = {}
     if resume_dir:
         import os
@@ -301,7 +307,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                                aux["masks"][li],
                                layer_rope(cfg, aux["rope"], li), aux["alibi"],
                                layer_attn_temp(cfg, aux["temp"], li),
-                           layer_alpha_beta(cfg, li))
+                               layer_alpha_beta(cfg, li), e0(s))
                 outs.append(np.asarray(y) if offload else y)
             x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
             if offload:
@@ -321,7 +327,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                                           aux["alibi"],
                                           layer_attn_temp(cfg, aux["temp"],
                                                           li), taps,
-                                          layer_alpha_beta(cfg, li))
+                                          layer_alpha_beta(cfg, li), e0(s))
                 for n in taps:
                     hessians[n] = outers[n] if hessians[n] is None else hessians[n] + outers[n]
 
@@ -368,7 +374,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
                            aux["masks"][li], layer_rope(cfg, aux["rope"], li),
                            aux["alibi"],
                            layer_attn_temp(cfg, aux["temp"], li),
-                           layer_alpha_beta(cfg, li))
+                           layer_alpha_beta(cfg, li), e0(s))
             outs.append(np.asarray(y) if offload else y)
         x = (np.concatenate if offload else jnp.concatenate)(outs, axis=0)
         if offload:

@@ -1278,3 +1278,29 @@ def tiny_flex_olmo(vocab=97, hidden=32, inter=48, layers=2, heads=4,
     )
     model = FlexOlmoForCausalLM(cfg).eval()
     return model
+
+
+def tiny_zamba2(vocab=97, hidden=32, inter=64, layers=5, heads=4,
+                kv_heads=4, head_dim=16, mamba_heads=8, mamba_headdim=8,
+                d_state=16, n_groups=1, mem_blocks=2, adapters=True,
+                rope=True, max_pos=64, seed=0):
+    from transformers import Zamba2Config
+    from transformers.models.zamba2.modeling_zamba2 import Zamba2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Zamba2Config(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, attention_head_dim=head_dim,
+        mamba_headdim=mamba_headdim, n_mamba_heads=mamba_heads,
+        mamba_ngroups=n_groups, mamba_d_state=d_state, mamba_d_conv=4,
+        mamba_expand=2, num_mem_blocks=mem_blocks, use_mem_rope=rope,
+        use_shared_attention_adapter=adapters, adapter_rank=4,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-5,
+        pad_token_id=0,
+        layers_block_type=["mamba", "hybrid", "mamba", "hybrid",
+                           "hybrid"][:layers],
+        attn_implementation="eager",
+    )
+    model = Zamba2ForCausalLM(cfg).eval()
+    return model

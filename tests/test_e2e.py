@@ -306,7 +306,8 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "olmo-3", "gpt-neo", "codegen",
                                     "recurrentgemma", "ministral",
                                     "vaultgemma", "xglm", "biogpt",
-                                    "bitnet", "dots1", "flex-olmo"])
+                                    "bitnet", "dots1", "flex-olmo",
+                                    "zamba2"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -402,6 +403,7 @@ def test_quantize_new_families(calib, family):
         "bitnet": lambda: hf_tiny.tiny_bitnet(),
         "dots1": lambda: hf_tiny.tiny_dots1(),
         "flex-olmo": lambda: hf_tiny.tiny_flex_olmo(),
+        "zamba2": lambda: hf_tiny.tiny_zamba2(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

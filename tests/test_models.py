@@ -1323,3 +1323,39 @@ def test_flex_olmo_parity(rng):
     model = hf_tiny.tiny_flex_olmo()
     ids = rng.integers(0, 97, size=(2, 12))
     _parity(model, ids)
+
+
+def test_zamba2_parity(rng):
+    # shared transformer blocks (2 mem blocks cycled over 3 hybrid layers)
+    # as prefixes on concat([x, embeddings]), per-layer LoRA adapters
+    # folded into the materialized per-layer weights, per-layer output
+    # linear, mamba2 mixer on every layer
+    model = hf_tiny.tiny_zamba2()
+    ids = rng.integers(0, 97, size=(2, 12)).astype(np.int32)
+    _parity(model, ids)
+
+
+def test_zamba2_norope_parity(rng):
+    # use_mem_rope=False checkpoints: NoPE shared-attention layers
+    model = hf_tiny.tiny_zamba2(rope=False, adapters=False, mem_blocks=1,
+                                seed=1)
+    ids = rng.integers(0, 97, size=(2, 10)).astype(np.int32)
+    _parity(model, ids)
+
+
+def test_zamba2_cache_decode_matches_full(rng):
+    # dual cache on hybrid layers: shared-attention KV next to the mamba
+    # conv/ssm states
+    model = hf_tiny.tiny_zamba2()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=1e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
