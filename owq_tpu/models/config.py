@@ -509,6 +509,17 @@ ARCH_REGISTRY["bamba"] = ArchSpec(
                 ("attn.o", "mamba.out_proj"), ("mlp.up", "mlp.gate"),
                 ("mlp.down",)),
 )
+# jetmoe: mixture-of-attention (per-expert q/out pairs + one shared fused
+# kv) and MoE MLP, both with jetmoe top-k gating
+ARCH_REGISTRY["jetmoe"] = ArchSpec(
+    family="jetmoe",
+    map_layer={"kv_proj": "attn.kv", "q": "moa.q", "out": "moa.out",
+               "gate": "mlp.gate", "up": "mlp.up", "down": "mlp.down"},
+    ratios={"attn.kv": 1.0, "moa.q": 1.0, "moa.out": 1.0,
+            "mlp.gate": 0.375, "mlp.up": 0.375, "mlp.down": 0.375},
+    sequential=(("attn.kv", "moa.q"), ("moa.out",), ("mlp.gate", "mlp.up"),
+                ("mlp.down",)),
+)
 # zamba2: shared-transformer prefix (fused gate_up + per-layer linear) on
 # hybrid layers + mamba2 mixer on every layer
 ARCH_REGISTRY["zamba2"] = ArchSpec(
@@ -654,6 +665,8 @@ def arch_for_model(model_name: str) -> ArchSpec:
         return ARCH_REGISTRY["lfm2"]
     if "apertus" in name:
         return ARCH_REGISTRY["nemotron"]
+    if "jetmoe" in name:
+        return ARCH_REGISTRY["jetmoe"]
     if "zamba" in name:
         return ARCH_REGISTRY["zamba2"]
     if "jamba" in name:
@@ -2428,6 +2441,32 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
             topk_group=hf_config.topk_group or 1,
             routed_scaling_factor=hf_config.routed_scaling_factor,
             router_norm_topk=hf_config.norm_topk_prob,
+        )
+    if mt == "jetmoe":
+        # JetMoE-8B: sparse MoE in BOTH positions — the MLP and the
+        # attention itself (MoA: per-token top-k (q-proj, out-proj) expert
+        # pairs over one shared fused kv projection).  num_heads is the
+        # kv-head count: queries materialize per expert.
+        return ModelConfig(
+            family="jetmoe",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_key_value_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=hf_config.tie_word_embeddings,
+            activation=hf_config.activation_function,
+            pos_embedding="rope",
+            norm_type="rmsnorm",
+            gated_mlp=True,
+            head_dim_override=hf_config.kv_channels,
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+            router_kind="gpt_oss",  # top-k logits, softmax over selected
         )
     if mt == "zamba2":
         # Zyphra Zamba2: every layer is a mamba2 mixer; "hybrid" layers

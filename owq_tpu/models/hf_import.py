@@ -633,6 +633,54 @@ def params_from_state_dict(sd: Dict[str, Any], cfg: ModelConfig,
             layers.append(blk)
         p["layers"] = layers
 
+    elif fam == "jetmoe":
+        # MoA (per-expert q/out pairs + shared fused kv + output bias) and
+        # MoE MLP (fused [E, 2*ffn, hid] input_linear split to per-expert
+        # gate|up + output bias), both with router.layer gating
+        base = "model."
+        p["embed_tokens"] = jnp.asarray(_np(sd[base + "embed_tokens.weight"]),
+                                        dtype)
+        p["final_norm"] = _ln(sd, base + "norm", dtype)
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{base}layers.{i}."
+            ap = lp + "self_attention.experts."
+            qiw = _np(sd[ap + "input_linear.weight"])    # [E, Hkv*hd, hid]
+            qow = _np(sd[ap + "output_linear.weight"])   # [E, hid, Hkv*hd]
+            moa = {
+                "router": _linear(sd, ap + "router.layer", dtype),
+                "kv": _linear(sd, lp + "self_attention.kv_proj", dtype),
+                "bias": jnp.asarray(_np(sd[ap + "bias"]), dtype),
+                "experts": [
+                    {"q": DenseLinear(w=jnp.asarray(qiw[e].T, dtype),
+                                      b=None),
+                     "out": DenseLinear(w=jnp.asarray(qow[e].T, dtype),
+                                        b=None)}
+                    for e in range(cfg.num_experts)],
+            }
+            miw = _np(sd[lp + "mlp.input_linear.weight"])   # [E, 2f, hid]
+            mow = _np(sd[lp + "mlp.output_linear.weight"])  # [E, hid, f]
+            ffn = miw.shape[1] // 2
+            mlp = {
+                "router": _linear(sd, lp + "mlp.router.layer", dtype),
+                "out_bias": jnp.asarray(_np(sd[lp + "mlp.bias"]), dtype),
+                "experts": [
+                    {"gate": DenseLinear(w=jnp.asarray(miw[e][:ffn].T,
+                                                       dtype), b=None),
+                     "up": DenseLinear(w=jnp.asarray(miw[e][ffn:].T, dtype),
+                                       b=None),
+                     "down": DenseLinear(w=jnp.asarray(mow[e].T, dtype),
+                                         b=None)}
+                    for e in range(cfg.num_experts)],
+            }
+            layers.append({
+                "ln1": _ln(sd, lp + "input_layernorm", dtype),
+                "ln2": _ln(sd, lp + "post_attention_layernorm", dtype),
+                "moa": moa,
+                "mlp": mlp,
+            })
+        p["layers"] = layers
+
     elif fam == "zamba2":
         # Every layer is a mamba2 mixer; hybrid layers add the SHARED
         # transformer block (Zamba2HybridLayer).  HF registers the shared

@@ -81,6 +81,13 @@ def quantizable_names(cfg: ModelConfig) -> Tuple[str, ...]:
         return ("attn.q", "attn.k", "attn.v", "attn.o", "zshared.gateup",
                 "zshared.down", "zshared.proj", "mamba.in_proj",
                 "mamba.out_proj")
+    if cfg.family == "jetmoe":
+        names = ["attn.kv"]
+        for e in range(cfg.num_experts):
+            names += [f"moa.experts.{e}.q", f"moa.experts.{e}.out",
+                      f"mlp.experts.{e}.gate", f"mlp.experts.{e}.up",
+                      f"mlp.experts.{e}.down"]
+        return tuple(names)
     if (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
             or cfg.has_shortconv or cfg.has_griffin):
         names = ["attn.q", "attn.k", "attn.v", "attn.o"]
@@ -673,6 +680,80 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     return attn_out, k_full, v_full
 
 
+def _moa_part(blk, cfg: ModelConfig, x_ln, *, B, T, mask_bias, rope, kv,
+              cache_at, kernel, taps, tapped):
+    """JetMoE mixture-of-attention (JetMoeMoA/JetMoeAttention): per-token
+    top-k attention experts, each a (q-projection, out-projection) pair
+    sharing ONE fused kv projection.  Computed densely: every expert's
+    queries attend (E*Hkv heads vs the shared Hkv kv heads) and each
+    expert's out-projection is weighted by its routing probability
+    (softmax over the top-k router logits; 0 when not selected) — exactly
+    the HF grouped-scatter computation, MXU-shaped and static.
+    Returns (attn_out, k_full, v_full)."""
+    ma = blk["moa"]
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
+    Hkv, hd = cfg.num_kv_heads, cfg.head_dim
+
+    logits = _lin(ma["router"], x_ln, kernel).astype(jnp.float32)
+    topl, topi = jax.lax.top_k(logits, K)
+    topv = jax.nn.softmax(topl, axis=-1)           # jetmoe top-k gating
+
+    if "attn.kv" in taps:
+        tapped["attn.kv"] = x_ln
+    kvp = _lin(ma["kv"], x_ln, kernel)
+    k, v = jnp.split(kvp, 2, axis=-1)
+    k = k.reshape(B, T, Hkv, hd)
+    v = v.reshape(B, T, Hkv, hd)
+
+    w_es = []
+    qs = []
+    for e in range(E):
+        w_e = jnp.sum(jnp.where(topi == e, topv, 0.0), axis=-1)   # [B,T]
+        w_es.append(w_e)
+        tn = f"moa.experts.{e}.q"
+        if tn in taps:  # routing-weighted Hessians (cf. mixtral experts)
+            tapped[tn] = x_ln * jnp.sqrt(w_e)[..., None].astype(x_ln.dtype)
+        qs.append(_lin(ma["experts"][e]["q"], x_ln, kernel
+                       ).reshape(B, T, Hkv, hd))
+    # kv-head-major head order [h0e0, h0e1, ...] so attention_core's
+    # interleaved GQA repeat pairs every expert with its kv head
+    q_all = jnp.stack(qs, axis=3).reshape(B, T, Hkv * E, hd)
+    if rope is not None:
+        q_all, k = apply_rope(q_all, k, *rope, style=cfg.rope_style)
+
+    if kv is not None:
+        k_cache, v_cache = kv
+        if B == 1 or k_cache.shape[0] == 1:
+            upd = lambda c, n: jax.lax.dynamic_update_slice(
+                c, n, (0, cache_at) + (0,) * (c.ndim - 2))
+        else:
+            bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+            sidx = cache_at[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            upd = lambda c, n: c.at[bidx, sidx].set(n)
+        k_full = upd(k_cache, k.astype(k_cache.dtype))
+        v_full = upd(v_cache, v.astype(v_cache.dtype))
+        k_att = k_full.astype(x_ln.dtype)
+        v_att = v_full.astype(x_ln.dtype)
+    else:
+        k_full, v_full = k, v
+        k_att, v_att = k, v
+
+    ctx = attention_core(q_all, k_att, v_att, mask_bias, hd ** -0.5)
+    ctx = ctx.reshape(B, T, Hkv, E, hd).transpose(0, 1, 3, 2, 4)
+    ctx = ctx.reshape(B, T, E, Hkv * hd)
+    attn_out = jnp.broadcast_to(ma["bias"].astype(x_ln.dtype),
+                                (B, T, ma["bias"].shape[-1]))
+    for e in range(E):
+        w_e = w_es[e][..., None].astype(x_ln.dtype)
+        tn = f"moa.experts.{e}.out"
+        if tn in taps:
+            tapped[tn] = ctx[:, :, e] * jnp.sqrt(
+                w_es[e])[..., None].astype(x_ln.dtype)
+        attn_out = attn_out + w_e * _lin(ma["experts"][e]["out"],
+                                         ctx[:, :, e], kernel)
+    return attn_out, k_full, v_full
+
+
 def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   mask_bias: jnp.ndarray,
                   rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
@@ -877,6 +958,11 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                 taps=taps, valid_len=valid_len)
             tapped.update(t2)
         attn_reduced = True
+    elif "moa" in blk:  # jetmoe mixture-of-attention
+        attn_out, k_full, v_full = _moa_part(
+            blk, cfg, x_ln, B=B, T=T, mask_bias=mask_bias, rope=rope,
+            kv=kv, cache_at=cache_at, kernel=kernel, taps=taps,
+            tapped=tapped)
     elif "attn" in blk and zs is None:
         attn_out, k_full, v_full = _attention_part(
             blk, cfg, x_ln, res, B=B, T=T, mask_bias=mask_bias,
@@ -1094,6 +1180,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                     _lin(mlp["shared_gate"], x_ln2, kernel).astype(
                         jnp.float32)).astype(shared_out.dtype)
             mlp_out = mlp_out + shared_out
+        if "out_bias" in mlp:  # jetmoe MoE output bias
+            mlp_out = mlp_out + mlp["out_bias"].astype(mlp_out.dtype)
         if cfg.branch_norms:  # flex_olmo: post_feedforward_layernorm
             mlp_out = _norm(blk.get("post_ln2"), cfg, mlp_out)
         if cfg.residual_multiplier is not None:

@@ -97,6 +97,8 @@ def _ratio_for(arch: ArchSpec, name: str) -> float:
     parts = name.split(".")
     if len(parts) == 4 and parts[:2] == ["mlp", "experts"]:
         return arch.ratios.get(f"mlp.{parts[3]}", 0.0)
+    if len(parts) == 4 and parts[:2] == ["moa", "experts"]:  # jetmoe
+        return arch.ratios.get(f"moa.{parts[3]}", 0.0)
     if len(parts) == 3 and parts[:2] == ["mlp", "shared"]:
         return arch.ratios.get(f"mlp.{parts[2]}", 0.0)
     return 0.0

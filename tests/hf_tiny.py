@@ -1304,3 +1304,21 @@ def tiny_zamba2(vocab=97, hidden=32, inter=64, layers=5, heads=4,
     )
     model = Zamba2ForCausalLM(cfg).eval()
     return model
+
+
+def tiny_jetmoe(vocab=97, hidden=32, inter=48, layers=2, kv_heads=4,
+                kv_channels=8, experts=4, top_k=2, max_pos=64, seed=0):
+    from transformers import JetMoeConfig
+    from transformers.models.jetmoe.modeling_jetmoe import JetMoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = JetMoeConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=top_k * kv_heads,
+        num_key_value_heads=kv_heads, kv_channels=kv_channels,
+        num_local_experts=experts, num_experts_per_tok=top_k,
+        max_position_embeddings=max_pos, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = JetMoeForCausalLM(cfg).eval()
+    return model

@@ -307,7 +307,7 @@ def test_quantize_moe_and_checkpoint_roundtrip(tmp_path, calib):
                                     "recurrentgemma", "ministral",
                                     "vaultgemma", "xglm", "biogpt",
                                     "bitnet", "dots1", "flex-olmo",
-                                    "zamba2"])
+                                    "zamba2", "jetmoe"])
 def test_quantize_new_families(calib, family):
     """GPTQ-OWQ end-to-end (quantize -> pack -> packed forward) on the
     beyond-reference families; fused-qkv taps and llama-shaped taps both."""
@@ -404,6 +404,7 @@ def test_quantize_new_families(calib, family):
         "dots1": lambda: hf_tiny.tiny_dots1(),
         "flex-olmo": lambda: hf_tiny.tiny_flex_olmo(),
         "zamba2": lambda: hf_tiny.tiny_zamba2(),
+        "jetmoe": lambda: hf_tiny.tiny_jetmoe(),
     }
     model = makers[family]()
     params, cfg = import_hf_model(model)

@@ -1359,3 +1359,28 @@ def test_zamba2_cache_decode_matches_full(rng):
                                     cache)
         np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_jetmoe_parity(rng):
+    # mixture-of-attention: per-token top-2 (q-proj, out-proj) expert
+    # pairs over one shared fused kv projection, plus a jetmoe-gated MoE
+    # MLP with output biases — computed densely (all experts, weighted)
+    model = hf_tiny.tiny_jetmoe()
+    ids = rng.integers(0, 97, size=(2, 12)).astype(np.int32)
+    _parity(model, ids)
+
+
+def test_jetmoe_cache_decode_matches_full(rng):
+    model = hf_tiny.tiny_jetmoe()
+    params, cfg = import_hf_model(model)
+    ids = rng.integers(0, 97, size=(1, 10)).astype(np.int32)
+    full = np.asarray(_fwd(params, cfg, jnp.asarray(ids)))
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, :6]), cache)
+    np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, 5],
+                               atol=1e-4, rtol=1e-3)
+    for t in range(6, 10):
+        logits, cache = _fwd_cached(params, cfg, jnp.asarray(ids[:, t:t + 1]),
+                                    cache)
+        np.testing.assert_allclose(np.asarray(logits)[:, -1], full[:, t],
+                                   atol=1e-4, rtol=1e-3)
