@@ -421,6 +421,19 @@ for _alias in ("mistral", "qwen2", "gemma", "mixtral", "phi3", "stablelm",
     ARCH_REGISTRY[_alias] = dataclasses.replace(ARCH_REGISTRY["llama"],
                                                 family=_alias)
 
+# granitemoe hybrid checkpoints (granite-4.0) put a mamba2 mixer on most
+# layers; include the mixer linears in the spec — sequential-group members
+# are intersected with the linears present per block, so plain granitemoe
+# is unaffected.
+ARCH_REGISTRY["granitemoe"] = dataclasses.replace(
+    ARCH_REGISTRY["granitemoe"],
+    ratios={**ARCH_REGISTRY["granitemoe"].ratios,
+            "mamba.in_proj": 1.0, "mamba.out_proj": 1.0},
+    sequential=(("attn.q", "attn.k", "attn.v", "mamba.in_proj"),
+                ("attn.o", "mamba.out_proj"), ("mlp.up", "mlp.gate"),
+                ("mlp.down",)),
+)
+
 # nemotron: llama-shaped attention, plain 2-layer relu² MLP (up/down)
 ARCH_REGISTRY["nemotron"] = ArchSpec(
     family="nemotron",

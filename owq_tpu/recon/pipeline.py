@@ -105,27 +105,47 @@ def _ratio_for(arch: ArchSpec, name: str) -> float:
 
 
 def _sequential_groups(arch: ArchSpec, cfg: ModelConfig):
-    """True-sequential quantization groups; MoE expands the family's mlp
-    groups across experts (gates+ups together, then downs — same dependency
-    order as the reference's llama grouping, model_config.json:29-34)."""
-    if not cfg.num_experts:
-        return arch.sequential
+    """True-sequential quantization groups (reference main.py:101-148 over
+    model_config.json ``sequential``).
+
+    The family ArchSpec's ``sequential`` is the dependency-ordered base.
+    MoE models expand each ``mlp.X`` member across routed experts
+    (``mlp.experts.{e}.X``) and the shared expert (``mlp.shared.X``) while
+    keeping the plain name — dense first-k blocks (deepseek/dots1) carry
+    plain ``mlp.gate/up/down``.  jetmoe's mixture-of-attention expands
+    ``moa.X`` -> ``moa.experts.{e}.X`` the same way.  Members are later
+    intersected with the linears present in each block, so over-expansion
+    never mis-taps (an MoE block has no plain ``mlp.gate`` linear — its
+    router lives at ``mlp.router`` which is not a quantization target).
+
+    Any quantizable name the family spec does not cover (e.g. a mixer
+    added to a family after its ArchSpec was written) is appended as a
+    trailing group rather than silently skipped — every quantizable linear
+    is always reconstructed.
+    """
     E = cfg.num_experts
-    if cfg.mla:
-        qkv = (("attn.q",) if cfg.q_lora_rank is None
-               else ("attn.q_a", "attn.q_b")) + ("attn.kv_a", "attn.kv_b")
-        gates_ups = ["mlp.gate", "mlp.up", "mlp.shared.gate", "mlp.shared.up"]
-        downs = ["mlp.down", "mlp.shared.down"]
-        gates_ups += [f"mlp.experts.{e}.{l}" for e in range(E)
-                      for l in ("gate", "up")]
-        downs += [f"mlp.experts.{e}.down" for e in range(E)]
-        return (qkv, ("attn.o",), tuple(gates_ups), tuple(downs))
-    qkv = (("attn.qkv",) if cfg.fused_qkv
-           else ("attn.q", "attn.k", "attn.v"))
-    return (qkv, ("attn.o",),
-            tuple(f"mlp.experts.{e}.{l}" for e in range(E)
-                  for l in ("gate", "up")),
-            tuple(f"mlp.experts.{e}.down" for e in range(E)))
+    if E:
+        groups = []
+        for group in arch.sequential:
+            g = []
+            for n in group:
+                g.append(n)
+                for prefix, expanded in (("mlp.", "mlp"), ("moa.", "moa")):
+                    if n.startswith(prefix) and "." not in n[len(prefix):]:
+                        leaf = n[len(prefix):]
+                        if expanded == "mlp":
+                            g.append(f"mlp.shared.{leaf}")
+                        g.extend(f"{expanded}.experts.{e}.{leaf}"
+                                 for e in range(E))
+            groups.append(tuple(g))
+        groups = tuple(groups)
+    else:
+        groups = arch.sequential
+    covered = {n for g in groups for n in g}
+    missing = tuple(n for n in quantizable_names(cfg) if n not in covered)
+    if missing:
+        groups = groups + (missing,)
+    return groups
 
 
 def outlier_budget(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
@@ -275,8 +295,12 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
 
     x, aux = calibration_inputs(params, cfg, input_ids, dtype=dtype)
     ns = x.shape[0]
+    if offload:
+        x = np.asarray(x)
     # zamba2: every hybrid block also reads the embedding output directly
-    # (shared-transformer prefix input); keep the block-0 activations
+    # (shared-transformer prefix input); keep the block-0 activations.
+    # Captured AFTER the offload move so it lives in host RAM there — e0()
+    # device_puts one chunk at a time, mirroring x's streaming.
     embed0 = x if cfg.zamba_block else None
 
     def e0(s):
@@ -286,8 +310,6 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig, arch: ArchSpec,
         import os
 
         os.makedirs(resume_dir, exist_ok=True)
-    if offload:
-        x = np.asarray(x)
 
     def to_host(tree):
         return jax.tree_util.tree_map(

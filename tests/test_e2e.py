@@ -437,3 +437,33 @@ def test_quantize_2bit_fake(calib, stream):
     with pytest.raises(ValueError):
         pack_linear(np.zeros((8, 32), np.float32), np.ones(8), np.zeros(8),
                     np.zeros(0, np.int32), 2)
+
+
+@pytest.mark.parametrize("family,maker", [
+    ("jetmoe", lambda: hf_tiny.tiny_jetmoe()),
+    ("dots1", lambda: hf_tiny.tiny_dots1()),
+    ("granite-4", lambda: hf_tiny.tiny_granite4()),
+    ("deepseek", lambda: hf_tiny.tiny_deepseek_v3(layers=3, experts=4)),
+    ("qwen2-moe", lambda: hf_tiny.tiny_qwen2_moe()),
+])
+def test_true_sequential_covers_all_linears(calib, family, maker):
+    """true_sequential reconstructs EVERY quantizable linear present in each
+    block.  Round-1 regression (ADVICE.md): the generic MoE grouping skipped
+    jetmoe's moa.experts.*.{q,out} + attn.kv, dots1's dense first-k mlp.*
+    and mlp.shared.*, and granite-4 hybrid's mamba projections — leaving
+    them silently unquantized (group members are intersected with present
+    linears, so no error was raised)."""
+    from owq_tpu.models.transformer import quantizable_names
+    from owq_tpu.recon.pipeline import _has_linear
+
+    model = maker()
+    params, cfg = import_hf_model(model)
+    params_q, quantizers = quantize_model(
+        params, cfg, arch_for_model(family), calib, wbits=3, target_rank=2,
+        tuning="minmax", true_sequential=True, verbose=False)
+    names = quantizable_names(cfg)
+    missing = [f"{li}.{n}"
+               for li, blk in enumerate(params_q["layers"])
+               for n in names
+               if _has_linear(blk, n) and f"{li}.{n}" not in quantizers]
+    assert not missing, f"unquantized linears under true_sequential: {missing}"
