@@ -155,6 +155,14 @@ def gptq_quantize(W: jnp.ndarray, H: jnp.ndarray, spec: QuantSpec, n_out: int,
 
     nb = -(-n_nonout // blocksize)
     cols_pad = max(cols, nb * blocksize)
+    if groupsize != -1:
+        # Refit windows are fixed-width dynamic slices [g, g+groupsize);
+        # pad so the last window (g = n_nonout-1) never clamps.  Columns
+        # >= n_nonout are zero-masked inside the fit, which is exactly
+        # neutral: a zero column quantizes to zero error under any
+        # (scale, zero) candidate, and per-row min/max are unchanged
+        # (xmin/xmax are clamped to <=0/>=0 anyway, quant.py:73-75).
+        cols_pad = max(cols_pad, n_nonout - 1 + groupsize)
     pad = cols_pad - cols
     if pad:
         W = jnp.pad(W, ((0, 0), (0, pad)))
@@ -164,43 +172,9 @@ def gptq_quantize(W: jnp.ndarray, H: jnp.ndarray, spec: QuantSpec, n_out: int,
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cols_pad), 1)
 
-    if groupsize != -1 and groupsize % blocksize != 0:
-        raise NotImplementedError(
-            "groupsize must be a multiple of the GPTQ blocksize "
-            f"({blocksize}); got {groupsize}")
-    # Start of the last (possibly short) parameter group.
-    last_group = ((n_nonout - 1) // groupsize) * groupsize if groupsize != -1 else 0
-
     def block_step(carry, b):
         W_c, Q_c, loss_c, scale_c, zero_c = carry
         start = b * blocksize
-
-        if groupsize != -1:
-            # Reference re-solves params every ``groupsize`` columns on the
-            # *residual* window W[:, g : min(g+groupsize, n_nonout)] with a
-            # 40-step grid (owq/recon.py:135-137).  With groupsize a multiple
-            # of blocksize, refits land exactly on block starts, where the
-            # residual is fully committed in the carry.
-            def _fit(win):
-                if mse:
-                    return find_params_mse(win, spec, num=40)
-                return find_params_minmax(win, spec)
-
-            def refit(args):
-                def fit_tail(_):
-                    return _fit(W_c[:, last_group:n_nonout])
-
-                def fit_full(_):
-                    win = jax.lax.dynamic_slice(W_c, (0, start), (rows, groupsize))
-                    return _fit(win)
-
-                if last_group + groupsize > n_nonout:
-                    return jax.lax.cond(start == last_group, fit_tail, fit_full, None)
-                return fit_full(None)
-
-            scale_c, zero_c = jax.lax.cond(
-                jnp.logical_and(start < n_nonout, start % groupsize == 0),
-                refit, lambda a: a, (scale_c, zero_c))
 
         W1 = jax.lax.dynamic_slice(W_c, (0, start), (rows, blocksize))
         Hinv1 = jax.lax.dynamic_slice(Hinv, (start, start), (blocksize, blocksize))
@@ -210,6 +184,30 @@ def gptq_quantize(W: jnp.ndarray, H: jnp.ndarray, spec: QuantSpec, n_out: int,
             W1_i, Err1, Q1, loss_i, sc, zc = inner
             gcol = start + i
             active = gcol < n_nonout
+
+            if groupsize != -1:
+                # Reference refit every ``groupsize`` columns
+                # (owq/recon.py:134-137): find_params(num=40) on
+                # W[:, g : min(g+groupsize, n_nonout)] read from W — NOT
+                # the error-fed block panel W1 — so the window sees
+                # as-of-block-start values for in-block columns.  W_c (the
+                # scan carry, committed at block boundaries only) gives
+                # exactly those semantics at any alignment.  The window is
+                # a fixed-width slice with columns >= n_nonout zero-masked
+                # (neutral: see cols_pad comment above).
+                def refit(args):
+                    win = jax.lax.dynamic_slice(W_c, (0, gcol),
+                                                (rows, groupsize))
+                    wiota = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, groupsize), 1) + gcol)
+                    win = jnp.where(wiota < n_nonout, win, 0.0)
+                    if mse:
+                        return find_params_mse(win, spec, num=40)
+                    return find_params_minmax(win, spec)
+
+                sc, zc = jax.lax.cond(
+                    jnp.logical_and(active, gcol % groupsize == 0),
+                    refit, lambda a: a, (sc, zc))
 
             w = jax.lax.dynamic_slice(W1_i, (0, i), (rows, 1))[:, 0]
             d = jax.lax.dynamic_slice(Hinv1, (i, i), (1, 1))[0, 0]

@@ -99,7 +99,8 @@ def find_params_mse_oracle(x, bits, sym, num=100, norm=2.4):
 
 
 def gptq_oracle(W, H, bits, sym, n_out, *, actorder=False, frob_norm=None,
-                percdamp=0.01, blocksize=128, mse=True, num=100):
+                percdamp=0.01, blocksize=128, mse=True, num=100,
+                groupsize=-1):
     """Literal GPTQ-OWQ reconstruction in float64-free numpy (f32-ish).
 
     Returns (Q, scale, zero, out_ids, ids) with Q in the original column
@@ -159,6 +160,19 @@ def gptq_oracle(W, H, bits, sym, n_out, *, actorder=False, frob_norm=None,
         for i in range(i2 - i1):
             w = W1[:, i]
             d = Hinv[i1 + i, i1 + i]
+            if groupsize != -1 and (i1 + i) % groupsize == 0:
+                # Reference refits on W (NOT W1): the window's in-block
+                # columns are as-of-block-start — no in-block error
+                # feedback — and truncated at n_nonout (recon.py:135-137,
+                # num=40).
+                win = W[:, (i1 + i):min(i1 + i + groupsize, n_nonout)]
+                if mse:
+                    scale, zero = find_params_mse_oracle(win, bits, sym,
+                                                         num=40)
+                else:
+                    scale, zero = find_params_minmax_oracle(win, bits, sym)
+                scale = scale.astype(np.float64)
+                zero = zero.astype(np.float64)
             q = fake_quant(w[:, None], scale[:, None], zero[:, None], minq, maxq)[:, 0]
             Q[:, i1 + i] = q
             err = (w - q) / d

@@ -125,3 +125,35 @@ def test_blocked_cholesky_inverse_matches(rng):
     blocked = np.asarray(_cholesky_inv_upper(jnp.asarray(H),
                                              block_threshold=16, blk=32))
     np.testing.assert_allclose(blocked, direct, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("groupsize,blocksize", [(32, 32), (48, 32),
+                                                 (40, 32), (96, 32)])
+@pytest.mark.parametrize("n_out", [0, 4])
+def test_groupsize_matches_oracle(rng, groupsize, blocksize, n_out):
+    """Arbitrary --groupsize alignment (reference recon.py:129-150): refits
+    may land mid-block; the window reads as-of-block-start values truncated
+    at n_nonout.  48/40 are NOT multiples of the 32 blocksize."""
+    W, H, _ = make_problem(rng)
+    spec = QuantSpec(3, False)
+    res = gptq_quantize(W, H, spec, n_out, mse=False, blocksize=blocksize,
+                        groupsize=groupsize)
+    Qo, so, zo, oo, _ = oracle.gptq_oracle(W, H, 3, False, n_out, mse=False,
+                                           blocksize=blocksize,
+                                           groupsize=groupsize)
+    np.testing.assert_array_equal(np.sort(np.asarray(res.out_ids)),
+                                  np.sort(oo))
+    np.testing.assert_allclose(np.asarray(res.Q), Qo, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res.scale), so, rtol=1e-5)
+
+
+@pytest.mark.parametrize("actorder", [False, True])
+def test_groupsize_mse_actorder_matches_oracle(rng, actorder):
+    """Unaligned groupwise refits with the 40-step MSE grid x act-order."""
+    W, H, _ = make_problem(rng, rows=12, cols=64)
+    spec = QuantSpec(3, False)
+    res = gptq_quantize(W, H, spec, 2, mse=True, blocksize=32, groupsize=24,
+                        actorder=actorder)
+    Qo, *_ = oracle.gptq_oracle(W, H, 3, False, 2, mse=True, blocksize=32,
+                                groupsize=24, actorder=actorder)
+    np.testing.assert_allclose(np.asarray(res.Q), Qo, rtol=2e-3, atol=2e-4)
