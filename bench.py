@@ -1,23 +1,33 @@
-"""Headline benchmark: decode tokens/s/chip on a 3.01-bit llama-7b.
+"""Headline benchmark: decode tokens/s/chip on a quantized llama.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints one JSON line PER PROTOCOL (single-stream last — the BASELINE
+headline is the reference's B=1 protocol):
+
+  {"metric": "<model>_<bits>.01bit_engine_b8",  ...}   serving throughput
+  {"metric": "<model>_<bits>.01bit_decode",     ...}   B=1 reference protocol
 
 The reference repo publishes no numeric tables (BASELINE.md); the driver's
 north star is decode tokens/s/chip at 3.01-bit llama-7b vs. the
-weight-bandwidth roofline on v5e.  ``vs_baseline`` therefore reports the
-fraction of that roofline achieved (1.0 == reading every packed weight byte
-once per token at peak HBM bandwidth, target >= 0.90).
+weight-bandwidth roofline on v5e.  ``vs_baseline`` reports the fraction of
+that roofline achieved (1.0 == reading every packed weight byte once per
+token at peak *spec* HBM bandwidth, 819 GB/s; the measured pure-DMA
+ceiling on this chip is ~755 GB/s ≈ 92% of spec — see PARITY.md).
 
-Default mode is the continuous-batching engine (8 slots) — the serving
-configuration the roofline target is met at; ``--single-stream`` measures
-the reference-protocol B=1 per-token latency instead (VPU-bound at ~62%
-roofline on v5e; profiler analysis in PARITY.md).
+Protocols:
+  * single-stream — B=1, 128 tokens, on-device scan, per-token latency
+    (reference main.py:305-353).  Runs with runtime projection fusion
+    (qkv and gate|up fused: 7 -> 4 quantized matmuls per block).
+  * engine — continuous-batching throughput at 8 slots, steady-state on a
+    warmed engine (a fresh engine would time jax re-tracing, not the
+    chip).  Exceeding the B=1 roofline here is EXPECTED (each weight read
+    is amortized over up to 8 slots), not a statement about the >=90%
+    single-stream target.
 
 Weights are synthesized on device (random packed codes) — throughput does
 not depend on weight values, and this container has zero egress.
 
-Usage: python bench.py [--model llama-7b] [--tokens 128] [--small]
+Usage: python bench.py [--model llama-7b|llama-2-13b] [--bits 3|4]
+       [--tokens 128] [--small] [--engine-only|--single-only] [--no-fuse]
 """
 
 import argparse
@@ -31,7 +41,6 @@ V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth (public spec)
 def packed_model_bytes(params) -> int:
     """Bytes of weights that must be streamed per decode token."""
     import jax
-    import numpy as np
 
     total = 0
     for leaf in jax.tree_util.tree_leaves(params):
@@ -48,19 +57,22 @@ def main() -> None:
     ap.add_argument("--kernel", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for smoke-testing the harness")
-    ap.add_argument("--engine", action="store_true", default=True,
-                    help="continuous-batching throughput (default: the "
-                         "north-star serving configuration, >=90%% of the "
-                         "weight-bandwidth roofline)")
-    ap.add_argument("--single-stream", dest="engine", action="store_false",
-                    help="B=1 per-token decode latency instead (the "
-                         "reference benchmark protocol, main.py:305-353; "
-                         "VPU-bound at ~62%% roofline — see PARITY.md)")
+    ap.add_argument("--engine-only", action="store_true")
+    ap.add_argument("--single-only", action="store_true")
+    # legacy flag names (round-1 drivers): --engine / --single-stream
+    ap.add_argument("--engine", dest="engine_only", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--single-stream", dest="single_only",
+                    action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--no-fuse", dest="fuse", action="store_false",
+                    help="disable qkv/gateup runtime fusion in single-stream")
     ap.add_argument("--batch", type=int, default=8,
-                    help="engine slot count (with --engine)")
+                    help="engine slot count")
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=6,
-                    help="best-of-N timing (the shared TPU pool has noisy\n                    neighbors: identical programs measure 1-3x apart\n                    between runs; only the best sample reflects the\n                    hardware)")
+                    help="best-of-N timing (the shared TPU pool has noisy "
+                         "neighbors; only the best sample reflects the "
+                         "hardware)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (harness smoke test when the "
                          "TPU tunnel is unavailable; numbers are not "
@@ -97,7 +109,6 @@ def main() -> None:
     if kernel == "auto":
         try:
             from owq_tpu.kernels import PALLAS_AVAILABLE
-
             kernel = "pallas" if PALLAS_AVAILABLE() else "xla"
         except Exception:
             kernel = "xla"
@@ -105,8 +116,15 @@ def main() -> None:
     rng = np.random.default_rng(0)
     wbytes = packed_model_bytes(params)
     roofline_tps = V5E_HBM_GBPS * 1e9 / wbytes
+    detail = {
+        "kernel": kernel,
+        "weight_bytes": wbytes,
+        "roofline_tokens_per_s": round(roofline_tps, 2),
+        "device": str(jax.devices()[0]),
+    }
+    results = []
 
-    if args.engine:
+    if not args.single_only:
         from owq_tpu.runtime.batching import Engine
 
         prompts = [rng.integers(0, cfg.vocab_size, size=(16,)).astype(np.int32)
@@ -116,45 +134,42 @@ def main() -> None:
                      prompt_buckets=(32,))
         # warmup compiles every decode-window variant the measured run
         # uses; the measurement then reuses the SAME engine (steady-state
-        # serving throughput — a server compiles once and serves forever;
-        # a fresh Engine would re-trace the whole model inside the timed
-        # window and measure jax tracing, not the chip)
+        # serving throughput)
         eng.run(prompts[:2], max_new_tokens=args.tokens)
         eng.reset_stats()
         eng.run(prompts, max_new_tokens=args.tokens)
         tps = eng.stats["throughput_tok_s"]
-        result = {
+        results.append({
             "metric": f"{name}_{args.bits}.01bit_engine_b{args.batch}",
             "value": round(tps, 2),
             "unit": "tokens/s/chip",
             "vs_baseline": round(tps / roofline_tps, 4),
-        }
-        # aggregate throughput only; per-request latency is not measured
-        # in engine mode
-        stats = {"median_s": float("nan"), "min_s": float("nan")}
-    else:
+        })
+
+    if not args.engine_only:
+        sparams, scfg = params, cfg
+        if args.fuse:
+            from owq_tpu.runtime.fuse import fuse_block_projections
+
+            sparams, scfg = fuse_block_projections(params, cfg)
         ids = rng.integers(0, cfg.vocab_size,
                            size=(1, args.tokens)).astype(np.int32)
-        stats = benchmark_decode(params, cfg, ids, kernel=kernel,
+        stats = benchmark_decode(sparams, scfg, ids, kernel=kernel,
                                  cache_dtype=jnp.bfloat16,
                                  max_len=args.tokens, repeats=args.repeats)
-        result = {
+        detail["median_ms"] = round(stats["median_s"] * 1e3, 3)
+        detail["min_ms"] = round(stats["min_s"] * 1e3, 3)
+        detail["fused"] = bool(args.fuse)
+        results.append({
             "metric": f"{name}_{args.bits}.01bit_decode",
             "value": round(stats["tokens_per_s"], 2),
             "unit": "tokens/s/chip",
             "vs_baseline": round(stats["tokens_per_s"] / roofline_tps, 4),
-        }
-    detail = {
-        "kernel": kernel,
-        "weight_bytes": wbytes,
-        "roofline_tokens_per_s": round(roofline_tps, 2),
-        "device": str(jax.devices()[0]),
-    }
-    if stats["median_s"] == stats["median_s"]:  # not NaN (engine mode)
-        detail["median_ms"] = round(stats["median_s"] * 1e3, 3)
-        detail["min_ms"] = round(stats["min_s"] * 1e3, 3)
+        })
+
     print(json.dumps(detail), file=sys.stderr)
-    print(json.dumps(result))
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -38,12 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.packing import plane_offset, values_per_word
 
-# Tuning knobs (e2e A/B via tools/bench_e2e.py; microbenchmarks of single
-# pallas calls are unreliable on relayed backends):
+# Tuning knobs (A/B via tools/bench_unpack.py xplane profiling; wall-clock
+# microbenchmarks of single pallas calls are unreliable on relayed
+# backends — round 1 mis-ranked the paired scheme that way):
 _TO_OVERRIDE = int(os.environ.get("OWQ_GEMV_TO", "0"))
 _PAIRED = os.environ.get("OWQ_GEMV_PAIRED", "") == "1"
 _USE_COST = os.environ.get("OWQ_GEMV_NO_COST", "") != "1"
-_USE_DMA = os.environ.get("OWQ_GEMV_DMA", "") == "1"
+# Decode (<=16 rows) default: paired-unpack deep-buffered DMA kernel
+# (gemv_dma.py, ~650 GB/s effective vs ~510 for the plane grid kernel on
+# v5e).  OWQ_GEMV_DMA=0 falls back to the grid kernel.
+_USE_DMA = os.environ.get("OWQ_GEMV_DMA", "1") != "0"
 
 __all__ = ["quant_matmul", "packed_matmul_kernel"]
 
@@ -215,11 +219,9 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     """PackedLinear apply via the fused Pallas kernel (all input shapes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # The bf16-bitcast paired path is numerically exact (verified on-chip)
-    # but measured slower than the generic plane loop on v5e — the
-    # interleaved bf16 operand forces a Mosaic relayout before the MXU.
-    # Keep the generic loop as default; OWQ_GEMV_PAIRED=1 re-enables the
-    # paired path for A/B runs on other hardware.
+    # OWQ_GEMV_PAIRED=1 uses the paired bf16-bitcast unpack in the GRID
+    # kernel too (prefill/batched); default keeps the plane loop there —
+    # large-row calls are MXU-bound, not unpack-bound.
     paired = _PAIRED and not interpret
     dtype = x.dtype
     in_pad = p.in_padded
@@ -228,10 +230,21 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     xf = x.reshape(-1, x.shape[-1])
     xp = jnp.pad(xf, ((0, 0), (0, pad))) if pad else xf
 
-    if _USE_DMA and not interpret and xp.shape[0] <= 8:
+    use_dma = False
+    if _USE_DMA and not interpret and dtype != jnp.float32:
+        # f32 activations = the reference's exact "non-faster" mode
+        # (quant.py:361-363): keep the full-precision plane path; the DMA
+        # kernel computes with bf16 operands like the "faster" kernels.
+        from .gemv_dma import dma_applicable
+
+        nw_q, out_q = p.qweight.shape
+        use_dma = dma_applicable(xp.shape[0], out_q, nw_q)
+    if use_dma:
         from .gemv_dma import packed_matvec_dma
 
-        paired = False  # the DMA kernel has no +128 bf16-bitcast offset
+        # decode fast path: paired-magic unpack (+128/code offset, removed
+        # below) with a 4-slot DMA ring
+        paired = True
         acc = packed_matvec_dma(xp, jax.lax.stop_gradient(p.qweight),
                                 bits=p.bits)
     else:

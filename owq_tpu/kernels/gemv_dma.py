@@ -1,10 +1,42 @@
-"""Manually pipelined quantized matvec: explicit double-buffered DMA.
+"""Decode gemv: paired bf16-magic unpack + deep-buffered explicit DMA.
 
-Alternative to the auto-pipelined grid kernel (gemv.py): one program
-instance owns the whole output; qweight stays in HBM and streams through a
-two-slot VMEM buffer with make_async_copy, overlapping each tile's
-unpack+dot with the next tile's DMA (pallas_guide.md double-buffering
-pattern).  Gated behind OWQ_GEMV_DMA=1 for e2e A/B.
+The B=1..16-row decode matvec is the BASELINE headline (reference protocol
+main.py:305-353).  Round-1 shipped the generic plane-loop kernel
+(gemv.py::_plane_kernel) which profiles at ~510 GB/s effective on v5e —
+VPU-bound at ~3 vreg-ops per weight value (shift, mask, int32->bf16
+convert).  This kernel reaches ~650 GB/s (the measured pure-DMA ceiling on
+this chip is ~755 GB/s of the 819 spec) by combining two things, both
+found by on-device xplane profiling (tools/bench_unpack.py):
+
+1. **Paired bf16-magic unpack — no type converts.**  The plane-chunk
+   layout (core/packing.py) stores plane k in the low half-word and plane
+   k+V/2 in the high half-word at the same in-half bit offset.  So
+
+       ((q >> bits*k) & 0x0007_0007) | 0x4300_4300        (3-bit)
+
+   builds the bf16 bit patterns of (128 + code) for TWO planes in one
+   int32 vreg-op sequence (shift+and+or = 3 ops per 2 values), and the
+   32->16 bitcast reinterprets them as a [2*nw, TO] bf16 MXU operand with
+   rows interleaved (even row = plane k, odd = plane k+V/2).  The
+   activation operand is pre-interleaved once per token to match
+   (``interleave_pairs``).  No int->float convert instructions at all —
+   Mosaic lowers those as multi-op sequences which round-1 misattributed
+   to "operand relayout".  The uniform +128 offset is linear and exits
+   through the zero-point correction: y = s*acc - (z+128)*s*sum(x).
+
+2. **Four-slot explicit DMA.**  The auto-pipelined grid (2 VMEM buffers)
+   leaves the HBM stream idle during each tile's compute tail; a manual
+   make_async_copy ring with 3 outstanding fetches keeps the stream
+   saturated (653 GB/s vs 614 at 2 slots, measured).
+
+Numerics: pair values (128+code) are exact in bf16; accumulation is f32.
+The kernel returns the RAW plane-sum including the +128*sum(x) term —
+callers must use offset=128 in the scale/zero correction (gemv.py does).
+
+The reference's CUDA analogue is VecQuant3MatMulKernelFaster
+(owq/kernel/gemv.cu:88-176): per-thread 64-entry half2 LUT + hfma2 with
+atomicAdd.  Here there are no LUTs and no atomics — each program owns the
+whole output and the unpack is pure vector ALU.
 """
 
 from __future__ import annotations
@@ -16,15 +48,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.packing import plane_offset, values_per_word
+from ..core.packing import values_per_word
 
-__all__ = ["packed_matvec_dma"]
+__all__ = ["packed_matvec_dma", "interleave_pairs", "MAX_DMA_ROWS"]
+
+MAX_DMA_ROWS = 16
+_SLOTS = 4
+_BF16_MAGIC = 0x43004300  # bf16(128.0) in both halves of an int32 lane
 
 
-def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int, nw: int,
-                to: int, n_tiles: int):
+def interleave_pairs(x: jnp.ndarray, bits: int, nw: int) -> jnp.ndarray:
+    """[rows, in_pad] -> [rows, V/2, 2*nw] matching the bitcast interleave.
+
+    Row 2i of pair k must hold x[k*nw + i] (low half-word = plane k) and
+    row 2i+1 x[(k+V/2)*nw + i] (high half-word = plane k+V/2).
+    """
     v = values_per_word(bits)
+    half = v // 2
+    rows = x.shape[0]
+    xr = x.reshape(rows, v, nw)
+    xp = jnp.stack([xr[:, :half, :], xr[:, half:, :]], axis=-1)
+    return xp.reshape(rows, half, 2 * nw)
 
+
+def _paired_tile(x_ref, q, bits: int, half: int):
+    pair_mask = jnp.uint32(((1 << bits) - 1) * 0x00010001)
+    magic = jnp.uint32(_BF16_MAGIC)
+    qu = q.astype(jnp.uint32)
+    acc = None
+    for k in range(half):
+        pair = ((qu >> (bits * k)) & pair_mask) | magic
+        wk = pltpu.bitcast(pair.astype(jnp.int32), jnp.bfloat16)
+        part = jnp.dot(x_ref[:, k, :], wk, preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int, half: int,
+                to: int, n_tiles: int, slots: int):
     def get_dma(slot, tile):
         return pltpu.make_async_copy(
             q_hbm.at[:, pl.ds(tile * to, to)],
@@ -32,59 +93,77 @@ def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int, nw: int,
             sems.at[slot],
         )
 
-    get_dma(0, 0).start()
+    for s in range(min(slots - 1, n_tiles)):
+        get_dma(s, s).start()
 
     def body(tile, _):
-        slot = tile % 2
+        slot = tile % slots
 
-        @pl.when(tile + 1 < n_tiles)
+        @pl.when(tile + slots - 1 < n_tiles)
         def _():
-            get_dma((tile + 1) % 2, tile + 1).start()
+            get_dma((tile + slots - 1) % slots, tile + slots - 1).start()
 
         get_dma(slot, tile).wait()
-        q = scratch[slot]
-        acc = None
-        for p in range(v):
-            plane = (jax.lax.shift_right_logical(q, plane_offset(bits, p))
-                     & jnp.int32(7 if bits == 3 else 15)
-                     ).astype(x_ref.dtype)
-            part = jnp.dot(x_ref[:, p * nw:(p + 1) * nw], plane,
-                           preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-        o_ref[:, pl.ds(tile * to, to)] = acc
+        o_ref[:, pl.ds(tile * to, to)] = _paired_tile(x_ref, scratch[slot],
+                                                      bits, half)
         return ()
 
     jax.lax.fori_loop(0, n_tiles, body, ())
 
 
+def _pick_tile(out: int, nw: int) -> int:
+    # VMEM ring budget: _SLOTS * nw * TO * 4B; 512 is fastest when it fits
+    # (11008-in llama down-proj: 4*1376*512*4 = 11.3MB — still OK, but be
+    # conservative at wide inputs).
+    for to in (512, 256, 128):
+        if out % to == 0 and _SLOTS * nw * to * 4 <= 12 << 20:
+            return to
+    return 0
+
+
+def dma_applicable(rows: int, out: int, nw: int) -> bool:
+    return rows <= MAX_DMA_ROWS and _pick_tile(out, nw) != 0
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def packed_matvec_dma(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int
                       ) -> jnp.ndarray:
-    """x [rows<=8, in_pad] @ codes -> f32 [rows, out]; decode-oriented."""
+    """x [rows<=16, in_pad] @ codes -> f32 [rows, out] + 128*sum(x) offset.
+
+    Decode-oriented (small row count).  Callers fold the uniform +128 into
+    the zero-point correction (see module docstring / gemv.quant_matmul).
+    """
     rows, in_pad = x.shape
     nw, out = qweight.shape
-    to = 512 if out % 512 == 0 else (256 if out % 256 == 0 else out)
+    v = values_per_word(bits)
+    half = v // 2
+    assert in_pad == nw * v
+    to = _pick_tile(out, nw)
+    assert to, f"no tile divides out={out}"
     n_tiles = out // to
-    rows_pad = 8
+    rows_pad = 8 if rows <= 8 else MAX_DMA_ROWS
+    assert rows <= rows_pad, f"decode kernel supports <= {MAX_DMA_ROWS} rows"
     if rows < rows_pad:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
+    xp = interleave_pairs(x.astype(jnp.bfloat16), bits, nw)
 
     y = pl.pallas_call(
-        functools.partial(_dma_kernel, bits=bits, nw=nw, to=to,
-                          n_tiles=n_tiles),
+        functools.partial(_dma_kernel, bits=bits, half=half, to=to,
+                          n_tiles=n_tiles, slots=_SLOTS),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, nw, to), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_SLOTS, nw, to), jnp.int32),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * rows_pad * in_pad * out,
             bytes_accessed=qweight.nbytes + x.nbytes + 4 * rows_pad * out,
             transcendentals=0),
-    )(x, qweight)
+        name=f"owq_gemv_dma_{bits}b",
+    )(xp, qweight)
     return y[:rows]

@@ -24,6 +24,7 @@ __all__ = ["LLAMA_SHAPES", "OPT_SHAPES", "synthetic_config",
 LLAMA_SHAPES = {
     "llama-7b": (4096, 11008, 32, 32, 32, 32000),
     "llama-13b": (5120, 13824, 40, 40, 40, 32000),
+    "llama-2-13b": (5120, 13824, 40, 40, 40, 32000),
     "llama-2-70b": (8192, 28672, 80, 64, 8, 32000),
     "llama-tiny": (256, 688, 4, 8, 8, 1024),
 }

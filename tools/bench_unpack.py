@@ -3,22 +3,27 @@
 The B=1 decode path is VPU-bound on code unpacking (PARITY.md): the
 generic plane loop spends ~3 vreg-ops per weight value (shift, mask,
 int32->bf16 convert), capping throughput at ~60% of the weight-bandwidth
-roofline.  This tool A/Bs unpack schemes on real llama-7b layer shapes:
+roofline.  This tool A/Bs unpack schemes on real llama-7b layer shapes.
+
+Schemes (all share the plane-chunk packed layout, core/packing.py — the
+paired half-word offsets mean the SAME qweight array serves every one):
 
   plane    — the shipping generic loop (1024 values per vreg-op)
-  paired   — int32-domain shift+mask+or, 32->16 bitcast per pair (round-1
-             experiment; Mosaic relayout made it slower than plane)
-  int16    — ONE 32->16 bitcast per tile, then shift/mask in the 16-bit
-             domain (2048 values per vreg-op) + int16->bf16 convert
-  int16m   — same but magic-OR 0x4300 + 16->16 reinterpret instead of the
-             convert (bf16 value = 128 + code, offset folded into the
-             zero-point correction by the caller)
+  paired   — int32-domain shift+mask+or + 32->16 bitcast per pair
+  maskcvt  — ONE 32->16 bitcast per tile, then per plane-pair just
+             ``(q16 & (7<<3k)).astype(bf16)`` = bf16(code * 8^k) EXACTLY
+             (<=3 significant bits); the 8^-k is folded into the tiny x
+             operand.  2 vreg-ops per pair over 2048 lanes = ~1 op/value.
+             No shifts at all (v5e Mosaic can't lower sub-32-bit shifts).
+  stream   — bitcast-only + one dot: the in-kernel streaming floor (no
+             unpack); an upper bound for any scheme.
 
-All schemes share the plane-chunk packed layout (core/packing.py) — the
-paired half-word offsets mean the SAME qweight array serves every variant.
+Timing: the axon relay adds O(100us) per dispatch, so each variant runs
+ITERS chained applications inside ONE jitted lax.fori_loop (serialised by
+a data dependence) and reports wall/ITERS.
 
 Usage: python tools/bench_unpack.py [--shape 4096x4096] [--bits 3]
-       [--rows 8] [--iters 200] [--rounds 6]
+       [--rows 8] [--iters 50] [--rounds 4]
 """
 
 import argparse
@@ -34,8 +39,8 @@ def main():
     ap.add_argument("--shape", default="4096x4096")
     ap.add_argument("--bits", type=int, default=3)
     ap.add_argument("--rows", type=int, default=8)
-    ap.add_argument("--rounds", type=int, default=6)
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--to", type=int, default=512)
     args = ap.parse_args()
 
@@ -65,6 +70,9 @@ def main():
     xr = x.reshape(R, v, nw)
     xp = jnp.stack([xr[:, :half, :], xr[:, half:, :]], axis=-1)
     xp = xp.reshape(R, half, 2 * nw)
+    # maskcvt additionally folds the 2^(-bits*k) plane scale into x
+    kscale = (2.0 ** (-bits * np.arange(half)))[None, :, None]
+    xps = (xp.astype(jnp.float32) * kscale).astype(jnp.bfloat16)
 
     cost = pl.CostEstimate(flops=2 * R * in_pad * out,
                            bytes_accessed=qw.nbytes + x.nbytes + 4 * R * out,
@@ -112,33 +120,21 @@ def main():
             acc = part if acc is None else acc + part
         o_ref[:] = acc
 
-    def int16_kern(x_ref, q_ref, o_ref):
-        # Signed int16 domain: arithmetic shift + mask is exact for every
-        # plane (the mask kills any sign extension; 3-bit's top plane ends
-        # at bit 14 with bit 15 a zero spare).
+    def maskcvt_kern(x_ref, q_ref, o_ref):
         q16 = pltpu.bitcast(q_ref[:], jnp.int16)           # [2nw, TO]
-        m16 = jnp.int16((1 << bits) - 1)
         acc = None
         for k in range(half):
-            f = (q16 >> (bits * k)) & m16
-            wk = f.astype(jnp.bfloat16)
+            mk = jnp.int16(((1 << bits) - 1) << (bits * k))
+            wk = (q16 & mk).astype(jnp.bfloat16)           # code * 8^k
             part = jnp.dot(x_ref[:, k, :], wk,
                            preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
         o_ref[:] = acc
 
-    def int16m_kern(x_ref, q_ref, o_ref):
-        q16 = pltpu.bitcast(q_ref[:], jnp.int16)
-        m16 = jnp.int16((1 << bits) - 1)
-        magic = jnp.int16(0x4300)
-        acc = None
-        for k in range(half):
-            f = ((q16 >> (bits * k)) & m16) | magic
-            wk = pltpu.bitcast(f, jnp.bfloat16)
-            part = jnp.dot(x_ref[:, k, :], wk,
+    def stream_kern(x_ref, q_ref, o_ref):
+        wk = pltpu.bitcast(q_ref[:], jnp.bfloat16)         # garbage values
+        o_ref[:] = jnp.dot(x_ref[:, 0, :], wk,
                            preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-        o_ref[:] = acc
 
     flat_spec = pl.BlockSpec((R, in_pad), lambda j: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -146,46 +142,58 @@ def main():
                              memory_space=pltpu.VMEM)
 
     variants = {
-        "plane": (plane_kern, x, flat_spec, 0.0),
-        "paired": (paired_kern, xp, pair_spec, 128.0),
-        "int16": (int16_kern, xp, pair_spec, 0.0),
-        "int16m": (int16m_kern, xp, pair_spec, 128.0),
+        "plane": (plane_kern, x, flat_spec, "exact"),
+        "paired": (paired_kern, xp, pair_spec, "off128"),
+        "maskcvt": (maskcvt_kern, xps, pair_spec, "exact"),
+        "stream": (stream_kern, xp, pair_spec, "none"),
     }
 
-    # correctness reference: offset per variant is uniform +c per code,
-    # y_variant = y_true + c * sum(x)
-    xsum = float(np.asarray(jnp.sum(x.astype(jnp.float32))))
     fns, ref = {}, None
-    for name, (kern, xin, spec, offset) in variants.items():
+    for name, (kern, xin, spec, mode) in variants.items():
         f = jax.jit(lambda xin, kern=kern, spec=spec: call(kern, xin, spec))
         try:
             y = np.asarray(f(xin), np.float64)
         except Exception as e:
             print(f"{name:8s} FAILED: {str(e)[:150]}")
             continue
-        y -= offset * np.asarray(
-            jnp.sum(x.astype(jnp.float32), axis=-1))[:, None]
-        if ref is None:
-            ref = y
-        err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
-        if err > 1e-3:
-            print(f"{name:8s} MISMATCH rel={err:.2e}")
-            continue
-        fns[name] = (f, xin)
+        if mode == "off128":
+            y -= 128.0 * np.asarray(
+                jnp.sum(x.astype(jnp.float32), axis=-1))[:, None]
+        if mode != "none":
+            if ref is None:
+                ref = y
+            err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+            if err > 1e-3:
+                print(f"{name:8s} MISMATCH rel={err:.2e}")
+                continue
+        fns[name] = (f, xin, kern, spec)
 
-    def one_pass(f, xin):
-        y = f(xin)
-        y.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            y = f(xin)
-        y.block_until_ready()
-        return (time.perf_counter() - t0) / args.iters
+    # chained timing: ITERS applications inside one compiled loop,
+    # serialised via a value-preserving data dependence
+    def chained(kern, spec, iters):
+        def body(i, carry):
+            x_c, s = carry
+            y = call(kern, x_c, spec)
+            s2 = y[0, 0]
+            # multiply by 1.0 (s2==s2 is always true) — creates a data
+            # dependence the compiler cannot fold away, changes nothing
+            x_c = x_c * jnp.where(s2 == s2, jnp.bfloat16(1), jnp.bfloat16(2))
+            return (x_c, s + s2)
+
+        def run(xin):
+            return jax.lax.fori_loop(0, iters, body, (xin, jnp.float32(0)))[1]
+        return jax.jit(run)
 
     best = {k: float("inf") for k in fns}
+    timed = {k: chained(kern, spec, args.iters)
+             for k, (f, xin, kern, spec) in fns.items()}
+    for k, (f, xin, kern, spec) in fns.items():
+        timed[k](xin).block_until_ready()   # compile
     for _ in range(args.rounds):
-        for k, (f, xin) in fns.items():
-            best[k] = min(best[k], one_pass(f, xin))
+        for k, (f, xin, kern, spec) in fns.items():
+            t0 = time.perf_counter()
+            timed[k](xin).block_until_ready()
+            best[k] = min(best[k], (time.perf_counter() - t0) / args.iters)
     floor = qw.nbytes / 819e9
     print(f"shape {infeat}x{out} bits={bits} rows={R} TO={TO} "
           f"qbytes={qw.nbytes/1e6:.1f}MB floor={floor*1e6:.1f}us")
