@@ -60,15 +60,18 @@ _BF16_MAGIC = 0x43004300  # bf16(128.0) in both halves of an int32 lane
 def interleave_pairs(x: jnp.ndarray, bits: int, nw: int) -> jnp.ndarray:
     """[rows, in_pad] -> [rows, V/2, 2*nw] matching the bitcast interleave.
 
-    Row 2i of pair k must hold x[k*nw + i] (low half-word = plane k) and
-    row 2i+1 x[(k+V/2)*nw + i] (high half-word = plane k+V/2).
+    Element [r, k, 2i+h] = x[r, (h*V/2 + k)*nw + i]: row 2i of pair k holds
+    x[k*nw + i] (low half-word = plane k) and row 2i+1 x[(k+V/2)*nw + i]
+    (high half-word = plane k+V/2).  Expressed as ONE transpose (the
+    reshapes are free) — a stack+reshape costs two materialized copies,
+    and Mosaic cannot lower 16-bit lane interleaves in-kernel at all
+    ("insertion of minor dim ... only supported for 32-bit types").
     """
     v = values_per_word(bits)
     half = v // 2
     rows = x.shape[0]
-    xr = x.reshape(rows, v, nw)
-    xp = jnp.stack([xr[:, :half, :], xr[:, half:, :]], axis=-1)
-    return xp.reshape(rows, half, 2 * nw)
+    xr = x.reshape(rows, 2, half, nw)
+    return xr.transpose(0, 2, 3, 1).reshape(rows, half, 2 * nw)
 
 
 def _paired_tile(x_ref, q, bits: int, half: int):
@@ -84,8 +87,8 @@ def _paired_tile(x_ref, q, bits: int, half: int):
     return acc
 
 
-def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int, half: int,
-                to: int, n_tiles: int, slots: int):
+def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int,
+                half: int, to: int, n_tiles: int, slots: int):
     def get_dma(slot, tile):
         return pltpu.make_async_copy(
             q_hbm.at[:, pl.ds(tile * to, to)],

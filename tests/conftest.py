@@ -29,3 +29,36 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `-m fast` selects a <2-min core for inner-loop iteration;
+# the full suite (~20 min on this box) stays the round-end gate.
+# VERDICT.md r1 Weak #3.
+# ---------------------------------------------------------------------------
+
+_FAST_MODULES = {
+    "test_quantizer", "test_gptq", "test_packing", "test_kernels",
+    "test_native",
+}
+# one representative per structural class elsewhere
+_FAST_TESTS = {
+    "test_budget_matches_reference_formula",
+    "test_packed_forward_matches_fake_quant",
+    "test_checkpoint_roundtrip",
+    "test_opt_parity",
+    "test_llama_parity_gqa",
+    "test_bloom_parity",
+    "test_falcon_parity",
+    "test_tp_forward_matches_single_device",
+    "test_find_params_matches_reference",
+    "test_gptq_matches_reference",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        base = item.name.split("[")[0]
+        if mod in _FAST_MODULES or base in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)
