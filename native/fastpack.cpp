@@ -23,6 +23,15 @@ inline uint32_t plane_offset(int bits, int p, int half) {
                       : static_cast<uint32_t>(16 + bits * (p - half));
 }
 
+// Pair-interleaved row assignment (owq_tpu/core/packing.py): plane p
+// (pair k = p % half, half-word h = p / half) of word w holds logical
+// input row k*2*nw + 2*w + h.
+inline int64_t plane_row(int p, int64_t w, int64_t nw, int half) {
+    const int k = (p < half) ? p : p - half;
+    const int h = (p < half) ? 0 : 1;
+    return static_cast<int64_t>(k) * 2 * nw + 2 * w + h;
+}
+
 void pack_range(const int32_t* q, int64_t in_pad, int64_t out, int bits,
                 int64_t nw, int v, int32_t* words, int64_t c0, int64_t c1) {
     const int half = v / 2;
@@ -32,7 +41,7 @@ void pack_range(const int32_t* q, int64_t in_pad, int64_t out, int bits,
             uint32_t acc = 0;
             for (int p = 0; p < v; ++p) {
                 const uint32_t val =
-                    static_cast<uint32_t>(q[(static_cast<int64_t>(p) * nw + w)
+                    static_cast<uint32_t>(q[plane_row(p, w, nw, half)
                                             * out + c]) & mask;
                 acc |= val << plane_offset(bits, p, half);
             }
@@ -49,7 +58,7 @@ void unpack_range(const int32_t* words, int64_t nw, int64_t out, int bits,
         for (int64_t w = 0; w < nw; ++w) {
             const uint32_t word = static_cast<uint32_t>(words[w * out + c]);
             for (int p = 0; p < v; ++p) {
-                q[(static_cast<int64_t>(p) * nw + w) * out + c] =
+                q[plane_row(p, w, nw, half) * out + c] =
                     static_cast<int32_t>((word >> plane_offset(bits, p, half))
                                          & mask);
             }
@@ -98,6 +107,6 @@ void owq_unpack(const int32_t* words, int64_t nw, int64_t out, int bits,
     });
 }
 
-int owq_pack_abi_version() { return 2; }
+int owq_pack_abi_version() { return 3; }
 
 }  // extern "C"

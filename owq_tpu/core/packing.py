@@ -14,18 +14,26 @@ unpack a whole [sublane, lane] tile per instruction.  We therefore use a
 
 with *paired half-word offsets*: the first V/2 planes live in the low 16
 bits (offset bits*p) and the last V/2 planes in the high 16 bits (offset
-16 + bits*(p - V/2)).  The input dimension is split into V *contiguous*
-chunks of nw rows and word ``w`` packs row ``w`` of every chunk, so a
-dequant-matmul is
+16 + bits*(p - V/2)).
 
-  y = sum_p  x[p*nw:(p+1)*nw] @ dequant((qweight >> offset(p)) & mask)
+Row assignment is *pair-interleaved*: word ``w`` of pair ``k`` packs
+logical input row ``k*2*nw + 2*w`` in its low half and row
+``k*2*nw + 2*w + 1`` in its high half.  This makes the decode fast path
+transpose-free: ``((q >> bits*k) & 0x000m000m) | 0x43004300`` bitcast to
+bf16 yields TWO dequantized-plus-128 values per VPU op sequence, and the
+TPU int32->bf16 bitcast interleaves sublanes (row 2w = low half, row
+2w+1 = high half) — which under this row assignment is exactly
+``x[k*2*nw : (k+1)*2*nw]`` in NATURAL order, so the activation operand is
+a free reshape (kernels/gemv_dma.py).  A contiguous-chunk assignment
+(round 1) forced a materialized [rows, nw, 2] lane transpose of the
+activations per matmul call — ~0.4 ms per llama-7b decode step — because
+Mosaic cannot lower 16-bit lane interleaves in-kernel.
 
-with zero data movement: no transposes, no gathers, no cross-word
-straddling.  The half-word pairing exists for the decode kernel's fast
-path: ``((q >> bits*k) & 0x000m000m) | 0x43004300`` bitcast to bf16 yields
-TWO dequantized-plus-128 values (planes k and k+V/2) per VPU op, because
-TPU bitcast int32->bf16 interleaves sublanes (row 2i = low half, row 2i+1 =
-high half) — see kernels/gemv.py.
+The generic plane view is still available anywhere jnp strided slicing is
+free (XLA paths, interpret mode): plane p = (q >> offset(p)) & mask holds
+logical rows ``k*2*nw + 2*i + h`` where (k, h) = (p, 0) for p < V/2 and
+(p - V/2, 1) otherwise.  No transposes, no gathers, no cross-word
+straddling in any path.
 
 The tail of the input dimension is padded; padded rows are filled with the
 per-channel zero-point so they dequantize to exactly 0 (the same trick the
@@ -95,20 +103,28 @@ def pack_np(q: np.ndarray, bits: int, zero: np.ndarray | None = None) -> np.ndar
     qp[:infeat] = q.astype(np.int64) & ((1 << bits) - 1)
     if zero is not None and in_pad > infeat:
         qp[infeat:] = (zero.astype(np.int64) & ((1 << bits) - 1))[None, :]
+    half = v // 2
+    # logical row k*2*nw + 2*i + h -> pair k, word i, half h
+    qv = qp.reshape(half, nw, 2, out)
     words = np.zeros((nw, out), dtype=np.uint32)
     for p in range(v):
-        words |= qp[p * nw:(p + 1) * nw] << np.uint32(plane_offset(bits, p))
+        k, h = (p, 0) if p < half else (p - half, 1)
+        words |= qv[k, :, h, :] << np.uint32(plane_offset(bits, p))
     return words.view(np.int32)
 
 
 def unpack_np(words: np.ndarray, bits: int, infeatures: int) -> np.ndarray:
     """Unpack int32 [nw, out] -> int32 codes [infeatures, out] (numpy)."""
     v = values_per_word(bits)
+    half = v // 2
     nw = words.shape[0]
+    out = words.shape[1]
     mask = np.uint32((1 << bits) - 1)
     w = words.view(np.uint32)
     planes = [(w >> np.uint32(plane_offset(bits, p))) & mask for p in range(v)]
-    full = np.concatenate(planes, axis=0).astype(np.int32)
+    lo = np.stack(planes[:half])            # [half, nw, out]
+    hi = np.stack(planes[half:])
+    full = np.stack([lo, hi], axis=2).reshape(v * nw, out).astype(np.int32)
     return full[:infeatures]
 
 
@@ -116,12 +132,15 @@ def unpack_np(words: np.ndarray, bits: int, infeatures: int) -> np.ndarray:
 def pack_int_weights(q: jnp.ndarray, bits: int) -> jnp.ndarray:
     """Pack int codes [in_pad, out] (already padded) -> int32 [nw, out]."""
     v = values_per_word(bits)
+    half = v // 2
     in_pad, out = q.shape
     nw = in_pad // v
     qp = q.astype(jnp.uint32) & ((1 << bits) - 1)
+    qv = qp.reshape(half, nw, 2, out)
     words = jnp.zeros((nw, out), dtype=jnp.uint32)
     for p in range(v):
-        words = words | (qp[p * nw:(p + 1) * nw] << plane_offset(bits, p))
+        k, h = (p, 0) if p < half else (p - half, 1)
+        words = words | (qv[k, :, h, :] << plane_offset(bits, p))
     return words.astype(jnp.int32)
 
 
@@ -129,8 +148,12 @@ def pack_int_weights(q: jnp.ndarray, bits: int) -> jnp.ndarray:
 def unpack_int_weights(words: jnp.ndarray, bits: int) -> jnp.ndarray:
     """Unpack int32 [nw, out] -> int32 codes [nw * V, out]."""
     v = values_per_word(bits)
+    half = v // 2
+    nw, out = words.shape
     w = words.astype(jnp.uint32)
     mask = jnp.uint32((1 << bits) - 1)
     planes = [((w >> plane_offset(bits, p)) & mask).astype(jnp.int32)
               for p in range(v)]
-    return jnp.concatenate(planes, axis=0)
+    lo = jnp.stack(planes[:half])
+    hi = jnp.stack(planes[half:])
+    return jnp.stack([lo, hi], axis=2).reshape(v * nw, out)

@@ -42,7 +42,7 @@ from ..core.packing import plane_offset, values_per_word
 # microbenchmarks of single pallas calls are unreliable on relayed
 # backends — round 1 mis-ranked the paired scheme that way):
 _TO_OVERRIDE = int(os.environ.get("OWQ_GEMV_TO", "0"))
-_PAIRED = os.environ.get("OWQ_GEMV_PAIRED", "") == "1"
+_PAIRED = os.environ.get("OWQ_GEMV_PAIRED", "1") != "0"
 _USE_COST = os.environ.get("OWQ_GEMV_NO_COST", "") != "1"
 # Decode (<=16 rows) default: paired-unpack deep-buffered DMA kernel
 # (gemv_dma.py, ~650 GB/s effective vs ~510 for the plane grid kernel on
@@ -173,11 +173,9 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
 
     if paired:
         half = v // 2
-        # pre-interleave x chunks: pair k rows (2i, 2i+1) = (chunk_k[i],
-        # chunk_{k+half}[i]) to match the bitcast's sublane interleave
-        xr = x.reshape(rows_pad, v, nw).astype(jnp.bfloat16)
-        xp = jnp.stack([xr[:, :half, :], xr[:, half:, :]], axis=-1)
-        xp = xp.reshape(rows_pad, half, 2 * nw)
+        # pair-interleaved row assignment (core/packing.py): the bitcast's
+        # sublane interleave IS natural x order — a free reshape
+        xp = x.astype(jnp.bfloat16).reshape(rows_pad, half, 2 * nw)
         y = pl.pallas_call(
             functools.partial(_paired_kernel, bits=bits, nw=nw),
             grid=grid,
@@ -195,6 +193,12 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
         )(xp, qweight)
         return y[:rows, :out]
 
+    # plane-slot order for the generic kernel: slot p holds logical rows
+    # k*2nw + 2i + h with p = h*half + k (pair-interleaved layout,
+    # core/packing.py) — one transpose, only on this fallback path
+    half = v // 2
+    x = x.reshape(rows_pad, half, nw, 2).transpose(0, 3, 1, 2)
+    x = x.reshape(rows_pad, in_pad)
     y = pl.pallas_call(
         functools.partial(_plane_kernel, bits=bits, nw=nw,
                           acc_dtype=jnp.float32),
@@ -219,10 +223,13 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     """PackedLinear apply via the fused Pallas kernel (all input shapes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # OWQ_GEMV_PAIRED=1 uses the paired bf16-bitcast unpack in the GRID
-    # kernel too (prefill/batched); default keeps the plane loop there —
-    # large-row calls are MXU-bound, not unpack-bound.
-    paired = _PAIRED and not interpret
+    # The paired bf16-bitcast unpack is the default for every bf16/f16
+    # call (grid kernel included): with the pair-interleaved row layout
+    # the activation operand is a free reshape, and the unpack is 3
+    # vreg-ops per TWO values with no type converts.  f32 activations
+    # (the reference's exact non-faster mode) keep the full-precision
+    # plane loop; OWQ_GEMV_PAIRED=0 forces the plane loop everywhere.
+    paired = _PAIRED and not interpret and x.dtype != jnp.float32
     dtype = x.dtype
     in_pad = p.in_padded
     pad = in_pad - x.shape[-1]

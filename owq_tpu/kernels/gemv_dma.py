@@ -60,18 +60,16 @@ _BF16_MAGIC = 0x43004300  # bf16(128.0) in both halves of an int32 lane
 def interleave_pairs(x: jnp.ndarray, bits: int, nw: int) -> jnp.ndarray:
     """[rows, in_pad] -> [rows, V/2, 2*nw] matching the bitcast interleave.
 
-    Element [r, k, 2i+h] = x[r, (h*V/2 + k)*nw + i]: row 2i of pair k holds
-    x[k*nw + i] (low half-word = plane k) and row 2i+1 x[(k+V/2)*nw + i]
-    (high half-word = plane k+V/2).  Expressed as ONE transpose (the
-    reshapes are free) — a stack+reshape costs two materialized copies,
-    and Mosaic cannot lower 16-bit lane interleaves in-kernel at all
-    ("insertion of minor dim ... only supported for 32-bit types").
+    With the pair-interleaved row assignment (core/packing.py) the
+    bitcast's sublane interleave IS natural input order, so this is a FREE
+    reshape — no transpose, no copy.  (The round-1 contiguous-chunk layout
+    needed a materialized lane transpose here; Mosaic cannot lower 16-bit
+    lane interleaves in-kernel at all.)
     """
     v = values_per_word(bits)
     half = v // 2
     rows = x.shape[0]
-    xr = x.reshape(rows, 2, half, nw)
-    return xr.transpose(0, 2, 3, 1).reshape(rows, half, 2 * nw)
+    return x.reshape(rows, half, 2 * nw)
 
 
 def _paired_tile(x_ref, q, bits: int, half: int):

@@ -139,7 +139,10 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     lead = xp.shape[:-1]
     nw = p.qweight.shape[0]
     v = in_pad // nw
-    xr = xp.reshape(-1, v, nw)
+    half = v // 2
+    # pair-interleaved row assignment (core/packing.py): plane (k, h)
+    # holds logical rows k*2*nw + 2*i + h
+    xv = xp.reshape(-1, half, nw, 2)
     qw = jax.lax.stop_gradient(p.qweight).astype(jnp.uint32)
     mask = jnp.uint32((1 << p.bits) - 1)
 
@@ -148,11 +151,12 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     acc = None
     for pl in range(v):
+        k, h = (pl, 0) if pl < half else (pl - half, 1)
         # (uint32 -> float is not a legal cast on TPU; hop through int32)
         qpl = ((qw >> plane_offset(p.bits, pl)) & mask
                ).astype(jnp.int32).astype(dtype)
-        part = jnp.dot(xr[:, pl, :], qpl, preferred_element_type=jnp.float32,
-                       precision=prec)
+        part = jnp.dot(xv[:, k, :, h], qpl,
+                       preferred_element_type=jnp.float32, precision=prec)
         acc = part if acc is None else acc + part
 
     scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
