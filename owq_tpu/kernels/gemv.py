@@ -249,22 +249,22 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     if use_dma:
         from .gemv_dma import packed_matvec_dma
 
-        # decode fast path: paired-magic unpack (+128/code offset, removed
-        # below) with a 4-slot DMA ring
-        paired = True
-        acc = packed_matvec_dma(xp, jax.lax.stop_gradient(p.qweight),
-                                bits=p.bits)
+        # decode fast path: paired-magic unpack with a 4-slot DMA ring;
+        # the scale/zero(+128) correction runs fused in-kernel
+        y = packed_matvec_dma(xp, jax.lax.stop_gradient(p.qweight),
+                              jax.lax.stop_gradient(p.scales),
+                              jax.lax.stop_gradient(p.zeros),
+                              bits=p.bits, out_dtype=jnp.float32)
     else:
         acc = packed_matmul_kernel(xp, jax.lax.stop_gradient(p.qweight),
                                    bits=p.bits, interpret=interpret,
                                    paired=paired)
-
-    scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
-    zeros = jax.lax.stop_gradient(p.zeros).astype(jnp.float32)
-    if paired:
-        zeros = zeros + 128.0  # remove the bf16-bitcast +128 offset
-    xsum = jnp.sum(xp.astype(jnp.float32), axis=-1, keepdims=True)
-    y = acc * scales[None, :] - xsum * (scales * zeros)[None, :]
+        scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
+        zeros = jax.lax.stop_gradient(p.zeros).astype(jnp.float32)
+        if paired:
+            zeros = zeros + 128.0  # remove the bf16-bitcast +128 offset
+        xsum = jnp.sum(xp.astype(jnp.float32), axis=-1, keepdims=True)
+        y = acc * scales[None, :] - xsum * (scales * zeros)[None, :]
 
     if p.n_out > 0:
         xo = jnp.take(xf, p.out_ids, axis=-1)

@@ -30,8 +30,9 @@ found by on-device xplane profiling (tools/bench_unpack.py):
    saturated (653 GB/s vs 614 at 2 slots, measured).
 
 Numerics: pair values (128+code) are exact in bf16; accumulation is f32.
-The kernel returns the RAW plane-sum including the +128*sum(x) term —
-callers must use offset=128 in the scale/zero correction (gemv.py does).
+The scale/zero correction (which also removes the uniform +128) runs
+fused in-kernel: y = s*acc - s*(z+128)*sum(x); weak columns and bias are
+added by the caller (gemv.quant_matmul).
 
 The reference's CUDA analogue is VecQuant3MatMulKernelFaster
 (owq/kernel/gemv.cu:88-176): per-thread 64-entry half2 LUT + hfma2 with
@@ -85,8 +86,8 @@ def _paired_tile(x_ref, q, bits: int, half: int):
     return acc
 
 
-def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int,
-                half: int, to: int, n_tiles: int, slots: int):
+def _dma_kernel(x_ref, sz_ref, q_hbm, o_ref, scratch, sems, *, bits: int,
+                half: int, to: int, n_tiles: int, slots: int, out_dtype):
     def get_dma(slot, tile):
         return pltpu.make_async_copy(
             q_hbm.at[:, pl.ds(tile * to, to)],
@@ -97,6 +98,13 @@ def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int,
     for s in range(min(slots - 1, n_tiles)):
         get_dma(s, s).start()
 
+    # the scale/zero correction runs fused in-kernel: y = s*acc - c*sum(x)
+    # with c = s*(z+128) precomputed by the caller (sz_ref rows: [s; c]).
+    # Saves ~150 us/step of small XLA ops (xsum reduce + two multiplies +
+    # f32->bf16 convert per call) on a llama-7b decode step.
+    xs2 = jnp.sum(x_ref[:].astype(jnp.float32), axis=2)   # [rows, half]
+    xsum = jnp.sum(xs2, axis=1, keepdims=True)             # [rows, 1]
+
     def body(tile, _):
         slot = tile % slots
 
@@ -105,8 +113,11 @@ def _dma_kernel(x_ref, q_hbm, o_ref, scratch, sems, *, bits: int,
             get_dma((tile + slots - 1) % slots, tile + slots - 1).start()
 
         get_dma(slot, tile).wait()
-        o_ref[:, pl.ds(tile * to, to)] = _paired_tile(x_ref, scratch[slot],
-                                                      bits, half)
+        acc = _paired_tile(x_ref, scratch[slot], bits, half)
+        s = sz_ref[0:1, pl.ds(tile * to, to)]
+        c = sz_ref[1:2, pl.ds(tile * to, to)]
+        y = acc * s - xsum * c
+        o_ref[:, pl.ds(tile * to, to)] = y.astype(out_dtype)
         return ()
 
     jax.lax.fori_loop(0, n_tiles, body, ())
@@ -126,13 +137,15 @@ def dma_applicable(rows: int, out: int, nw: int) -> bool:
     return rows <= MAX_DMA_ROWS and _pick_tile(out, nw) != 0
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
-def packed_matvec_dma(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int
-                      ) -> jnp.ndarray:
-    """x [rows<=16, in_pad] @ codes -> f32 [rows, out] + 128*sum(x) offset.
+@functools.partial(jax.jit, static_argnames=("bits", "out_dtype"))
+def packed_matvec_dma(x: jnp.ndarray, qweight: jnp.ndarray,
+                      scales: jnp.ndarray, zeros: jnp.ndarray, *, bits: int,
+                      out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """x [rows<=16, in_pad] @ dequant(codes) -> [rows, out], corrected.
 
-    Decode-oriented (small row count).  Callers fold the uniform +128 into
-    the zero-point correction (see module docstring / gemv.quant_matmul).
+    Returns the scale/zero-corrected base product (weak columns and bias
+    are NOT included — the caller adds them).  Decode-oriented (small row
+    count); the correction runs fused in-kernel.
     """
     rows, in_pad = x.shape
     nw, out = qweight.shape
@@ -147,24 +160,29 @@ def packed_matvec_dma(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int
     if rows < rows_pad:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
     xp = interleave_pairs(x.astype(jnp.bfloat16), bits, nw)
+    s32 = scales.astype(jnp.float32)
+    corr = s32 * (zeros.astype(jnp.float32) + 128.0)  # +128 = magic offset
+    sz = jnp.stack([s32, corr])                        # [2, out]
 
     y = pl.pallas_call(
         functools.partial(_dma_kernel, bits=bits, half=half, to=to,
-                          n_tiles=n_tiles, slots=_SLOTS),
+                          n_tiles=n_tiles, slots=_SLOTS,
+                          out_dtype=out_dtype),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, out), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((_SLOTS, nw, to), jnp.int32),
             pltpu.SemaphoreType.DMA((_SLOTS,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * rows_pad * in_pad * out,
-            bytes_accessed=qweight.nbytes + x.nbytes + 4 * rows_pad * out,
+            bytes_accessed=qweight.nbytes + x.nbytes + 2 * rows_pad * out,
             transcendentals=0),
         name=f"owq_gemv_dma_{bits}b",
-    )(xp, qweight)
+    )(xp, sz, qweight)
     return y[:rows]

@@ -39,7 +39,7 @@ def rng():
 
 _FAST_MODULES = {
     "test_quantizer", "test_gptq", "test_packing", "test_kernels",
-    "test_native",
+    "test_native", "test_task_contracts",
 }
 # one representative per structural class elsewhere
 _FAST_TESTS = {
