@@ -116,6 +116,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     wbytes = packed_model_bytes(params)
     roofline_tps = V5E_HBM_GBPS * 1e9 / wbytes
+    if args.fuse:
+        # runtime qkv/gateup fusion (7 -> 4 quantized matmuls per block);
+        # applies to both protocols on a single chip (TP serving splits
+        # fused projections back apart, so the engine's mesh mode doesn't
+        # compose — bench runs single-chip)
+        from owq_tpu.runtime.fuse import fuse_block_projections
+
+        params, cfg = fuse_block_projections(params, cfg)
     detail = {
         "kernel": kernel,
         "weight_bytes": wbytes,
@@ -147,14 +155,9 @@ def main() -> None:
         })
 
     if not args.engine_only:
-        sparams, scfg = params, cfg
-        if args.fuse:
-            from owq_tpu.runtime.fuse import fuse_block_projections
-
-            sparams, scfg = fuse_block_projections(params, cfg)
         ids = rng.integers(0, cfg.vocab_size,
                            size=(1, args.tokens)).astype(np.int32)
-        stats = benchmark_decode(sparams, scfg, ids, kernel=kernel,
+        stats = benchmark_decode(params, cfg, ids, kernel=kernel,
                                  cache_dtype=jnp.bfloat16,
                                  max_len=args.tokens, repeats=args.repeats)
         detail["median_ms"] = round(stats["median_s"] * 1e3, 3)
