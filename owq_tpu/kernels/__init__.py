@@ -27,7 +27,7 @@ def PALLAS_AVAILABLE() -> bool:
         return False
 
 
-def quant_matmul_pallas(p, x):
+def quant_matmul_pallas(p, x, a8: bool = False):
     from .gemv import quant_matmul
 
-    return quant_matmul(p, x)
+    return quant_matmul(p, x, a8=a8)

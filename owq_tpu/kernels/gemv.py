@@ -218,11 +218,19 @@ def packed_matmul_kernel(x: jnp.ndarray, qweight: jnp.ndarray, *, bits: int,
     return y[:rows, :out]
 
 
-def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
-                 ) -> jnp.ndarray:
-    """PackedLinear apply via the fused Pallas kernel (all input shapes)."""
+def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None,
+                 a8: bool = False) -> jnp.ndarray:
+    """PackedLinear apply via the fused Pallas kernel (all input shapes).
+
+    ``a8``: W4A8 serving mode — int8-MXU base product on per-row absmax
+    int8 activations, FP weak columns (kernels/gemv_a8.py).  Falls back to
+    the exact path when not applicable (3-bit, large rows, non-TPU uses a
+    jnp simulation with identical semantics).  OWQ_A8=1 forces it on for
+    every eligible call (A/B runs).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    a8 = a8 or os.environ.get("OWQ_A8", "") == "1"
     # The paired bf16-bitcast unpack is the default for every bf16/f16
     # call (grid kernel included): with the pair-interleaved row layout
     # the activation operand is a free reshape, and the unpack is 3
@@ -236,6 +244,47 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None
     lead = x.shape[:-1]
     xf = x.reshape(-1, x.shape[-1])
     xp = jnp.pad(xf, ((0, 0), (0, pad))) if pad else xf
+
+    use_a8 = False
+    if a8 and dtype != jnp.float32:
+        from .gemv_a8 import a8_applicable
+
+        nw_q, out_q = p.qweight.shape
+        use_a8 = a8_applicable(p.bits, xp.shape[0], out_q, nw_q)
+    if use_a8:
+        # Zero the weak columns out of the a8 base input: their base
+        # contribution is exactly zero anyway (codes hold the zero-point,
+        # so s*x*z - s*z*x cancels), and excluding them keeps activation
+        # outliers out of the per-row absmax — the whole point of pairing
+        # A8 with OWQ.  They are served in full precision below.
+        xa = xp
+        if p.n_out > 0:
+            xa = xa.at[:, p.out_ids].set(0)
+        if interpret:
+            # CPU/interpret: jnp simulation with identical A8 semantics
+            from .gemv_a8 import a8_base_reference
+            from ..core.packing import unpack_int_weights
+
+            codes = unpack_int_weights(
+                jax.lax.stop_gradient(p.qweight), p.bits)
+            y = a8_base_reference(xa, codes,
+                                  jax.lax.stop_gradient(p.scales),
+                                  jax.lax.stop_gradient(p.zeros))
+        else:
+            from .gemv_a8 import packed_matvec_a8
+
+            y = packed_matvec_a8(xa, jax.lax.stop_gradient(p.qweight),
+                                 jax.lax.stop_gradient(p.scales),
+                                 jax.lax.stop_gradient(p.zeros),
+                                 out_dtype=jnp.float32)
+        if p.n_out > 0:
+            xo = jnp.take(xf, p.out_ids, axis=-1)
+            y = y + jnp.dot(xo, p.oweight.astype(dtype),
+                            preferred_element_type=jnp.float32)
+        y = y.astype(dtype)
+        if p.bias is not None:
+            y = y + p.bias.astype(dtype)
+        return y.reshape(*lead, p.out_features)
 
     use_dma = False
     if _USE_DMA and not interpret and dtype != jnp.float32:

@@ -186,3 +186,86 @@ def packed_matvec_dma(x: jnp.ndarray, qweight: jnp.ndarray,
         name=f"owq_gemv_dma_{bits}b",
     )(xp, sz, qweight)
     return y[:rows]
+
+
+# ---------------------------------------------------------------------------
+# Dense bf16 matvec with the same deep-buffered DMA ring — used for the
+# lm_head (the one large dense matmul left in a packed decode step: llama-7b
+# streams 262MB of bf16 lm_head per token; XLA's reduce-fusion matvec runs
+# ~694 GB/s vs ~755 for the explicit ring).
+# ---------------------------------------------------------------------------
+
+def _dense_kernel(x_ref, w_hbm, o_ref, scratch, sems, *, to: int,
+                  n_tiles: int, slots: int, out_dtype):
+    def get_dma(slot, tile):
+        return pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(tile * to, to)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    for s in range(min(slots - 1, n_tiles)):
+        get_dma(s, s).start()
+
+    def body(tile, _):
+        slot = tile % slots
+
+        @pl.when(tile + slots - 1 < n_tiles)
+        def _():
+            get_dma((tile + slots - 1) % slots, tile + slots - 1).start()
+
+        get_dma(slot, tile).wait()
+        y = jnp.dot(x_ref[:], scratch[slot],
+                    preferred_element_type=jnp.float32)
+        o_ref[:, pl.ds(tile * to, to)] = y.astype(out_dtype)
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, ())
+
+
+def _pick_tile_dense(out: int, infeat: int) -> int:
+    for to in (512, 256, 128):
+        if out % to == 0 and _SLOTS * infeat * to * 2 <= 12 << 20:
+            return to
+    return 0
+
+
+def dense_dma_applicable(rows: int, out: int, infeat: int) -> bool:
+    return (rows <= MAX_DMA_ROWS and infeat % 128 == 0
+            and _pick_tile_dense(out, infeat) != 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def dense_matvec_dma(x: jnp.ndarray, w: jnp.ndarray, *,
+                     out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """x [rows<=16, in] @ w [in, out] (bf16 stream) -> [rows, out]."""
+    rows, infeat = x.shape
+    infeat_w, out = w.shape
+    assert infeat == infeat_w
+    to = _pick_tile_dense(out, infeat)
+    assert to, f"no tile divides out={out}"
+    rows_pad = 8 if rows <= 8 else MAX_DMA_ROWS
+    assert rows <= rows_pad
+    if rows < rows_pad:
+        x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
+
+    y = pl.pallas_call(
+        functools.partial(_dense_kernel, to=to, n_tiles=out // to,
+                          slots=_SLOTS, out_dtype=out_dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS, infeat, to), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * infeat * out,
+            bytes_accessed=w.nbytes + x.nbytes + 2 * rows_pad * out,
+            transcendentals=0),
+        name="owq_dense_matvec_dma",
+    )(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    return y[:rows]

@@ -498,7 +498,7 @@ def _mlp_act(mlp: Dict[str, Any], cfg: ModelConfig,
 
 
 def _lin(p, x, kernel: str) -> jnp.ndarray:
-    if isinstance(p, (PackedLinear, ShardedPackedLinear)):
+    if isinstance(p, (PackedLinear, ShardedPackedLinear, DenseLinear)):
         return p.apply(x, kernel=kernel)
     if type(p).__name__ == "LoraLinear":  # avoid runtime<->models import cycle
         return p.apply(x, kernel=kernel)
@@ -1327,16 +1327,16 @@ def layer_attn_temp(cfg: ModelConfig, temp, i: int):
 
 
 def unembed(params: Dict[str, Any], cfg: ModelConfig,
-            x: jnp.ndarray) -> jnp.ndarray:
+            x: jnp.ndarray, kernel: str = "xla") -> jnp.ndarray:
     """Final norm + output projection + LM head -> logits [B, T, vocab]."""
     # layernorm_np (olmo) has no norm params at all (an empty dict does not
     # survive a checkpoint roundtrip) — the final norm still applies
     if params.get("final_norm") is not None or cfg.norm_type == "layernorm_np":
         x = _norm(params.get("final_norm"), cfg, x)
     if params.get("project_out") is not None:
-        x = params["project_out"].apply(x)
+        x = _lin(params["project_out"], x, kernel)
     if params.get("lm_head") is not None:
-        logits = params["lm_head"].apply(x)
+        logits = _lin(params["lm_head"], x, kernel)
     else:
         logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
@@ -1463,7 +1463,7 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
                 new_k = (kvc.k if new_k is None else new_k).at[i].set(kf)
                 new_v = (kvc.v if new_v is None else new_v).at[i].set(vf)
 
-    logits = unembed(params, cfg, x)
+    logits = unembed(params, cfg, x, kernel)
     if cache is None:
         return logits, None
     if hybrid:

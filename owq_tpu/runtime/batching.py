@@ -131,7 +131,7 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
             if hybrid:
                 convs.append(czero)
                 ssms.append(szero)
-    logits = unembed(params, cfg, x)
+    logits = unembed(params, cfg, x, kernel)
     if hybrid:
         return logits, x, (jnp.stack(ks), jnp.stack(vs), jnp.stack(convs),
                            jnp.stack(ssms))

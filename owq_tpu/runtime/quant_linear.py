@@ -57,11 +57,51 @@ class DenseLinear:
     def out_features(self) -> int:
         return self.w.shape[1]
 
-    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, x: jnp.ndarray, kernel: str = "xla") -> jnp.ndarray:
+        if (kernel.startswith("pallas") and x.dtype in (jnp.bfloat16, jnp.float16)
+                and jax.default_backend() == "tpu"):
+            from ..kernels.gemv_dma import dense_dma_applicable
+
+            lead = x.shape[:-1]
+            rows = 1
+            for d in lead:
+                rows *= d
+            if dense_dma_applicable(rows, self.w.shape[1], self.w.shape[0]):
+                # decode path: stream the dense matrix (e.g. the 262MB
+                # llama-7b lm_head) through the 4-slot DMA ring — ~755 vs
+                # ~694 GB/s for XLA's reduce-fusion matvec on v5e
+                y = _dense_mv(x.reshape(rows, x.shape[-1]), self.w)
+                y = y.reshape(*lead, self.w.shape[1])
+                if self.b is not None:
+                    y = y + self.b.astype(x.dtype)
+                return y
         y = jnp.dot(x, self.w.astype(x.dtype), preferred_element_type=x.dtype)
         if self.b is not None:
             y = y + self.b.astype(x.dtype)
         return y
+
+
+@jax.custom_vjp
+def _dense_mv(x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Pallas dense matvec with a standard-dot VJP (pallas_call has no
+    autodiff rule; dense weights DO take gradients, e.g. LoRA bases)."""
+    from ..kernels.gemv_dma import dense_matvec_dma
+
+    return dense_matvec_dma(x2, w, out_dtype=x2.dtype)
+
+
+def _dense_mv_fwd(x2, w):
+    return _dense_mv(x2, w), (x2, w)
+
+
+def _dense_mv_bwd(res, g):
+    x2, w = res
+    gx = jnp.dot(g.astype(jnp.float32), w.astype(jnp.float32).T)
+    gw = jnp.dot(x2.astype(jnp.float32).T, g.astype(jnp.float32))
+    return gx.astype(x2.dtype), gw.astype(w.dtype)
+
+
+_dense_mv.defvjp(_dense_mv_fwd, _dense_mv_bwd)
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +144,13 @@ class PackedLinear:
             from ..kernels import quant_matmul_pallas
 
             return quant_matmul_pallas(self, x)
+        if kernel == "pallas-a8":
+            # W4A8 serving mode (kernels/gemv_a8.py): int8-MXU base
+            # product, FP weak columns; non-4-bit layers fall back to the
+            # exact path inside quant_matmul
+            from ..kernels import quant_matmul_pallas
+
+            return quant_matmul_pallas(self, x, a8=True)
         return _apply_xla(self, x)
 
 
