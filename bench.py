@@ -68,6 +68,10 @@ def main() -> None:
                     help="disable qkv/gateup runtime fusion in single-stream")
     ap.add_argument("--batch", type=int, default=8,
                     help="engine slot count")
+    ap.add_argument("--window", type=int, default=32,
+                    help="engine decode steps per host sync (per-dispatch "
+                         "overhead through the relayed backend is large; "
+                         "a server would also batch steps)")
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=6,
                     help="best-of-N timing (the shared TPU pool has noisy "
@@ -143,9 +147,9 @@ def main() -> None:
         # warmup compiles every decode-window variant the measured run
         # uses; the measurement then reuses the SAME engine (steady-state
         # serving throughput)
-        eng.run(prompts[:2], max_new_tokens=args.tokens)
+        eng.run(prompts[:2], max_new_tokens=args.tokens, window=args.window)
         eng.reset_stats()
-        eng.run(prompts, max_new_tokens=args.tokens)
+        eng.run(prompts, max_new_tokens=args.tokens, window=args.window)
         tps = eng.stats["throughput_tok_s"]
         results.append({
             "metric": f"{name}_{args.bits}.01bit_engine_b{args.batch}",
