@@ -42,7 +42,7 @@ from ..core.packing import plane_offset, values_per_word
 # microbenchmarks of single pallas calls are unreliable on relayed
 # backends — round 1 mis-ranked the paired scheme that way):
 _TO_OVERRIDE = int(os.environ.get("OWQ_GEMV_TO", "0"))
-_PAIRED = os.environ.get("OWQ_GEMV_PAIRED", "1") != "0"
+_PAIRED = os.environ.get("OWQ_GEMV_PAIRED", "") == "1"
 _USE_COST = os.environ.get("OWQ_GEMV_NO_COST", "") != "1"
 # Decode (<=16 rows) default: paired-unpack deep-buffered DMA kernel
 # (gemv_dma.py, ~650 GB/s effective vs ~510 for the plane grid kernel on
@@ -231,12 +231,12 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     a8 = a8 or os.environ.get("OWQ_A8", "") == "1"
-    # The paired bf16-bitcast unpack is the default for every bf16/f16
-    # call (grid kernel included): with the pair-interleaved row layout
-    # the activation operand is a free reshape, and the unpack is 3
-    # vreg-ops per TWO values with no type converts.  f32 activations
-    # (the reference's exact non-faster mode) keep the full-precision
-    # plane loop; OWQ_GEMV_PAIRED=0 forces the plane loop everywhere.
+    # Decode (<=16 rows) runs the paired bf16-magic unpack via the DMA
+    # kernel below.  The GRID kernel (prefill/batched) keeps the plane
+    # loop by default: prefill is MXU-bound, and Mosaic's live-temporary
+    # footprint for the unrolled paired pairs blows the VMEM budget on
+    # wide layers (13b down-proj at tr=128: 18MB scoped vmem).
+    # OWQ_GEMV_PAIRED=1 opts the grid kernel into the paired unpack.
     paired = _PAIRED and not interpret and x.dtype != jnp.float32
     dtype = x.dtype
     in_pad = p.in_padded
