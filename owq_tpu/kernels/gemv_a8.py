@@ -80,15 +80,15 @@ def byte_interleave(x8: jnp.ndarray, nw: int):
     for the low nibbles and [(1,0),(3,0),(1,1),(3,1)] for the high.
     """
     rows = x8.shape[0]
-    X = x8.reshape(rows, 4, nw, 2)          # [r, k, i, h]
-
-    def gather(ks):
-        cols = [X[:, k, :, h] for k, h in ks]
-        return jnp.stack(cols, axis=-1).reshape(rows, 4 * nw)
-
-    x_lo = gather([(0, 0), (2, 0), (0, 1), (2, 1)])
-    x_hi = gather([(1, 0), (3, 0), (1, 1), (3, 1)])
-    return jnp.stack([x_lo, x_hi], axis=1)
+    # k = 2a + c with a = b % 2, h = b // 2 and b the byte index: the
+    # needed (k_b, h_b) sequences [(0,0),(2,0),(0,1),(2,1)] (lo) and
+    # [(1,0),(3,0),(1,1),(3,1)] (hi) are c=0 / c=1 slices of ONE
+    # transpose each (cheaper than per-(k,h) gathers)
+    Y = x8.reshape(rows, 2, 2, nw, 2)       # [r, a, c, i, h]
+    lo = Y[:, :, 0].transpose(0, 2, 3, 1)   # [r, i, h, a]; b = 2h + a
+    hi = Y[:, :, 1].transpose(0, 2, 3, 1)
+    return jnp.stack([lo.reshape(rows, 4 * nw),
+                      hi.reshape(rows, 4 * nw)], axis=1)
 
 
 def _a8_kernel(x_ref, sz_ref, row_ref, q_hbm, o_ref, scratch, sems, *,
