@@ -62,3 +62,17 @@ def pytest_collection_modifyitems(config, items):
         base = item.name.split("[")[0]
         if mod in _FAST_MODULES or base in _FAST_TESTS:
             item.add_marker(pytest.mark.fast)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles thousands of XLA:CPU programs; with the r2
+    additions the accumulated JIT code crashed the process (segfault in
+    libgcc unwind during a later compile, reproducibly at ~60% of the
+    suite).  Dropping the caches at module boundaries keeps the resident
+    executable set bounded; modules rarely share jit signatures anyway.
+    """
+    yield
+    jax.clear_caches()
