@@ -58,8 +58,19 @@ class DenseLinear:
         return self.w.shape[1]
 
     def apply(self, x: jnp.ndarray, kernel: str = "xla") -> jnp.ndarray:
-        if (kernel.startswith("pallas") and x.dtype in (jnp.bfloat16, jnp.float16)
+        import os
+
+        if (os.environ.get("OWQ_DENSE_DMA", "") == "1"
+                and kernel.startswith("pallas")
+                and x.dtype in (jnp.bfloat16, jnp.float16)
                 and jax.default_backend() == "tpu"):
+            # Experimental (OWQ_DENSE_DMA=1): stream the dense matrix
+            # through the 4-slot DMA ring.  Isolated microbenchmarks show
+            # ~755 GB/s, but IN the decode step it measures ~623 vs ~694
+            # GB/s for XLA's reduce-fusion matvec (xplane, llama-7b
+            # lm_head) — XLA overlaps the reduction with neighbours better
+            # than the standalone kernel boundary allows, so the XLA path
+            # stays the default.
             from ..kernels.gemv_dma import dense_dma_applicable
 
             lead = x.shape[:-1]
@@ -67,9 +78,6 @@ class DenseLinear:
             for d in lead:
                 rows *= d
             if dense_dma_applicable(rows, self.w.shape[1], self.w.shape[0]):
-                # decode path: stream the dense matrix (e.g. the 262MB
-                # llama-7b lm_head) through the 4-slot DMA ring — ~755 vs
-                # ~694 GB/s for XLA's reduce-fusion matvec on v5e
                 y = _dense_mv(x.reshape(rows, x.shape[-1]), self.w)
                 y = y.reshape(*lead, self.w.shape[1])
                 if self.b is not None:
