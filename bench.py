@@ -77,6 +77,10 @@ def main() -> None:
                     help="best-of-N timing (the shared TPU pool has noisy "
                          "neighbors; only the best sample reflects the "
                          "hardware)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="add a prompt-lookup speculative-decoding line "
+                         "(B=1, repetitive synthetic stream so n-gram "
+                         "drafts accept; greedy-exact outputs)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (harness smoke test when the "
                          "TPU tunnel is unavailable; numbers are not "
@@ -172,6 +176,35 @@ def main() -> None:
             "value": round(stats["tokens_per_s"], 2),
             "unit": "tokens/s/chip",
             "vs_baseline": round(stats["tokens_per_s"] / roofline_tps, 4),
+        })
+
+    if args.speculative and not args.engine_only:
+        import time
+
+        from owq_tpu.runtime.speculative import generate_speculative
+
+        # a repetitive stream (cyclic 16-token pattern) — the regime
+        # prompt-lookup speculation targets (templated/structured text);
+        # outputs remain greedy-exact regardless of acceptance
+        pat = rng.integers(0, cfg.vocab_size, size=(16,)).astype(np.int32)
+        prompt = np.tile(pat, 4)[None, :]
+        # warm ALL window-shape variants (each accepted-length is a
+        # distinct jit signature; the timed pass must reuse them)
+        generate_speculative(params, cfg, prompt, args.tokens, kernel=kernel)
+        t0 = time.perf_counter()
+        toks, sstats = generate_speculative(params, cfg, prompt,
+                                            args.tokens, kernel=kernel,
+                                            return_stats=True)
+        wall = time.perf_counter() - t0
+        n = int(np.asarray(toks).size)
+        tpf = n / max(sstats["forwards"], 1)
+        detail["spec_forwards"] = sstats["forwards"]
+        detail["spec_tokens_per_forward"] = round(tpf, 2)
+        results.append({
+            "metric": f"{name}_{args.bits}.01bit_spec_decode",
+            "value": round(n / wall, 2),
+            "unit": "tokens/s/chip",
+            "vs_baseline": round(n / wall / roofline_tps, 4),
         })
 
     print(json.dumps(detail), file=sys.stderr)
