@@ -1,10 +1,10 @@
 """Headline benchmark: decode tokens/s/chip on a quantized llama.
 
-Prints one JSON line PER PROTOCOL (single-stream last — the BASELINE
-headline is the reference's B=1 protocol):
+Prints one JSON line PER PROTOCOL, flushed as each completes (the B=1
+reference protocol runs FIRST so a driver timeout cannot erase it):
 
-  {"metric": "<model>_<bits>.01bit_engine_b8",  ...}   serving throughput
   {"metric": "<model>_<bits>.01bit_decode",     ...}   B=1 reference protocol
+  {"metric": "<model>_<bits>.01bit_engine_b8",  ...}   serving throughput
 
 The reference repo publishes no numeric tables (BASELINE.md); the driver's
 north star is decode tokens/s/chip at 3.01-bit llama-7b vs. the
@@ -140,6 +140,26 @@ def main() -> None:
     }
     results = []
 
+    def emit(r):
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    if not args.engine_only:
+        ids = rng.integers(0, cfg.vocab_size,
+                           size=(1, args.tokens)).astype(np.int32)
+        stats = benchmark_decode(params, cfg, ids, kernel=kernel,
+                                 cache_dtype=jnp.bfloat16,
+                                 max_len=args.tokens, repeats=args.repeats)
+        detail["median_ms"] = round(stats["median_s"] * 1e3, 3)
+        detail["min_ms"] = round(stats["min_s"] * 1e3, 3)
+        detail["fused"] = bool(args.fuse)
+        emit({
+            "metric": f"{name}_{args.bits}.01bit_decode",
+            "value": round(stats["tokens_per_s"], 2),
+            "unit": "tokens/s/chip",
+            "vs_baseline": round(stats["tokens_per_s"] / roofline_tps, 4),
+        })
+
     if not args.single_only:
         from owq_tpu.runtime.batching import Engine
 
@@ -155,27 +175,11 @@ def main() -> None:
         eng.reset_stats()
         eng.run(prompts, max_new_tokens=args.tokens, window=args.window)
         tps = eng.stats["throughput_tok_s"]
-        results.append({
+        emit({
             "metric": f"{name}_{args.bits}.01bit_engine_b{args.batch}",
             "value": round(tps, 2),
             "unit": "tokens/s/chip",
             "vs_baseline": round(tps / roofline_tps, 4),
-        })
-
-    if not args.engine_only:
-        ids = rng.integers(0, cfg.vocab_size,
-                           size=(1, args.tokens)).astype(np.int32)
-        stats = benchmark_decode(params, cfg, ids, kernel=kernel,
-                                 cache_dtype=jnp.bfloat16,
-                                 max_len=args.tokens, repeats=args.repeats)
-        detail["median_ms"] = round(stats["median_s"] * 1e3, 3)
-        detail["min_ms"] = round(stats["min_s"] * 1e3, 3)
-        detail["fused"] = bool(args.fuse)
-        results.append({
-            "metric": f"{name}_{args.bits}.01bit_decode",
-            "value": round(stats["tokens_per_s"], 2),
-            "unit": "tokens/s/chip",
-            "vs_baseline": round(stats["tokens_per_s"] / roofline_tps, 4),
         })
 
     if args.speculative and not args.engine_only:
@@ -200,7 +204,7 @@ def main() -> None:
         tpf = n / max(sstats["forwards"], 1)
         detail["spec_forwards"] = sstats["forwards"]
         detail["spec_tokens_per_forward"] = round(tpf, 2)
-        results.append({
+        emit({
             "metric": f"{name}_{args.bits}.01bit_spec_decode",
             "value": round(n / wall, 2),
             "unit": "tokens/s/chip",
@@ -208,8 +212,6 @@ def main() -> None:
         })
 
     print(json.dumps(detail), file=sys.stderr)
-    for r in results:
-        print(json.dumps(r))
 
 
 if __name__ == "__main__":
