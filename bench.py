@@ -77,6 +77,11 @@ def main() -> None:
                     help="best-of-N timing (the shared TPU pool has noisy "
                          "neighbors; only the best sample reflects the "
                          "hardware)")
+    ap.add_argument("--a8", action="store_true",
+                    help="W4A8 serving mode (4-bit only): repack weights "
+                         "into the A8 byte layout and decode on the int8 "
+                         "MXU with per-row int8 activations (weak columns "
+                         "stay full-precision)")
     ap.add_argument("--speculative", action="store_true",
                     help="add a prompt-lookup speculative-decoding line "
                          "(B=1, repetitive synthetic stream so n-gram "
@@ -132,6 +137,12 @@ def main() -> None:
         from owq_tpu.runtime.fuse import fuse_block_projections
 
         params, cfg = fuse_block_projections(params, cfg)
+    if args.a8:
+        assert args.bits == 4, "--a8 is a 4-bit mode"
+        from owq_tpu.runtime.fuse import repack_model_a8
+
+        params = repack_model_a8(params, cfg)
+        name = name + "a8"  # metric: <model>a8_4.01bit_decode
     detail = {
         "kernel": kernel,
         "weight_bytes": wbytes,

@@ -230,7 +230,8 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    a8 = a8 or os.environ.get("OWQ_A8", "") == "1"
+    a8 = (a8 or os.environ.get("OWQ_A8", "") == "1"
+          or getattr(p, "layout", "paired") == "a8")
     # Decode (<=16 rows) runs the paired bf16-magic unpack via the DMA
     # kernel below.  The GRID kernel (prefill/batched) keeps the plane
     # loop by default: prefill is MXU-bound, and Mosaic's live-temporary
@@ -245,12 +246,21 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None,
     xf = x.reshape(-1, x.shape[-1])
     xp = jnp.pad(xf, ((0, 0), (0, pad))) if pad else xf
 
+    a8_layout = getattr(p, "layout", "paired") == "a8"
     use_a8 = False
     if a8 and dtype != jnp.float32:
         from .gemv_a8 import a8_applicable
 
         nw_q, out_q = p.qweight.shape
         use_a8 = a8_applicable(p.bits, xp.shape[0], out_q, nw_q)
+    if a8_layout and not use_a8:
+        # A8-laid weights can only be decoded by the a8 kernel or the
+        # layout-aware exact XLA path — never by the paired-layout
+        # kernels.  Non-applicable calls (large rows = prefill, odd tile
+        # widths, f32) take the exact path; A8 is best-effort per layer.
+        from ..runtime.quant_linear import _apply_xla
+
+        return _apply_xla(p, x)
     if use_a8:
         # Zero the weak columns out of the a8 base input: their base
         # contribution is exactly zero anyway (codes hold the zero-point,
@@ -262,14 +272,23 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None,
             xa = xa.at[:, p.out_ids].set(0)
         if interpret:
             # CPU/interpret: jnp simulation with identical A8 semantics
-            from .gemv_a8 import a8_base_reference
+            from .gemv_a8 import a8_base_reference, a8_unpack
             from ..core.packing import unpack_int_weights
 
-            codes = unpack_int_weights(
-                jax.lax.stop_gradient(p.qweight), p.bits)
+            qw_sg = jax.lax.stop_gradient(p.qweight)
+            codes = a8_unpack(qw_sg) if a8_layout else \
+                unpack_int_weights(qw_sg, p.bits)
             y = a8_base_reference(xa, codes,
                                   jax.lax.stop_gradient(p.scales),
                                   jax.lax.stop_gradient(p.zeros))
+        elif a8_layout:
+            # byte-layout weights: zero activation shuffles
+            from .gemv_a8 import packed_matvec_a8_natural
+
+            y = packed_matvec_a8_natural(
+                xa, jax.lax.stop_gradient(p.qweight),
+                jax.lax.stop_gradient(p.scales),
+                jax.lax.stop_gradient(p.zeros), out_dtype=jnp.float32)
         else:
             from .gemv_a8 import packed_matvec_a8
 

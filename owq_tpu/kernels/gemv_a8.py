@@ -189,3 +189,134 @@ def a8_base_reference(x: jnp.ndarray, codes: jnp.ndarray,
     s32 = scales.astype(jnp.float32)
     return (acc.astype(jnp.float32) * (sx / 127.0) * s32[None, :]
             - xsum * (s32 * zeros.astype(jnp.float32))[None, :])
+
+
+# ---------------------------------------------------------------------------
+# A8 weight layout: byte-interleaved repack so the int8 bitcast matches
+# NATURAL activation order — no int8 activation shuffles at all.
+#
+# Word i, byte b: low nibble = code of logical row 4*i + b, high nibble =
+# code of logical row 4*nw + 4*i + b.  Then
+#     lo = bitcast(q & 0x0F0F0F0F, int8)  rows 4i+b  ->  x[:, :4*nw]
+#     hi = bitcast((q>>4) & ..., int8)    rows 4nw+4i+b -> x[:, 4*nw:]
+# i.e. both MXU operands take free slices of the per-row-quantized x8.
+# The e2e profile of the paired-layout A8 path showed ~3.3 ms/step of
+# Mosaic/XLA int8 lane relayouts doing exactly this interleave — the
+# repack moves it to load time, once.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit)
+def a8_repack(qweight: jnp.ndarray) -> jnp.ndarray:
+    """Pair-interleaved packed words [nw, out] -> A8 byte layout (4-bit)."""
+    from ..core.packing import unpack_int_weights
+
+    nw, out = qweight.shape
+    codes = unpack_int_weights(qweight, 4).astype(jnp.uint32)  # [8nw, out]
+    C = codes.reshape(2, nw, 4, out)          # [h, i, b, out]
+    w = jnp.zeros((nw, out), jnp.uint32)
+    for b in range(4):
+        w = w | (C[0, :, b, :] << (8 * b)) | (C[1, :, b, :] << (8 * b + 4))
+    return w.astype(jnp.int32)
+
+
+@functools.partial(jax.jit)
+def a8_unpack(qweight_a8: jnp.ndarray) -> jnp.ndarray:
+    """A8 byte layout -> int32 codes [8*nw, out] in natural row order."""
+    nw, out = qweight_a8.shape
+    w = qweight_a8.astype(jnp.uint32)
+    mask = jnp.uint32(0xF)
+    lo = jnp.stack([(w >> (8 * b)) & mask for b in range(4)],
+                   axis=2)                    # [nw, out, b] -> want [i,b]
+    hi = jnp.stack([(w >> (8 * b + 4)) & mask for b in range(4)], axis=2)
+    lo = lo.transpose(0, 2, 1).reshape(4 * nw, out)   # row 4i+b
+    hi = hi.transpose(0, 2, 1).reshape(4 * nw, out)
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int32)
+
+
+def _a8n_kernel(x_ref, sz_ref, row_ref, q_hbm, o_ref, scratch, sems, *,
+                to: int, n_tiles: int, slots: int, nw4: int, out_dtype):
+    def get_dma(slot, tile):
+        return pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(tile * to, to)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    for s in range(min(slots - 1, n_tiles)):
+        get_dma(s, s).start()
+
+    sx = row_ref[:, 0:1]
+    xsum = row_ref[:, 1:2]
+    x_lo = x_ref[:, :nw4]
+    x_hi = x_ref[:, nw4:]
+
+    def body(tile, _):
+        slot = tile % slots
+
+        @pl.when(tile + slots - 1 < n_tiles)
+        def _():
+            get_dma((tile + slots - 1) % slots, tile + slots - 1).start()
+
+        get_dma(slot, tile).wait()
+        q = scratch[slot]
+        nib = jnp.int32(0x0F0F0F0F)
+        lo = pltpu.bitcast(q & nib, jnp.int8)
+        hi = pltpu.bitcast(jax.lax.shift_right_logical(q, 4) & nib, jnp.int8)
+        acc = jnp.dot(x_lo, lo, preferred_element_type=jnp.int32)
+        acc = acc + jnp.dot(x_hi, hi, preferred_element_type=jnp.int32)
+        s = sz_ref[0:1, pl.ds(tile * to, to)]
+        c = sz_ref[1:2, pl.ds(tile * to, to)]
+        y = acc.astype(jnp.float32) * (sx * s) - xsum * c
+        o_ref[:, pl.ds(tile * to, to)] = y.astype(out_dtype)
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, ())
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def packed_matvec_a8_natural(x: jnp.ndarray, qweight_a8: jnp.ndarray,
+                             scales: jnp.ndarray, zeros: jnp.ndarray, *,
+                             out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """A8-layout decode matvec: NO activation shuffles.
+
+    x [rows<=16, in_pad] (weak columns already zeroed by the caller);
+    qweight_a8 in the byte layout from ``a8_repack``.
+    """
+    rows, in_pad = x.shape
+    nw, out = qweight_a8.shape
+    assert in_pad == nw * 8
+    to = _pick_tile(out, nw)
+    assert to, f"no tile divides out={out}"
+    rows_pad = 8 if rows <= 8 else _MAX_ROWS
+    assert rows <= rows_pad
+    if rows < rows_pad:
+        x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
+
+    x8, sx = quantize_rows_int8(x)
+    xsum = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    rowaux = jnp.concatenate([sx / 127.0, xsum], axis=1)
+    s32 = scales.astype(jnp.float32)
+    sz = jnp.stack([s32, s32 * zeros.astype(jnp.float32)])
+
+    y = pl.pallas_call(
+        functools.partial(_a8n_kernel, to=to, n_tiles=out // to,
+                          slots=_SLOTS, nw4=4 * nw, out_dtype=out_dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS, nw, to), jnp.int32),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * in_pad * out,
+            bytes_accessed=qweight_a8.nbytes + x8.nbytes + 2 * rows_pad * out,
+            transcendentals=0),
+        name="owq_gemv_a8n",
+    )(x8, sz, rowaux, qweight_a8)
+    return y[:rows]

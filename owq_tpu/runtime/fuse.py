@@ -20,7 +20,7 @@ import numpy as np
 from ..models.config import ModelConfig
 from .quant_linear import DenseLinear, PackedLinear
 
-__all__ = ["fuse_linears", "fuse_block_projections"]
+__all__ = ["fuse_linears", "fuse_block_projections", "repack_model_a8"]
 
 
 def fuse_linears(lins: List[Any]):
@@ -95,3 +95,34 @@ def fuse_block_projections(params: Dict[str, Any], cfg: ModelConfig
         if cfg.gated_mlp and "gate" in mlp and "up" in mlp:
             mlp["gateup"] = fuse_linears([mlp.pop("gate"), mlp.pop("up")])
     return params, dataclasses.replace(cfg, fused_qkv=True)
+
+
+def repack_model_a8(params: Dict[str, Any], cfg: ModelConfig
+                    ) -> Dict[str, Any]:
+    """Load-time serving transform: re-lay every 4-bit PackedLinear into
+    the A8 byte layout (kernels/gemv_a8.py::a8_repack) so the W4A8 decode
+    kernel takes naturally-ordered int8 activations with zero shuffles.
+
+    In-place on the block dicts like fuse_block_projections; 3-bit and
+    dense linears pass through.  Apply AFTER any TP sharding.
+    """
+    import dataclasses as _dc
+
+    from ..kernels.gemv_a8 import a8_repack
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                node[k] = walk(v)
+            return node
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, PackedLinear) and node.bits == 4 \
+                and node.layout == "paired":
+            return _dc.replace(node, qweight=a8_repack(node.qweight),
+                               layout="a8")
+        return node
+
+    for blk in params["layers"]:
+        walk(blk)
+    return params

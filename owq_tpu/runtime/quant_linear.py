@@ -134,6 +134,11 @@ class PackedLinear:
     bias: Optional[jnp.ndarray]
     bits: int = dataclasses.field(metadata=dict(static=True))
     in_features: int = dataclasses.field(metadata=dict(static=True))
+    # "paired" (core/packing.py, every exact path) or "a8" (byte layout
+    # for the W4A8 decode kernel, kernels/gemv_a8.py::a8_repack — a
+    # load-time serving transform, not a checkpoint format)
+    layout: str = dataclasses.field(default="paired",
+                                    metadata=dict(static=True))
 
     @property
     def out_features(self) -> int:
@@ -169,7 +174,12 @@ def dequantize_weight(p: PackedLinear, dtype=jnp.float32) -> jnp.ndarray:
     zero-point there); weak columns are NOT scattered back here — use
     ``_apply_xla`` / the kernels for the full product.
     """
-    q = unpack_int_weights(p.qweight, p.bits)
+    if getattr(p, "layout", "paired") == "a8":
+        from ..kernels.gemv_a8 import a8_unpack
+
+        q = a8_unpack(p.qweight)
+    else:
+        q = unpack_int_weights(p.qweight, p.bits)
     w = q.astype(jnp.float32) * p.scales[None, :] - (p.scales * p.zeros)[None, :]
     return w.astype(dtype)
 
@@ -195,9 +205,6 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     nw = p.qweight.shape[0]
     v = in_pad // nw
     half = v // 2
-    # pair-interleaved row assignment (core/packing.py): plane (k, h)
-    # holds logical rows k*2*nw + 2*i + h
-    xv = xp.reshape(-1, half, nw, 2)
     qw = jax.lax.stop_gradient(p.qweight).astype(jnp.uint32)
     mask = jnp.uint32((1 << p.bits) - 1)
 
@@ -205,14 +212,31 @@ def _apply_xla(p: PackedLinear, x: jnp.ndarray) -> jnp.ndarray:
     # (f32 activations) at full precision
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     acc = None
-    for pl in range(v):
-        k, h = (pl, 0) if pl < half else (pl - half, 1)
-        # (uint32 -> float is not a legal cast on TPU; hop through int32)
-        qpl = ((qw >> plane_offset(p.bits, pl)) & mask
-               ).astype(jnp.int32).astype(dtype)
-        part = jnp.dot(xv[:, k, :, h], qpl,
-                       preferred_element_type=jnp.float32, precision=prec)
-        acc = part if acc is None else acc + part
+    if getattr(p, "layout", "paired") == "a8":
+        # A8 byte layout (4-bit only): nibble (b, h) at offset 8b+4h holds
+        # logical rows h*4*nw + 4*i + b
+        xv8 = xp.reshape(-1, 2, nw, 4)
+        for b in range(4):
+            for h in range(2):
+                qpl = ((qw >> (8 * b + 4 * h)) & mask
+                       ).astype(jnp.int32).astype(dtype)
+                part = jnp.dot(xv8[:, h, :, b], qpl,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+                acc = part if acc is None else acc + part
+    else:
+        # pair-interleaved row assignment (core/packing.py): plane (k, h)
+        # holds logical rows k*2*nw + 2*i + h
+        xv = xp.reshape(-1, half, nw, 2)
+        for pl in range(v):
+            k, h = (pl, 0) if pl < half else (pl - half, 1)
+            # (uint32 -> float is not a legal cast on TPU; hop via int32)
+            qpl = ((qw >> plane_offset(p.bits, pl)) & mask
+                   ).astype(jnp.int32).astype(dtype)
+            part = jnp.dot(xv[:, k, :, h], qpl,
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
+            acc = part if acc is None else acc + part
 
     scales = jax.lax.stop_gradient(p.scales).astype(jnp.float32)
     zeros = jax.lax.stop_gradient(p.zeros).astype(jnp.float32)
@@ -276,6 +300,11 @@ class ShardedPackedLinear:
 def shard_packed_rowwise(p: PackedLinear, shards: int) -> ShardedPackedLinear:
     """Re-pack a PackedLinear into ``shards`` independent input-row blocks."""
     from ..core.packing import pack_np, unpack_np
+
+    if getattr(p, "layout", "paired") != "paired":
+        raise NotImplementedError(
+            "TP sharding of A8-layout weights is not supported; apply "
+            "repack_model_a8 AFTER shard_model_tp (or serve A8 single-chip)")
 
     infeat, out = p.in_features, p.out_features
     if infeat % shards:

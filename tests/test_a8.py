@@ -131,3 +131,44 @@ def test_a8_engine_generate_runs(rng):
     out = generate(params, cfg, np.asarray([[1, 2, 3]], np.int32),
                    max_new_tokens=4, kernel="pallas-a8")
     assert np.asarray(out).shape == (1, 4)
+
+
+def test_a8_repack_roundtrip(rng):
+    """a8_repack/a8_unpack preserve the codes in natural row order."""
+    from owq_tpu.kernels.gemv_a8 import a8_repack, a8_unpack
+    from owq_tpu.core.packing import pack_np, unpack_np
+
+    codes = rng.integers(0, 16, size=(256, 128)).astype(np.int32)
+    qw = jnp.asarray(pack_np(codes, 4))
+    qw8 = a8_repack(qw)
+    back = np.asarray(a8_unpack(qw8))
+    np.testing.assert_array_equal(back[:256], codes)
+
+
+def test_a8_layout_model_matches_paired(rng):
+    """repack_model_a8 + forward == the paired-layout a8 result (the
+    layout changes data movement, not math)."""
+    import copy
+
+    from owq_tpu.models.synthetic import build_synthetic, synthetic_config
+    from owq_tpu.models.transformer import forward
+    from owq_tpu.runtime.fuse import repack_model_a8
+
+    cfg = synthetic_config("llama-tiny", max_pos=64)
+    params = build_synthetic(cfg, bits=4, dtype=jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 8))
+                      .astype(np.int32))
+    y_paired = np.asarray(forward(
+        params, cfg, ids, kernel="pallas-a8", dtype=jnp.bfloat16)[0],
+        np.float32)
+    params8 = repack_model_a8(copy.deepcopy(params), cfg)
+    assert params8["layers"][0]["attn"]["q"].layout == "a8"
+    y_a8 = np.asarray(forward(
+        params8, cfg, ids, kernel="pallas-a8", dtype=jnp.bfloat16)[0],
+        np.float32)
+    np.testing.assert_allclose(y_a8, y_paired, rtol=2e-2, atol=2e-2)
+    # and plain "pallas" on an a8-layout model auto-routes to the a8 path
+    y_auto = np.asarray(forward(
+        params8, cfg, ids, kernel="pallas", dtype=jnp.bfloat16)[0],
+        np.float32)
+    np.testing.assert_allclose(y_auto, y_a8, rtol=1e-5, atol=1e-5)
