@@ -48,6 +48,9 @@ _USE_COST = os.environ.get("OWQ_GEMV_NO_COST", "") != "1"
 # (gemv_dma.py, ~650 GB/s effective vs ~510 for the plane grid kernel on
 # v5e).  OWQ_GEMV_DMA=0 falls back to the grid kernel.
 _USE_DMA = os.environ.get("OWQ_GEMV_DMA", "1") != "0"
+# W4A8 force-on knob, cached at import like the other knobs: a trace-time
+# read would silently ignore flips after a forward has been jitted.
+_FORCE_A8 = os.environ.get("OWQ_A8", "") == "1"
 
 __all__ = ["quant_matmul", "packed_matmul_kernel"]
 
@@ -230,8 +233,7 @@ def quant_matmul(p, x: jnp.ndarray, interpret: Optional[bool] = None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    a8 = (a8 or os.environ.get("OWQ_A8", "") == "1"
-          or getattr(p, "layout", "paired") == "a8")
+    a8 = a8 or _FORCE_A8 or getattr(p, "layout", "paired") == "a8"
     # Decode (<=16 rows) runs the paired bf16-magic unpack via the DMA
     # kernel below.  The GRID kernel (prefill/batched) keeps the plane
     # loop by default: prefill is MXU-bound, and Mosaic's live-temporary

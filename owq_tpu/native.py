@@ -17,12 +17,21 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "native")
 
+# Packed-word row layout contract between fastpack.cpp and core/packing.py.
+# fastpack.cpp bumps owq_pack_abi_version() whenever the bit layout changes;
+# a stale .so from an older layout would pack silently-corrupt weights, so
+# the loader verifies the version and rebuilds (or refuses) on mismatch.
+PACK_ABI_VERSION = 3
 
-def _load(libname: str) -> Optional[ctypes.CDLL]:
+
+def _load(libname: str, force: bool = False) -> Optional[ctypes.CDLL]:
     path = os.path.join(_NATIVE_DIR, libname)
-    if not os.path.exists(path):
+    if force or not os.path.exists(path):
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, libname], check=True,
+            cmd = ["make", "-C", _NATIVE_DIR]
+            if force:
+                cmd.append("-B")
+            subprocess.run(cmd + [libname], check=True,
                            capture_output=True, timeout=120)
         except Exception:
             return None
@@ -36,11 +45,25 @@ _pack_lib = None
 _pack_tried = False
 
 
+def _pack_abi(lib: ctypes.CDLL) -> int:
+    try:
+        return int(lib.owq_pack_abi_version())
+    except AttributeError:
+        return 0  # pre-versioning build
+
+
 def _packlib() -> Optional[ctypes.CDLL]:
     global _pack_lib, _pack_tried
     if not _pack_tried:
         _pack_tried = True
         lib = _load("libowqpack.so")
+        if lib is not None and _pack_abi(lib) != PACK_ABI_VERSION:
+            # stale .so from an older packed layout: rebuild from source,
+            # and fall back to the (always-correct) python packer if the
+            # rebuild still disagrees
+            lib = _load("libowqpack.so", force=True)
+            if lib is not None and _pack_abi(lib) != PACK_ABI_VERSION:
+                lib = None
         if lib is not None:
             lib.owq_pack.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,

@@ -27,7 +27,10 @@ from .quant_linear import DenseLinear, PackedLinear, pack_linear
 
 __all__ = ["pack_model", "save_checkpoint", "load_checkpoint", "FORMAT_VERSION"]
 
-FORMAT_VERSION = 1
+# Version 2: qweight row layout changed from contiguous-chunk to
+# pair-interleaved (core/packing.py); version-1 packed checkpoints would
+# dequantize with permuted rows, so loading them is refused outright.
+FORMAT_VERSION = 2
 
 
 def pack_model(params: Dict[str, Any], quantizers: Dict[str, QuantInfo],
@@ -89,7 +92,8 @@ def _flatten_params(params: Dict[str, Any]) -> Dict[str, Any]:
         elif isinstance(node, PackedLinear):
             flat[prefix + "/__kind__"] = {
                 "kind": "packed", "bits": node.bits,
-                "in_features": node.in_features}
+                "in_features": node.in_features,
+                "layout": getattr(node, "layout", "paired")}
             for f in ("qweight", "scales", "zeros", "oweight", "out_ids"):
                 flat[prefix + "/" + f] = getattr(node, f)
             if node.bias is not None:
@@ -151,6 +155,19 @@ def load_checkpoint(path: str, *, mmap: bool = False
     """Returns (params, cfg, manifest)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
+    version = manifest.get("format_version", 0)
+    if version != FORMAT_VERSION:
+        has_packed = any(isinstance(k, dict) and k.get("kind") == "packed"
+                         for k in manifest.get("linear_kinds", {}).values())
+        if has_packed or version > FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {path} has format_version={version}, this "
+                f"build reads version {FORMAT_VERSION}: the packed qweight "
+                "row layout changed (contiguous-chunk -> pair-interleaved) "
+                "and older packed checkpoints would dequantize with "
+                "permuted rows. Re-pack from a fake checkpoint or the "
+                "original weights.")
+        # dense/fake checkpoints carry no packed words — layout-independent
     cdict = dict(manifest["config"])
 
     # JSON stores tuples as lists; ModelConfig must stay hashable (it is a
@@ -202,7 +219,8 @@ def load_checkpoint(path: str, *, mmap: bool = False
                 qweight=fields["qweight"], scales=fields["scales"],
                 zeros=fields["zeros"], oweight=fields["oweight"],
                 out_ids=fields["out_ids"], bias=fields.get("bias"),
-                bits=kind["bits"], in_features=kind["in_features"])
+                bits=kind["bits"], in_features=kind["in_features"],
+                layout=kind.get("layout", "paired"))
         assign(params, kpath.split("/"), lin)
 
     # digit-keyed dicts were lists before flattening (layers, MoE experts)

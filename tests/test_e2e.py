@@ -96,6 +96,73 @@ def test_checkpoint_roundtrip(tmp_path, calib):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_checkpoint_rejects_stale_packed_format(tmp_path, calib):
+    # format_version 1 checkpoints hold the old contiguous-chunk qweight
+    # row layout; loading them through pair-interleaved decode would be
+    # silent numeric garbage, so the loader must refuse (ADVICE r2)
+    import json
+    import os
+
+    _, params_q, cfg, quantizers = quantized_tiny_opt(
+        calib, target_bit=None, target_rank=2)
+    packed = pack_model(params_q, quantizers, 3, weight_dtype=jnp.float32)
+    path = str(tmp_path / "stale_ckpt")
+    save_checkpoint(path, packed, cfg, quantizers=quantizers, packed=True)
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    assert manifest["format_version"] == 2
+    manifest["format_version"] = 1
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="format_version"):
+        load_checkpoint(path)
+
+
+def test_checkpoint_dense_tolerates_old_version(tmp_path):
+    # dense (fp) checkpoints carry no packed words: old-version manifests
+    # stay loadable (the layout change cannot corrupt them)
+    import json
+    import os
+
+    model = hf_tiny.tiny_opt(hidden=32, ffn=64, layers=2)
+    params, cfg = import_hf_model(model)
+    path = str(tmp_path / "dense_ckpt")
+    save_checkpoint(path, params, cfg)
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["format_version"] = 1
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    params2, cfg2, _ = load_checkpoint(path)
+    assert cfg2 == cfg
+
+
+def test_checkpoint_roundtrip_a8_layout(tmp_path, rng):
+    # the A8 byte layout must survive save/load: a checkpoint written
+    # after repack_model_a8 that silently came back 'paired' would
+    # dequantize permuted nibbles (ADVICE r2)
+    import copy
+
+    from owq_tpu.models.synthetic import build_synthetic, synthetic_config
+    from owq_tpu.runtime.fuse import repack_model_a8
+
+    cfg = synthetic_config("llama-tiny", max_pos=64)
+    params = build_synthetic(cfg, bits=4, dtype=jnp.bfloat16)
+    params8 = repack_model_a8(copy.deepcopy(params), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 8))
+                      .astype(np.int32))
+    ref, _ = forward(params8, cfg, ids, kernel="pallas", dtype=jnp.bfloat16)
+    path = str(tmp_path / "a8_ckpt")
+    save_checkpoint(path, params8, cfg, packed=True)
+    params2, cfg2, _ = load_checkpoint(path)
+    assert params2["layers"][0]["attn"]["q"].layout == "a8"
+    got, _ = forward(params2, cfg2, ids, kernel="pallas", dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-6)
+
+
 def test_checkpoint_roundtrip_nonparametric_norms(tmp_path, calib):
     # olmo: norm entries hold no arrays, so they vanish from a saved
     # checkpoint — the rebuilt model must still apply every norm

@@ -23,6 +23,18 @@ def test_fastpack_matches_numpy(rng, bits):
     np.testing.assert_array_equal(back, q)
 
 
+def test_fastpack_abi_version_enforced():
+    # the loader must only hand out a lib whose packed-row layout matches
+    # core/packing.py (ADVICE r2: a stale round-1 .so packed the old
+    # contiguous-chunk layout and corrupted weights silently)
+    from owq_tpu.native import PACK_ABI_VERSION, _pack_abi, _packlib
+
+    lib = _packlib()
+    if lib is None:
+        pytest.skip("no C++ toolchain")
+    assert _pack_abi(lib) == PACK_ABI_VERSION
+
+
 def test_janitor_clean_splits():
     j = Janitor(ngram_n=3, window_to_remove=1)
     j.register_contaminant("the quick brown fox jumps")
