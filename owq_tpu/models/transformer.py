@@ -535,10 +535,18 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
 
 def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
                     mask_bias, rope, alibi, attn_temp, kv, cache_at,
-                    kernel, taps, tapped, tp_axis):
+                    kernel, taps, tapped, tp_axis, kv_delta=False):
     """The attention half of a decoder block: q/k/v (dense, fused,
     or MLA), rope/qk-norms, cache update, attention core, o-proj.
     Returns (attn_out, k_full, v_full); taps write into ``tapped``.
+
+    ``kv_delta``: return only the NEW tokens' (k, v) (cache dtype;
+    with scales when the cache is quantized) instead of the updated
+    full per-layer caches.  The caller then writes the [B, T] slab
+    straight into its stacked cache — an 8KB dynamic-update-slice
+    instead of restaging the whole layer cache (which cost ~0.18
+    ms/token on a llama-7b decode step, xplane-measured).  Attention
+    itself still runs over the updated full cache either way.
     """
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = res  # mask/cache shapes reference the block input
@@ -656,6 +664,11 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
             v_full = (v_full, vs_full)
         else:
             k_att, v_att = k_full.astype(x.dtype), v_full.astype(x.dtype)
+        if kv_delta:  # hand back just the new tokens' slab
+            if quantized:
+                k_full, v_full = (k_w, k_s), (v_w, v_s)
+            else:
+                k_full, v_full = k_w, v_w
     else:
         k_full, v_full = k, v
         k_att, v_att = k, v
@@ -769,6 +782,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   alpha_beta: Optional[Tuple[float, float, float, float]]
                   = None,
                   embed0: Optional[jnp.ndarray] = None,
+                  kv_delta: bool = False,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -968,7 +982,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             blk, cfg, x_ln, res, B=B, T=T, mask_bias=mask_bias,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
             cache_at=cache_at, kernel=kernel, taps=taps,
-            tapped=tapped, tp_axis=tp_axis)
+            tapped=tapped, tp_axis=tp_axis,
+            kv_delta=kv_delta and "mamba" not in blk)
         if conv_f is not None:  # falcon-h1: parallel sum of both mixers.
             # o_proj output is row-parallel partial sums but the mamba half
             # is replicated: reduce the attention half alone before adding
@@ -1326,6 +1341,24 @@ def layer_attn_temp(cfg: ModelConfig, temp, i: int):
     return temp
 
 
+def _kv_delta_write(stack: jnp.ndarray, i: int, delta: jnp.ndarray,
+                    at: jnp.ndarray) -> jnp.ndarray:
+    """Write the new tokens' [B, T, ...] slab into a stacked per-layer
+    cache [L, B, S, ...] at (layer i, position ``at``).
+
+    The whole-layer restage this replaces (slice layer -> update -> set
+    back) moved ~2MB per layer per decode step; this is a [B, T] slab
+    (8KB at B=1) that XLA performs in place on the loop-carried buffer.
+    """
+    delta = delta.astype(stack.dtype)
+    if at.ndim == 0:
+        return jax.lax.dynamic_update_slice(
+            stack, delta[None], (i, 0, at) + (0,) * (delta.ndim - 2))
+    bidx = jnp.arange(delta.shape[0], dtype=jnp.int32)[:, None]
+    sidx = at[:, None] + jnp.arange(delta.shape[1], dtype=jnp.int32)[None, :]
+    return stack.at[i, bidx, sidx].set(delta)
+
+
 def unembed(params: Dict[str, Any], cfg: ModelConfig,
             x: jnp.ndarray, kernel: str = "xla") -> jnp.ndarray:
     """Final norm + output projection + LM head -> logits [B, T, vocab]."""
@@ -1431,12 +1464,16 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             kv = (cache.k[i], cache.v[i], cache.k_scale[i], cache.v_scale[i])
         else:
             kv = (kvc.k[i], kvc.v[i])
+        use_delta = (cache is not None and not is_mamba
+                     and "attn" in blk and "zshared" not in blk
+                     and "moa" not in blk)
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),
             alibi=alibi, attn_temp=layer_attn_temp(cfg, temp, i),
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis, ssm=ssm_in,
-            alpha_beta=layer_alpha_beta(cfg, i), embed0=embed0)
+            alpha_beta=layer_alpha_beta(cfg, i), embed0=embed0,
+            kv_delta=use_delta)
         if cache is not None:
             if is_dual:
                 (kf, cf), (vf, sf) = kf, vf
@@ -1453,12 +1490,31 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
                            ).at[i].set(vf)
             elif quant_cache:
                 (kq, ks), (vq, vs) = kf, vf
-                new_k = (cache.k if new_k is None else new_k).at[i].set(kq)
-                new_v = (cache.v if new_v is None else new_v).at[i].set(vq)
-                new_ks = (cache.k_scale if new_ks is None else new_ks
-                          ).at[i].set(ks)
-                new_vs = (cache.v_scale if new_vs is None else new_vs
-                          ).at[i].set(vs)
+                if use_delta:  # kf/vf are the new tokens' slab only
+                    new_k = _kv_delta_write(
+                        cache.k if new_k is None else new_k, i, kq, start)
+                    new_v = _kv_delta_write(
+                        cache.v if new_v is None else new_v, i, vq, start)
+                    new_ks = _kv_delta_write(
+                        cache.k_scale if new_ks is None else new_ks, i, ks,
+                        start)
+                    new_vs = _kv_delta_write(
+                        cache.v_scale if new_vs is None else new_vs, i, vs,
+                        start)
+                else:
+                    new_k = (cache.k if new_k is None else new_k
+                             ).at[i].set(kq)
+                    new_v = (cache.v if new_v is None else new_v
+                             ).at[i].set(vq)
+                    new_ks = (cache.k_scale if new_ks is None else new_ks
+                              ).at[i].set(ks)
+                    new_vs = (cache.v_scale if new_vs is None else new_vs
+                              ).at[i].set(vs)
+            elif use_delta:  # kf/vf are the new tokens' slab only
+                new_k = _kv_delta_write(
+                    kvc.k if new_k is None else new_k, i, kf, start)
+                new_v = _kv_delta_write(
+                    kvc.v if new_v is None else new_v, i, vf, start)
             else:
                 new_k = (kvc.k if new_k is None else new_k).at[i].set(kf)
                 new_v = (kvc.v if new_v is None else new_v).at[i].set(vf)

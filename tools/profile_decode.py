@@ -37,6 +37,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    try:  # uncached compiles through the axon tunnel take many minutes
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+    except Exception:
+        pass
+
     sys.path.insert(0, ".")
     from owq_tpu.models.synthetic import build_synthetic, synthetic_config
     from owq_tpu.runtime.generate import _bench_scan, init_cache
