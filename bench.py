@@ -130,13 +130,13 @@ def main() -> None:
     wbytes = packed_model_bytes(params)
     roofline_tps = V5E_HBM_GBPS * 1e9 / wbytes
     if args.fuse:
-        # runtime qkv/gateup fusion (7 -> 4 quantized matmuls per block);
-        # applies to both protocols on a single chip (TP serving splits
-        # fused projections back apart, so the engine's mesh mode doesn't
-        # compose — bench runs single-chip)
-        from owq_tpu.runtime.fuse import fuse_block_projections
+        # serving prep: qkv/gateup fusion (7 -> 4 quantized matmuls per
+        # block) + fused-decode-kernel aux (norms/corrections/weak
+        # columns run inside the matmul kernels — kernels/gemv_fused.py).
+        # Single-chip only (TP splits fused projections back apart).
+        from owq_tpu.runtime.fuse import prepare_decode_fast
 
-        params, cfg = fuse_block_projections(params, cfg)
+        params, cfg = prepare_decode_fast(params, cfg)
     if args.a8:
         assert args.bits == 4, "--a8 is a 4-bit mode"
         from owq_tpu.runtime.fuse import repack_model_a8

@@ -162,7 +162,9 @@ def packed_matvec_a8(x: jnp.ndarray, qweight: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # HBM-pinned weights: ANY lets XLA restage qweight into VMEM
+            # inside the decode loop (see gemv_dma.packed_matvec_dma)
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, out), out_dtype),
@@ -305,7 +307,9 @@ def packed_matvec_a8_natural(x: jnp.ndarray, qweight_a8: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # HBM-pinned weights: ANY lets XLA restage qweight into VMEM
+            # inside the decode loop (see gemv_dma.packed_matvec_dma)
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, out), out_dtype),

@@ -171,7 +171,13 @@ def packed_matvec_dma(x: jnp.ndarray, qweight: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Pin the packed weights to HBM.  pl.ANY lets XLA's memory
+            # space assignment "helpfully" prefetch whole qweight buffers
+            # into VMEM inside the decode loop (xplane: per-step
+            # copy-start/slice-start of s32[416,22016] etc.), restaging
+            # bytes the kernel already streams exactly once via its own
+            # DMA ring.
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, out), out_dtype),
@@ -254,7 +260,7 @@ def dense_matvec_dma(x: jnp.ndarray, w: jnp.ndarray, *,
                           slots=_SLOTS, out_dtype=out_dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # see packed_matvec_dma
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, out), out_dtype),

@@ -535,7 +535,8 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
 
 def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
                     mask_bias, rope, alibi, attn_temp, kv, cache_at,
-                    kernel, taps, tapped, tp_axis, kv_delta=False):
+                    kernel, taps, tapped, tp_axis, kv_delta=False,
+                    fast=None):
     """The attention half of a decoder block: q/k/v (dense, fused,
     or MLA), rope/qk-norms, cache update, attention core, o-proj.
     Returns (attn_out, k_full, v_full); taps write into ``tapped``.
@@ -592,7 +593,16 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     elif cfg.fused_qkv:
         if "attn.qkv" in taps:
             tapped["attn.qkv"] = x_ln
-        qkv = _lin(attn_p["qkv"], x_ln, kernel)
+        if fast is not None:
+            # fused decode fastpath: x_ln is the RAW block input; the
+            # kernel applies ln1 + qkv + weak columns in one pass
+            # (kernels/gemv_fused.py, aux from prepare_decode_fast)
+            from ..kernels.gemv_fused import fused_call
+
+            qkv = fused_call(x_ln, attn_p["qkv"], fast["qkv"],
+                             pre="rmsnorm", eps=cfg.norm_eps)
+        else:
+            qkv = _lin(attn_p["qkv"], x_ln, kernel)
         if cfg.qkv_clip is not None:  # mpt clip_qkv
             qkv = jnp.clip(qkv, -cfg.qkv_clip, cfg.qkv_clip)
         q, k, v = _split_qkv(cfg, qkv)
@@ -689,7 +699,15 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
         ctx = rmsnorm(ctx, attn_p["o_norm"]["w"], cfg.norm_eps)
     if "attn.o" in taps:
         tapped["attn.o"] = ctx
-    attn_out = _lin(attn_p["o"], ctx, kernel)
+    if fast is not None:
+        # o-proj with the residual add fused in-kernel: returns the
+        # post-attention hidden stream directly (block_forward skips
+        # its own residual add on this path)
+        from ..kernels.gemv_fused import fused_call
+
+        attn_out = fused_call(ctx, attn_p["o"], fast["o"], res=res)
+    else:
+        attn_out = _lin(attn_p["o"], ctx, kernel)
     return attn_out, k_full, v_full
 
 
@@ -834,11 +852,25 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     pre_norm = cfg.do_layer_norm_before
 
     res = x
+    # Fused decode fastpath (kernels/gemv_fused.py): active when the
+    # serving transform attached blk["fast"] (prepare_decode_fast gates
+    # on block structure) AND this call is a small-row cached decode
+    # step outside TP/taps.  Norms, the scale/zero correction, weak
+    # columns and residual adds all run inside the matmul kernels, so
+    # the scan body holds no per-step glue between weight streams.
+    fast = None
+    if (blk.get("fast") is not None and kv is not None and not taps
+            and tp_axis is None and alpha_beta is None and zs is None
+            and B * T <= 16 and x.dtype == jnp.bfloat16):
+        fast = blk["fast"]
     # zamba2: the prefix output is added to the NORM input only — the
     # mamba residual stays the pre-add hidden (Zamba2MambaDecoderLayer)
     norm_in = x if zs is None else x + z_add
-    x_ln = (_norm(blk.get("ln1"), cfg, norm_in)
-            if pre_norm and cfg.input_norms else norm_in)
+    if fast is not None:
+        x_ln = norm_in  # ln1 runs inside the fused qkv kernel
+    else:
+        x_ln = (_norm(blk.get("ln1"), cfg, norm_in)
+                if pre_norm and cfg.input_norms else norm_in)
     if alpha_beta is not None:  # minimax deepnorm-style residual
         res = x_ln
     conv_f = ssm_f = None
@@ -983,7 +1015,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
             cache_at=cache_at, kernel=kernel, taps=taps,
             tapped=tapped, tp_axis=tp_axis,
-            kv_delta=kv_delta and "mamba" not in blk)
+            kv_delta=kv_delta and "mamba" not in blk, fast=fast)
         if conv_f is not None:  # falcon-h1: parallel sum of both mixers.
             # o_proj output is row-parallel partial sums but the mamba half
             # is replicated: reduce the attention half alone before adding
@@ -1036,7 +1068,9 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if cfg.residual_multiplier is not None:  # granite
         attn_out = attn_out * cfg.residual_multiplier
 
-    if alpha_beta is not None:
+    if fast is not None:
+        x = attn_out  # residual added inside the fused o-proj kernel
+    elif alpha_beta is not None:
         x = res * alpha_beta[0] + attn_out * alpha_beta[1]
     else:
         x = res + attn_out
@@ -1049,8 +1083,11 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if not pre_norm:
         x = _norm(blk.get("ln1"), cfg, x)
     res = x
-    x_ln2 = (_norm(blk.get("ln2"), cfg, x)
-             if pre_norm and cfg.input_norms else x)
+    if fast is not None:
+        x_ln2 = x  # ln2 runs inside the fused gateup kernel
+    else:
+        x_ln2 = (_norm(blk.get("ln2"), cfg, x)
+                 if pre_norm and cfg.input_norms else x)
     if alpha_beta is not None:
         res = x_ln2
     mlp = blk["mlp"]
@@ -1212,6 +1249,16 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         for name in ("mlp.gate", "mlp.up"):
             if name in taps:
                 tapped[name] = x_ln2
+        if fast is not None:
+            from ..kernels.gemv_fused import fused_call
+
+            gu = fused_call(x_ln2, mlp["gateup"], fast["gu"],
+                            pre="rmsnorm", eps=cfg.norm_eps)
+            g, u = jnp.split(gu, 2, axis=-1)
+            h = activation(g, cfg.activation) * u
+            # down-proj with the residual add fused in-kernel
+            return (fused_call(h, mlp["down"], fast["dn"], res=res),
+                    (k_full, v_full), tapped)
         if "gateup" in mlp:  # runtime-fused gate|up projection
             gu = _lin(mlp["gateup"], x_ln2, kernel)
             g, u = jnp.split(gu, 2, axis=-1)

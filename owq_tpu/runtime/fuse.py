@@ -20,7 +20,8 @@ import numpy as np
 from ..models.config import ModelConfig
 from .quant_linear import DenseLinear, PackedLinear
 
-__all__ = ["fuse_linears", "fuse_block_projections", "repack_model_a8"]
+__all__ = ["fuse_linears", "fuse_block_projections", "repack_model_a8",
+           "prepare_decode_fast"]
 
 
 def fuse_linears(lins: List[Any]):
@@ -95,6 +96,73 @@ def fuse_block_projections(params: Dict[str, Any], cfg: ModelConfig
         if cfg.gated_mlp and "gate" in mlp and "up" in mlp:
             mlp["gateup"] = fuse_linears([mlp.pop("gate"), mlp.pop("up")])
     return params, dataclasses.replace(cfg, fused_qkv=True)
+
+
+def _fast_block_ok(cfg: ModelConfig, blk: Dict[str, Any]) -> bool:
+    """Structure gate for the fused-decode fastpath (llama-class blocks).
+
+    The fastpath only replaces norm+matmul+glue; rope / qk-norms /
+    attention stay on the generic code, so those need no gating here.
+    """
+    from ..kernels.gemv_fused import fused_applicable
+
+    if not (cfg.do_layer_norm_before and cfg.input_norms):
+        return False
+    if cfg.norm_type != "rmsnorm" or not cfg.gated_mlp:
+        return False
+    if (cfg.parallel_block or cfg.branch_norms or cfg.sub_norms
+            or cfg.residual_multiplier is not None):
+        return False
+    for k in ("conv", "mamba", "zshared", "moa"):
+        if k in blk:
+            return False
+    attn, mlp = blk.get("attn"), blk.get("mlp")
+    if attn is None or mlp is None or "experts" in mlp:
+        return False
+    if blk.get("ln1") is None or blk.get("ln2") is None:
+        return False
+    lins = [attn.get("qkv"), attn.get("o"), mlp.get("gateup"),
+            mlp.get("down")]
+    if not all(isinstance(l, PackedLinear) and l.layout == "paired"
+               for l in lins):
+        return False
+    return all(fused_applicable(8, l.out_features, l.qweight.shape[0])
+               for l in lins)
+
+
+def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
+                        ) -> Tuple[Dict[str, Any], ModelConfig]:
+    """Serving transform: projection fusion + fused-decode-kernel aux.
+
+    Fuses q|k|v and gate|up (fuse_block_projections), then precomputes
+    the per-block aux arrays for kernels/gemv_fused.py (the sz
+    correction rows, one-hot weak-column selectors, norm weights) and
+    attaches them as ``blk["fast"]``.  The decode step then triggers the
+    fused kernels purely on pytree structure — no per-step params-derived
+    arithmetic remains inside the jitted scan body (lax.scan does not
+    hoist it; xplane showed ~0.25 ms/token of such glue on llama-7b).
+
+    Serving-only, like fuse_block_projections: apply after load, do not
+    save the result.  Blocks that don't match the llama-class structure
+    simply don't get a "fast" entry and keep the generic path.
+    """
+    from ..kernels.gemv_fused import make_fast_aux
+    from ..models.transformer import layer_alpha_beta
+
+    params, cfg = fuse_block_projections(params, cfg)
+    for i, blk in enumerate(params["layers"]):
+        if layer_alpha_beta(cfg, i) is not None:
+            continue
+        if not _fast_block_ok(cfg, blk):
+            continue
+        attn, mlp = blk["attn"], blk["mlp"]
+        blk["fast"] = {
+            "qkv": make_fast_aux(attn["qkv"], gamma=blk["ln1"]["w"]),
+            "o": make_fast_aux(attn["o"]),
+            "gu": make_fast_aux(mlp["gateup"], gamma=blk["ln2"]["w"]),
+            "dn": make_fast_aux(mlp["down"]),
+        }
+    return params, cfg
 
 
 def repack_model_a8(params: Dict[str, Any], cfg: ModelConfig

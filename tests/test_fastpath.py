@@ -1,0 +1,124 @@
+"""Fused-decode fastpath: wiring parity vs the generic block path.
+
+prepare_decode_fast attaches per-block aux (runtime/fuse.py) and
+block_forward routes decode steps through kernels/gemv_fused.py.  On CPU
+the dispatcher uses the jnp reference with IDENTICAL math, so these tests
+exercise the full fastpath wiring (gates, norm/residual restructuring,
+engine integration) without TPU hardware; the pallas kernel itself is
+parity-tested against the same reference on-chip (tools + bench).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from owq_tpu.models.synthetic import build_synthetic, synthetic_config
+from owq_tpu.models.transformer import forward, init_cache
+from owq_tpu.runtime.fuse import fuse_block_projections, prepare_decode_fast
+from owq_tpu.runtime.generate import generate
+
+pytestmark = pytest.mark.fast
+
+
+def _tiny_cfg():
+    # intermediate 512 -> gateup out 1024 (tile-divisible; llama-tiny's
+    # 688 is not, which also exercises the fused_applicable gate below)
+    cfg = synthetic_config("llama-tiny", max_pos=64)
+    return dataclasses.replace(cfg, intermediate_size=512)
+
+
+def _build(cfg, bits=3):
+    return jax.jit(partial(build_synthetic, cfg, bits=bits,
+                           dtype=jnp.bfloat16))()
+
+
+def test_prepare_attaches_fast_aux():
+    cfg = _tiny_cfg()
+    params = _build(cfg)
+    params, cfg2 = prepare_decode_fast(params, cfg)
+    assert cfg2.fused_qkv
+    for blk in params["layers"]:
+        assert "fast" in blk
+        for key in ("qkv", "o", "gu", "dn"):
+            assert blk["fast"][key]["sz"].shape[0] == 2
+        # ln1/ln2 weights baked into the qkv/gateup aux
+        assert blk["fast"]["qkv"]["gamma"] is not None
+        assert blk["fast"]["gu"]["gamma"] is not None
+
+
+def test_fast_gate_rejects_undivisible_tiles():
+    cfg = synthetic_config("llama-tiny", max_pos=64)  # inter 688
+    params = _build(cfg)
+    params, _ = prepare_decode_fast(params, cfg)
+    assert all("fast" not in blk for blk in params["layers"])
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+def test_decode_parity_vs_generic(bits, rng):
+    """Teacher-forced scan NLL: deterministic comparison (greedy token
+    streams can flip on near-tied logits of a random tiny model)."""
+    from owq_tpu.runtime.generate import _bench_scan
+
+    cfg = _tiny_cfg()
+    params = _build(cfg, bits=bits)
+    fparams, fcfg = prepare_decode_fast(
+        jax.tree_util.tree_map(lambda x: x, params), cfg)
+    # baseline: plain projection fusion, generic block path
+    gparams, gcfg = fuse_block_projections(
+        jax.tree_util.tree_map(lambda x: x, params), cfg)
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 16)),
+                       jnp.int32)
+    cache = init_cache(fcfg, 1, 16, dtype=jnp.bfloat16)
+    nll_f = float(_bench_scan(fparams, fcfg, toks, cache, "xla",
+                              jnp.bfloat16))
+    cache = init_cache(gcfg, 1, 16, dtype=jnp.bfloat16)
+    nll_g = float(_bench_scan(gparams, gcfg, toks, cache, "xla",
+                              jnp.bfloat16))
+    assert abs(nll_f - nll_g) / max(abs(nll_g), 1.0) < 0.02, (nll_f, nll_g)
+
+
+def test_fastpath_logits_close(rng):
+    cfg = _tiny_cfg()
+    params = _build(cfg)
+    fparams, fcfg = prepare_decode_fast(
+        jax.tree_util.tree_map(lambda x: x, params), cfg)
+    gparams, gcfg = fuse_block_projections(
+        jax.tree_util.tree_map(lambda x: x, params), cfg)
+
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 5)),
+                      jnp.int32)
+    cache_f = init_cache(fcfg, 1, 16, dtype=jnp.bfloat16)
+    cache_g = init_cache(gcfg, 1, 16, dtype=jnp.bfloat16)
+    # prefill (T=5 <= 16 rows: fastpath active) then one decode step
+    lf, cache_f = forward(fparams, fcfg, ids, cache=cache_f,
+                          dtype=jnp.bfloat16)
+    lg, cache_g = forward(gparams, gcfg, ids, cache=cache_g,
+                          dtype=jnp.bfloat16)
+    tok = jnp.asarray([[7]], jnp.int32)
+    lf2, _ = forward(fparams, fcfg, tok, cache=cache_f, dtype=jnp.bfloat16)
+    lg2, _ = forward(gparams, gcfg, tok, cache=cache_g, dtype=jnp.bfloat16)
+    for a, b in ((lf, lg), (lf2, lg2)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-6
+        # bf16 reassociation noise accumulates over the residual stream;
+        # bound the worst logit loosely and the average tightly
+        assert np.abs(a - b).max() / denom < 0.06
+        assert np.abs(a - b).mean() / denom < 0.01
+
+
+def test_fastpath_inactive_without_cache(rng):
+    """No-cache forwards (quantization pipeline) must not hit the fastpath."""
+    cfg = _tiny_cfg()
+    params = _build(cfg)
+    fparams, fcfg = prepare_decode_fast(
+        jax.tree_util.tree_map(lambda x: x, params), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 4)),
+                      jnp.int32)
+    logits, _ = forward(fparams, fcfg, ids, dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
