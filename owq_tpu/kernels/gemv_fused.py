@@ -88,6 +88,12 @@ def _fused_kernel(x_ref, sz_ref, gamma_ref, sel_ref, ow_ref, res_ref,
     if pre == "rmsnorm":
         ms = jnp.sum(xf * xf, axis=1, keepdims=True) * inv_n
         xf = xf * jax.lax.rsqrt(ms + eps) * gamma_ref[:].astype(jnp.float32)
+    elif pre == "swiglu":
+        # x is the raw gate|up row [rows, 2n]: silu(g)*u runs in-kernel,
+        # removing the standalone activation fusion + re-pad per block
+        n = xf.shape[1] // 2
+        g = xf[:, :n]
+        xf = g * jax.lax.logistic(g) * xf[:, n:]
     xb = xf.astype(jnp.bfloat16)
     xsum = jnp.sum(xf, axis=1, keepdims=True)              # [rows, 1] f32
     if has_sel:
@@ -188,7 +194,8 @@ def fused_matvec(x: jnp.ndarray, qweight: jnp.ndarray, sz: jnp.ndarray, *,
     optional residual/bias epilogues.  Zero-padding to the packed input
     width happens in registers inside the kernel.
     """
-    rows, n_true = x.shape
+    rows, xw = x.shape
+    n_true = xw // 2 if pre == "swiglu" else xw
     nw, out = qweight.shape
     v = values_per_word(bits)
     in_pad = nw * v
@@ -278,7 +285,8 @@ def fused_matvec_reference(x, qweight, sz, *, bits, pre=None, gamma=None,
     """Pure-jnp reference with IDENTICAL math (CPU tests / fallback)."""
     from ..core.packing import unpack_int_weights
 
-    rows, n_true = x.shape
+    rows, xw = x.shape
+    n_true = xw // 2 if pre == "swiglu" else xw
     v = values_per_word(bits)
     in_pad = qweight.shape[0] * v
     inv_n = 1.0 / float(n_true)
@@ -286,6 +294,9 @@ def fused_matvec_reference(x, qweight, sz, *, bits, pre=None, gamma=None,
     if pre == "rmsnorm":
         ms = jnp.sum(xf * xf, axis=1, keepdims=True) * inv_n
         xf = xf * jax.lax.rsqrt(ms + eps) * gamma.astype(jnp.float32)
+    elif pre == "swiglu":
+        g = xf[:, :n_true]
+        xf = g * jax.lax.logistic(g) * xf[:, n_true:]
     xb = xf.astype(jnp.bfloat16)
     xsum = jnp.sum(xf, axis=1, keepdims=True)
     if sel is not None:

@@ -536,7 +536,7 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
 def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
                     mask_bias, rope, alibi, attn_temp, kv, cache_at,
                     kernel, taps, tapped, tp_axis, kv_delta=False,
-                    fast=None):
+                    fast=None, attn_stacks=None):
     """The attention half of a decoder block: q/k/v (dense, fused,
     or MLA), rope/qk-norms, cache update, attention core, o-proj.
     Returns (attn_out, k_full, v_full); taps write into ``tapped``.
@@ -645,6 +645,31 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     if attn_temp is not None:  # llama4 NoPE-layer temperature tuning
         q = (q.astype(jnp.float32)
              * attn_temp[:, :, None, None]).astype(q.dtype)
+
+    if attn_stacks is not None and fast is not None:
+        # Fused decode attention (kernels/attn_decode.py): cache append +
+        # masked softmax attention in one kernel, caches updated IN PLACE
+        # on the [L, S, Hkv*hd] stacks (forward skips its own cache
+        # writes for this layer).  Gated by forward on B == T == 1 and
+        # the plain-causal/full-rotary config subset.
+        from ..kernels.attn_decode import (attn_decode_reference,
+                                           attn_decode_step)
+        from ..kernels.gemv_fused import fused_call
+
+        ks, vs, li = attn_stacks
+        rep = H // Hkv
+        scale = (cfg.attn_scale if cfg.attn_scale is not None
+                 else (cfg.attn_scale_override or hd) ** -0.5)
+        qg = q.reshape(Hkv, rep, hd).swapaxes(0, 1)          # [rep,Hkv,hd]
+        fn = (attn_decode_step if jax.default_backend() == "tpu"
+              else attn_decode_reference)
+        ctx, ks2, vs2 = fn(qg.astype(jnp.bfloat16),
+                           k.reshape(1, Hkv, hd).astype(jnp.bfloat16),
+                           v.reshape(1, Hkv, hd).astype(jnp.bfloat16),
+                           ks, vs, cache_at, layer=li, scale=float(scale))
+        ctx = ctx.swapaxes(0, 1).reshape(B, T, H * hd)
+        attn_out = fused_call(ctx, attn_p["o"], fast["o"], res=res)
+        return attn_out, ks2, vs2
 
     if kv is not None:
         quantized = len(kv) == 4
@@ -801,6 +826,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
                   = None,
                   embed0: Optional[jnp.ndarray] = None,
                   kv_delta: bool = False,
+                  attn_stacks=None,
                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray],
                              Dict[str, jnp.ndarray]]:
     """One decoder block.
@@ -859,10 +885,16 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     # columns and residual adds all run inside the matmul kernels, so
     # the scan body holds no per-step glue between weight streams.
     fast = None
-    if (blk.get("fast") is not None and kv is not None and not taps
+    if (blk.get("fast") is not None
+            and (kv is not None or attn_stacks is not None) and not taps
             and tp_axis is None and alpha_beta is None and zs is None
             and B * T <= 16 and x.dtype == jnp.bfloat16):
         fast = blk["fast"]
+    # forward only passes attn_stacks when every block-level fast gate
+    # holds (prepare_decode_fast sets params["fast_attn"] iff all blocks
+    # carry "fast"); a disagreement here would silently drop the cache
+    assert attn_stacks is None or fast is not None, \
+        "attn_stacks passed to a block without the fused fastpath"
     # zamba2: the prefix output is added to the NORM input only — the
     # mamba residual stays the pre-add hidden (Zamba2MambaDecoderLayer)
     norm_in = x if zs is None else x + z_add
@@ -1015,7 +1047,8 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
             cache_at=cache_at, kernel=kernel, taps=taps,
             tapped=tapped, tp_axis=tp_axis,
-            kv_delta=kv_delta and "mamba" not in blk, fast=fast)
+            kv_delta=kv_delta and "mamba" not in blk, fast=fast,
+            attn_stacks=attn_stacks)
         if conv_f is not None:  # falcon-h1: parallel sum of both mixers.
             # o_proj output is row-parallel partial sums but the mamba half
             # is replicated: reduce the attention half alone before adding
@@ -1254,6 +1287,11 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
 
             gu = fused_call(x_ln2, mlp["gateup"], fast["gu"],
                             pre="rmsnorm", eps=cfg.norm_eps)
+            if cfg.activation == "silu":
+                # silu(g)*u runs inside the down-proj kernel (pre="swiglu")
+                return (fused_call(gu, mlp["down"], fast["dn"],
+                                   pre="swiglu", res=res),
+                        (k_full, v_full), tapped)
             g, u = jnp.split(gu, 2, axis=-1)
             h = activation(g, cfg.activation) * u
             # down-proj with the residual add fused in-kernel
@@ -1494,6 +1532,28 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     kvc = cache.kv if hybrid else cache
     new_k, new_v, new_ks, new_vs = None, None, None, None
     new_conv, new_ssm = None, None
+    # Fused decode attention (kernels/attn_decode.py): single-token steps
+    # on an eligible model run cache-append + attention in one kernel per
+    # layer, updating the [L, S, Hkv*hd]-flattened stacks in place.
+    # prepare_decode_fast only sets params["fast_attn"] when EVERY block
+    # carries the fused-gemv fastpath and the attention config is the
+    # plain-causal/full-rotary subset the kernel implements.
+    fa = params.get("fast_attn")
+    cur_k = cur_v = None
+    use_fa = (fa is not None and cache is not None and not quant_cache
+              and not hybrid and B == 1 and T == 1
+              and jnp.ndim(start) == 0 and tp_axis is None
+              and dtype == jnp.bfloat16)
+    if use_fa:
+        from ..kernels.attn_decode import attn_decode_applicable
+
+        L_, _, S_, Hkv_, hd_ = kvc.k.shape
+        rep_ = cfg.num_heads // cfg.num_kv_heads
+        if attn_decode_applicable(S_, Hkv_ * hd_, rep_):
+            # native 5D cache buffers, updated in place by the kernel
+            cur_k, cur_v = kvc.k, kvc.v
+        else:
+            use_fa = False
     for i, blk in enumerate(params["layers"]):
         is_mamba = ("mamba" in blk or "gdn" in blk or "lightning" in blk
                     or "griffin" in blk
@@ -1514,15 +1574,22 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         use_delta = (cache is not None and not is_mamba
                      and "attn" in blk and "zshared" not in blk
                      and "moa" not in blk)
+        fa_arg = None
+        if use_fa:
+            fa_arg = (cur_k, cur_v, i)
+            kv = None  # the kernel reads/writes the stacks directly
+            use_delta = False
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),
             alibi=alibi, attn_temp=layer_attn_temp(cfg, temp, i),
             kv=kv, cache_at=start if cache is not None else None,
             kernel=kernel, tp_axis=tp_axis, ssm=ssm_in,
             alpha_beta=layer_alpha_beta(cfg, i), embed0=embed0,
-            kv_delta=use_delta)
+            kv_delta=use_delta, attn_stacks=fa_arg)
         if cache is not None:
-            if is_dual:
+            if fa_arg is not None:
+                cur_k, cur_v = kf, vf  # updated in place by the kernel
+            elif is_dual:
                 (kf, cf), (vf, sf) = kf, vf
                 new_k = (kvc.k if new_k is None else new_k).at[i].set(kf)
                 new_v = (kvc.v if new_v is None else new_v).at[i].set(vf)
@@ -1569,6 +1636,8 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     logits = unembed(params, cfg, x, kernel)
     if cache is None:
         return logits, None
+    if use_fa:
+        return logits, KVCache(k=cur_k, v=cur_v, length=start + T)
     if hybrid:
         new_kv = KVCache(k=new_k if new_k is not None else kvc.k,
                          v=new_v if new_v is not None else kvc.v,

@@ -130,6 +130,24 @@ def _fast_block_ok(cfg: ModelConfig, blk: Dict[str, Any]) -> bool:
                for l in lins)
 
 
+def _fast_attn_ok(cfg: ModelConfig) -> bool:
+    """Static gate for the fused decode-attention kernel
+    (kernels/attn_decode.py): plain causal full-rotary attention only —
+    every feature the kernel does not implement falls back generically.
+    """
+    hd = cfg.head_dim
+    return (cfg.pos_embedding == "rope" and cfg.rope_style == "half"
+            and cfg.rotary_pct == 1.0 and cfg.rotary_dim is None
+            and cfg.sliding_window is None and cfg.layer_types is None
+            and cfg.rope_layers is None and cfg.rope_local_theta is None
+            and cfg.qk_norm is None and cfg.qkv_clip is None
+            and not cfg.mla and not cfg.attn_gate and not cfg.attn_sinks
+            and cfg.attn_logit_softcap is None
+            and not cfg.attn_temperature_tuning and not cfg.zamba_block
+            and cfg.num_heads % cfg.num_kv_heads == 0
+            and (cfg.num_kv_heads * hd) % 128 == 0)
+
+
 def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
                         ) -> Tuple[Dict[str, Any], ModelConfig]:
     """Serving transform: projection fusion + fused-decode-kernel aux.
@@ -162,6 +180,11 @@ def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
             "gu": make_fast_aux(mlp["gateup"], gamma=blk["ln2"]["w"]),
             "dn": make_fast_aux(mlp["down"]),
         }
+    # fused decode attention: only when EVERY block runs the fastpath
+    # (forward then owns the whole cache through the in-place stacks)
+    if _fast_attn_ok(cfg) and all(
+            blk.get("fast") is not None for blk in params["layers"]):
+        params["fast_attn"] = {}
     return params, cfg
 
 

@@ -122,3 +122,87 @@ def test_fastpath_inactive_without_cache(rng):
                       jnp.int32)
     logits, _ = forward(fparams, fcfg, ids, dtype=jnp.float32)
     assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_fast_attn_key_attached_and_active(rng, monkeypatch):
+    """prepare_decode_fast sets params['fast_attn'] on an eligible model;
+    a T=1 decode step routes EVERY layer through the fused attention path
+    (and prefill routes none), and the cache it writes is bit-identical
+    to the same fused model decoding through the generic attention."""
+    import owq_tpu.kernels.attn_decode as ad
+
+    calls = []
+    orig = ad.attn_decode_reference
+
+    def spy(*a, **k):
+        calls.append(k.get("layer"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ad, "attn_decode_reference", spy)
+
+    cfg = _tiny_cfg()
+    params = _build(cfg)
+    fparams, fcfg = prepare_decode_fast(params, cfg)
+    assert "fast_attn" in fparams
+    # control: same fused params, fused-attention disabled
+    gparams = {k: v for k, v in fparams.items() if k != "fast_attn"}
+
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 3)),
+                      jnp.int32)
+    tok = jnp.asarray([[5]], jnp.int32)
+    cf = init_cache(fcfg, 1, 16, dtype=jnp.bfloat16)
+    _, cf = forward(fparams, fcfg, ids, cache=cf, dtype=jnp.bfloat16)
+    assert calls == []          # prefill stays on the generic attention
+    lf, cf = forward(fparams, fcfg, tok, cache=cf, dtype=jnp.bfloat16)
+    assert calls == list(range(fcfg.num_layers))
+
+    cg = init_cache(fcfg, 1, 16, dtype=jnp.bfloat16)
+    _, cg = forward(gparams, fcfg, ids, cache=cg, dtype=jnp.bfloat16)
+    lg, cg = forward(gparams, fcfg, tok, cache=cg, dtype=jnp.bfloat16)
+    # identical projections feed both paths -> the written K/V rows agree
+    # exactly; slot 4 stays unwritten; logits agree to bf16 noise
+    np.testing.assert_array_equal(np.asarray(cf.k), np.asarray(cg.k))
+    np.testing.assert_array_equal(np.asarray(cf.v), np.asarray(cg.v))
+    assert not np.asarray(cf.k[:, :, 4]).any()
+    a, b = np.asarray(lf, np.float32), np.asarray(lg, np.float32)
+    assert np.abs(a - b).max() <= 0.02 * (np.abs(b).max() + 1e-6)
+
+
+@pytest.mark.parametrize("rep", [1, 2, 4])
+def test_attn_decode_reference_vs_attention_core(rep, rng):
+    """kernels/attn_decode.py math == models/layers.py attention_core on
+    the gated subset (plain causal, single token), incl. GQA grouping."""
+    from owq_tpu.kernels.attn_decode import attn_decode_reference
+    from owq_tpu.models.layers import attention_core
+
+    Hkv, hd, S, L, layer = 4, 128, 16, 3, 1
+    H = Hkv * rep
+    pos = 5
+    scale = hd ** -0.5
+    kstack = jnp.asarray(rng.standard_normal((L, 1, S, Hkv, hd)),
+                         jnp.bfloat16)
+    vstack = jnp.asarray(rng.standard_normal((L, 1, S, Hkv, hd)),
+                         jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((1, 1, H, hd)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((1, 1, Hkv, hd)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((1, 1, Hkv, hd)), jnp.bfloat16)
+
+    qg = q.reshape(Hkv, rep, hd).swapaxes(0, 1)
+    ctx, ks2, vs2 = attn_decode_reference(
+        qg, kn.reshape(1, Hkv, hd), vn.reshape(1, Hkv, hd), kstack, vstack,
+        jnp.asarray(pos, jnp.int32), layer=layer, scale=scale)
+    got = np.asarray(ctx.swapaxes(0, 1).reshape(1, 1, H * hd), np.float32)
+
+    # generic semantics: cache update + masked attention_core
+    kc = kstack.at[layer, 0, pos].set(kn[0, 0])
+    vc = vstack.at[layer, 0, pos].set(vn[0, 0])
+    sidx = jnp.arange(S)
+    bias = jnp.where(sidx <= pos, 0.0, -1e30)[None, None, None, :]
+    want = attention_core(q, kc[layer], vc[layer], bias, scale)
+    want = np.asarray(want.reshape(1, 1, H * hd), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+    # the new token's row landed in the returned stacks
+    np.testing.assert_array_equal(
+        np.asarray(ks2[layer, 0, pos]), np.asarray(kn[0, 0]))
+    # other layers untouched
+    np.testing.assert_array_equal(np.asarray(ks2[0]), np.asarray(kstack[0]))

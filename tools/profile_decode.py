@@ -53,9 +53,11 @@ def main():
     params = jax.jit(partial(build_synthetic, cfg, bits=args.bits,
                              dtype=jnp.bfloat16))()
     if args.fuse:
-        from owq_tpu.runtime.fuse import fuse_block_projections
+        # same serving transform as bench.py --fuse (projection fusion +
+        # fused-decode-kernel aux)
+        from owq_tpu.runtime.fuse import prepare_decode_fast
 
-        params, cfg = fuse_block_projections(params, cfg)
+        params, cfg = prepare_decode_fast(params, cfg)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(0, cfg.vocab_size,
