@@ -63,9 +63,12 @@ __all__ = ["attn_decode_step", "attn_decode_reference",
 _VMEM_BYTES = 24 << 20
 
 
-def attn_decode_applicable(S: int, kv_width: int, rep: int) -> bool:
-    return (kv_width % 128 == 0 and S % 8 == 0 and rep >= 1
-            and S * kv_width * 12 <= _VMEM_BYTES)
+def attn_decode_applicable(S: int, Hkv: int, hd: int, rep: int) -> bool:
+    # hd is the LANE dim of the [S, Hkv, hd] slabs — it must be a full
+    # 128-lane tile itself; an (Hkv*hd) % 128 check alone would admit
+    # e.g. Hkv=2, hd=64, a shape the kernel is not validated on.
+    return (hd % 128 == 0 and S % 8 == 0 and rep >= 1
+            and S * Hkv * hd * 12 <= _VMEM_BYTES)
 
 
 def _attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_hbm, v_hbm,
@@ -124,7 +127,8 @@ def _attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_hbm, v_hbm,
     del ko_ref, vo_ref  # aliased to k_hbm/v_hbm; updated via the DMAs
 
 
-@functools.partial(jax.jit, static_argnames=("layer", "scale"))
+@functools.partial(jax.jit, static_argnames=("layer", "scale"),
+                   donate_argnums=(3, 4))
 def attn_decode_step(q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
                      k_stack: jnp.ndarray, v_stack: jnp.ndarray,
                      pos: jnp.ndarray, *, layer: int, scale: float
@@ -136,12 +140,20 @@ def attn_decode_step(q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
     k_stack/v_stack: [L, 1, S, Hkv, hd] cache (aliased into the outputs)
     pos: int32 scalar — number of tokens already cached
     Returns (ctx [rep, Hkv, hd] bf16, k_stack, v_stack).
+
+    The stacks are DONATED: when this runs as a top-level jit (tests,
+    tools), the pallas input_output_aliases would otherwise force XLA
+    copy-insertion of both full [L,1,S,Hkv,hd] stacks every call.  Inside
+    the jitted decode scan the loop carry already runs in place and the
+    donation is a no-op.
     """
     L, B, S, Hkv, hd = k_stack.shape
     rep = q.shape[0]
     assert B == 1 and q.shape == (rep, Hkv, hd)
     assert k_new.shape == (1, Hkv, hd)
-    assert attn_decode_applicable(S, Hkv * hd, rep)
+    assert attn_decode_applicable(S, Hkv, hd, rep)
+    # slabs/scratch are cache-dtype; bf16 inputs land in them directly
+    assert k_stack.dtype == jnp.bfloat16 and v_stack.dtype == jnp.bfloat16
 
     ctx, k_out, v_out = pl.pallas_call(
         functools.partial(_attn_kernel, layer=layer, S=S, rep=rep,

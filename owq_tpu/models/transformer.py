@@ -1543,13 +1543,17 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
     use_fa = (fa is not None and cache is not None and not quant_cache
               and not hybrid and B == 1 and T == 1
               and jnp.ndim(start) == 0 and tp_axis is None
-              and dtype == jnp.bfloat16)
+              and dtype == jnp.bfloat16
+              # the kernel's slabs/DMAs are cache-dtype bf16; an f32 cache
+              # (init_cache(dtype=f32)) takes the generic path instead
+              and kvc.k.dtype == jnp.bfloat16
+              and kvc.v.dtype == jnp.bfloat16)
     if use_fa:
         from ..kernels.attn_decode import attn_decode_applicable
 
         L_, _, S_, Hkv_, hd_ = kvc.k.shape
         rep_ = cfg.num_heads // cfg.num_kv_heads
-        if attn_decode_applicable(S_, Hkv_ * hd_, rep_):
+        if attn_decode_applicable(S_, Hkv_, hd_, rep_):
             # native 5D cache buffers, updated in place by the kernel
             cur_k, cur_v = kvc.k, kvc.v
         else:

@@ -157,18 +157,23 @@ def benchmark_decode(params, cfg: ModelConfig, input_ids: np.ndarray, *,
     nll = _bench_scan(params, cfg, toks, cache, kernel, dtype)
     ppl = float(np.exp(float(nll) / n))
 
-    best = float("inf")
+    samples = []
     for _ in range(repeats):
         cache = init_cache(cfg, 1, max_len, dtype=cache_dtype)
         t0 = time.perf_counter()
         nll = _bench_scan(params, cfg, toks, cache, kernel, dtype)
         _ = float(nll)  # forces completion
-        best = min(best, time.perf_counter() - t0)
+        samples.append(time.perf_counter() - t0)
 
-    per_tok = best / n
+    # Reference protocol reports median AND min separately
+    # (/root/reference/main.py:335-353).  The shared-pool caveat (noisy
+    # neighbors inflate the median; min reflects the hardware) is the
+    # reader's to weigh — both are published honestly.
+    median = float(np.median(samples))
+    best = float(np.min(samples))
     return {
-        "median_s": per_tok,
-        "min_s": per_tok,
-        "tokens_per_s": 1.0 / per_tok,
+        "median_s": median / n,
+        "min_s": best / n,
+        "tokens_per_s": n / best,
         "ppl": ppl,
     }

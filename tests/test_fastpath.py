@@ -140,7 +140,10 @@ def test_fast_attn_key_attached_and_active(rng, monkeypatch):
 
     monkeypatch.setattr(ad, "attn_decode_reference", spy)
 
-    cfg = _tiny_cfg()
+    # hd must be a full 128-lane tile (hd=32/64 fail Mosaic lowering on
+    # hardware — verified on-chip, see kernels/attn_decode.py gate), so
+    # the tiny model here uses 2 heads / 1 kv head: hd=128, GQA rep=2.
+    cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1)
     params = _build(cfg)
     fparams, fcfg = prepare_decode_fast(params, cfg)
     assert "fast_attn" in fparams
