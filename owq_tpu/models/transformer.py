@@ -647,28 +647,36 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
              * attn_temp[:, :, None, None]).astype(q.dtype)
 
     if attn_stacks is not None and fast is not None:
-        # Fused decode attention (kernels/attn_decode.py): cache append +
-        # masked softmax attention in one kernel, caches updated IN PLACE
-        # on the [L, S, Hkv*hd] stacks (forward skips its own cache
-        # writes for this layer).  Gated by forward on B == T == 1 and
-        # the plain-causal/full-rotary config subset.
-        from ..kernels.attn_decode import (attn_decode_reference,
-                                           attn_decode_step)
-        from ..kernels.gemv_fused import fused_call
+        # Fused decode attention + o-proj (kernels/attn_o.py): cache
+        # append, masked softmax attention AND the quantized o-projection
+        # in one kernel — attention runs as the matvec's prologue while
+        # the o-proj weight ring streams, so the HBM weight stream never
+        # idles.  Caches updated IN PLACE on the [L, 1, S, Hkv, hd]
+        # stacks (forward skips its own cache writes for this layer).
+        # Gated by forward on B == T == 1 and the plain-causal /
+        # full-rotary config subset.
+        from ..kernels.attn_o import attn_o_reference, attn_o_step
 
         ks, vs, li = attn_stacks
         rep = H // Hkv
         scale = (cfg.attn_scale if cfg.attn_scale is not None
                  else (cfg.attn_scale_override or hd) ** -0.5)
         qg = q.reshape(Hkv, rep, hd).swapaxes(0, 1)          # [rep,Hkv,hd]
-        fn = (attn_decode_step if jax.default_backend() == "tpu"
-              else attn_decode_reference)
-        ctx, ks2, vs2 = fn(qg.astype(jnp.bfloat16),
-                           k.reshape(1, Hkv, hd).astype(jnp.bfloat16),
-                           v.reshape(1, Hkv, hd).astype(jnp.bfloat16),
-                           ks, vs, cache_at, layer=li, scale=float(scale))
-        ctx = ctx.swapaxes(0, 1).reshape(B, T, H * hd)
-        attn_out = fused_call(ctx, attn_p["o"], fast["o"], res=res)
+        fn = (attn_o_step if jax.default_backend() == "tpu"
+              else attn_o_reference)
+        oa = fast["o_attn"]
+        sg = jax.lax.stop_gradient
+        y, ks2, vs2 = fn(qg.astype(jnp.bfloat16),
+                         k.reshape(1, Hkv, hd).astype(jnp.bfloat16),
+                         v.reshape(1, Hkv, hd).astype(jnp.bfloat16),
+                         ks, vs, cache_at, sg(oa["qweight"]), sg(oa["sz"]),
+                         bits=attn_p["o"].bits, layer=li, scale=float(scale),
+                         sel=sg(oa["sel"]) if oa["sel"] is not None else None,
+                         ow=sg(oa["ow"]) if oa["ow"] is not None else None,
+                         res=res.reshape(1, -1),
+                         bias=(sg(oa["bias"]) if oa["bias"] is not None
+                               else None))
+        attn_out = y.reshape(B, T, -1)
         return attn_out, ks2, vs2
 
     if kv is not None:
@@ -1549,11 +1557,13 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
               and kvc.k.dtype == jnp.bfloat16
               and kvc.v.dtype == jnp.bfloat16)
     if use_fa:
-        from ..kernels.attn_decode import attn_decode_applicable
+        from ..kernels.attn_o import attn_o_applicable
 
         L_, _, S_, Hkv_, hd_ = kvc.k.shape
         rep_ = cfg.num_heads // cfg.num_kv_heads
-        if attn_decode_applicable(S_, Hkv_, hd_, rep_):
+        oa0 = params["layers"][0]["fast"]["o_attn"]["qweight"]
+        nw_, out_ = oa0.shape
+        if attn_o_applicable(S_, Hkv_, hd_, rep_, out_, nw_):
             # native 5D cache buffers, updated in place by the kernel
             cur_k, cur_v = kvc.k, kvc.v
         else:

@@ -148,6 +148,33 @@ def _fast_attn_ok(cfg: ModelConfig) -> bool:
             and (cfg.num_kv_heads * hd) % 128 == 0)
 
 
+def _permute_packed_rows(p: PackedLinear, perm: "np.ndarray") -> PackedLinear:
+    """Re-lay a PackedLinear's input rows so row i holds old row perm[i].
+
+    Pure integer-code re-layout (unpack -> permute -> repack) plus the
+    matching weak-column index remap; the represented matrix is unchanged
+    up to input order.  Used by the attn+o kernel (kernels/attn_o.py):
+    for GQA rep > 1 its ctx flatten is rep-major while the o-proj input is
+    head-major, so the o codes are permuted once at serving-prep time.
+    """
+    from ..core.packing import pack_np, unpack_np
+
+    codes = unpack_np(np.asarray(p.qweight), p.bits, p.in_features)
+    zeros_i = np.asarray(p.zeros).astype(np.int32)
+    qw = pack_np(codes[perm], p.bits, zero=zeros_i)
+    inv = np.empty(perm.size, np.int64)
+    inv[perm] = np.arange(perm.size)
+    ids = np.asarray(p.out_ids)
+    if ids.size:
+        new_ids = inv[ids]
+        order = np.argsort(new_ids)
+        ow = np.asarray(p.oweight)[order]
+        p = dataclasses.replace(
+            p, out_ids=jnp.asarray(new_ids[order].astype(np.int32)),
+            oweight=jnp.asarray(ow, dtype=p.oweight.dtype))
+    return dataclasses.replace(p, qweight=jnp.asarray(qw))
+
+
 def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
                         ) -> Tuple[Dict[str, Any], ModelConfig]:
     """Serving transform: projection fusion + fused-decode-kernel aux.
@@ -164,10 +191,14 @@ def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
     save the result.  Blocks that don't match the llama-class structure
     simply don't get a "fast" entry and keep the generic path.
     """
+    import os
+
     from ..kernels.gemv_fused import make_fast_aux
     from ..models.transformer import layer_alpha_beta
 
     params, cfg = fuse_block_projections(params, cfg)
+    if os.environ.get("OWQ_NO_FAST"):  # ablation: projection fusion only
+        return params, cfg
     for i, blk in enumerate(params["layers"]):
         if layer_alpha_beta(cfg, i) is not None:
             continue
@@ -180,10 +211,32 @@ def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
             "gu": make_fast_aux(mlp["gateup"], gamma=blk["ln2"]["w"]),
             "dn": make_fast_aux(mlp["down"]),
         }
-    # fused decode attention: only when EVERY block runs the fastpath
-    # (forward then owns the whole cache through the in-place stacks)
-    if _fast_attn_ok(cfg) and all(
-            blk.get("fast") is not None for blk in params["layers"]):
+    # Fused decode attention+o-proj (kernels/attn_o.py): only when EVERY
+    # block runs the fastpath (forward then owns the whole cache through
+    # the in-place stacks).  OFF by default — BOTH in-place-stack
+    # attention kernels are measured net losses at S=128 on this chip
+    # (bench ablations r4: XLA attention chain 4.852 ms/token; round-3
+    # standalone attn_decode kernel 5.056; attn+o prologue fusion 5.067).
+    # Root cause: the kernels' slab-DMA waits + attention compute stall
+    # the packed-weight HBM stream, whose in-kernel ring only buffers
+    # ~3 tiles, while XLA issues its cache-slab reads layers ahead and
+    # hides them completely.  OWQ_FA=1 opts in (long-S regimes where the
+    # XLA chain scales worse).
+    if (_fast_attn_ok(cfg) and os.environ.get("OWQ_FA")
+            and all(blk.get("fast") is not None
+                    for blk in params["layers"])):
+        rep = cfg.num_heads // cfg.num_kv_heads
+        Hkv, hd = cfg.num_kv_heads, cfg.head_dim
+        for blk in params["layers"]:
+            o = blk["attn"]["o"]
+            if rep > 1:
+                # ctx flattens rep-major [r, g, d]; o's input is head-major
+                # h*hd+d with h = g*rep+r — permute codes to match
+                perm = np.arange(o.in_features).reshape(
+                    Hkv, rep, hd).transpose(1, 0, 2).reshape(-1)
+                o = _permute_packed_rows(o, perm)
+            aux = make_fast_aux(o)
+            blk["fast"]["o_attn"] = {"qweight": o.qweight, **aux}
         params["fast_attn"] = {}
     return params, cfg
 

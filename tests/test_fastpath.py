@@ -143,6 +143,9 @@ def test_fast_attn_key_attached_and_active(rng, monkeypatch):
     # hd must be a full 128-lane tile (hd=32/64 fail Mosaic lowering on
     # hardware — verified on-chip, see kernels/attn_decode.py gate), so
     # the tiny model here uses 2 heads / 1 kv head: hd=128, GQA rep=2.
+    # The in-place-stacks attention path is opt-in (measured net loss at
+    # S=128, see fuse.py) — enable it for this wiring test.
+    monkeypatch.setenv("OWQ_FA", "1")
     cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1)
     params = _build(cfg)
     fparams, fcfg = prepare_decode_fast(params, cfg)

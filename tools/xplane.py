@@ -10,6 +10,7 @@ Usage: python tools/xplane.py <path/to/*.xplane.pb> [line-name-filter]
 from __future__ import annotations
 
 import collections
+import re
 import sys
 from typing import Dict, Iterator, Tuple
 
@@ -125,5 +126,54 @@ def summarize(path: str, line_filter: str = ""):
                 print(f"  {dur/1e9:9.3f} ms  x{cnt[name]:5d}  {name[:80]}")
 
 
+def _canon(name: str) -> str:
+    """Canonical op family: strip the %/instance suffixes so the same op
+    repeated across layers/steps aggregates into one row.
+
+    '%owq_fused_gemv_3b.1502 = bf16[8,22016]...' -> 'owq_fused_gemv_3b bf16[8,22016]'
+    """
+    head = name.lstrip("%")
+    shape = ""
+    if " = " in head:
+        lhs, rhs = head.split(" = ", 1)
+        head = lhs
+        shape = rhs.split("{", 1)[0]
+    head = re.sub(r"\.\d+$", "", head)
+    head = re.sub(r"\d+$", "", head)
+    return (head + " " + shape).strip()
+
+
+def group(path: str, line_filter: str = "XLA Ops", top: int = 40):
+    """Like summarize, but aggregated by canonical op family — the per-op
+    device-time budget behind PARITY.md's residual table."""
+    data = open(path, "rb").read()
+    for fnum, wt, val in fields(data):
+        if fnum != 1 or wt != 2:
+            continue
+        pname, lines, meta = parse_plane(val)
+        for lbuf in lines:
+            lname, events = parse_line(lbuf)
+            if line_filter and line_filter.lower() not in (
+                    pname + "/" + lname).lower():
+                continue
+            agg = collections.defaultdict(int)
+            cnt = collections.defaultdict(int)
+            for ebuf in events:
+                mid, dur = parse_event(ebuf)
+                name = _canon(meta.get(mid, f"#{mid}"))
+                agg[name] += dur
+                cnt[name] += 1
+            if not agg:
+                continue
+            total = sum(agg.values())
+            print(f"\n== plane '{pname}' line '{lname}' grouped "
+                  f"({len(events)} events, {total/1e9:.3f} ms total)")
+            for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+                print(f"  {dur/1e9:9.3f} ms  x{cnt[name]:6d}  {name[:90]}")
+
+
 if __name__ == "__main__":
-    summarize(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "")
+    if len(sys.argv) > 1 and sys.argv[1] == "--group":
+        group(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "XLA Ops")
+    else:
+        summarize(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "")
