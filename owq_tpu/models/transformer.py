@@ -18,6 +18,7 @@ the JAX-native replacement for the reference's forward hooks
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -553,6 +554,34 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     x = res  # mask/cache shapes reference the block input
     attn_p = blk["attn"]
 
+    if attn_stacks is not None and fast is not None:
+        # Whole-attention-phase mega kernel (kernels/decode_block.py):
+        # rmsnorm + qkv matvec + rope + cache append + attention + o-proj
+        # + residual in ONE kernel, with the o weights fully prefetched
+        # during the qkv stream so the HBM weight stream never idles.
+        # Caches updated IN PLACE on the [L, 1, S, Hkv, hd] stacks
+        # (forward skips its own cache writes for this layer).  Gated by
+        # forward on B == T == 1 and the plain-causal/full-rotary subset.
+        from ..kernels.decode_block import (attn_block_reference,
+                                            attn_block_step)
+
+        ks, vs, li = attn_stacks
+        rep = H // Hkv
+        scale = (cfg.attn_scale if cfg.attn_scale is not None
+                 else (cfg.attn_scale_override or hd) ** -0.5)
+        cos, sin = rope
+        fn = (attn_block_step if jax.default_backend() == "tpu"
+              else attn_block_reference)
+        sg = partial(jax.tree_util.tree_map, jax.lax.stop_gradient)
+        qa, oa = fast["qkv"], fast["o_attn"]
+        h, ks2, vs2 = fn(x.reshape(1, -1).astype(jnp.bfloat16), ks, vs,
+                         cache_at, cos.reshape(1, hd), sin.reshape(1, hd),
+                         sg(attn_p["qkv"].qweight), sg(qa),
+                         sg(oa["qweight"]), sg(oa), sg(qa["gamma"]),
+                         bits=attn_p["qkv"].bits, layer=li,
+                         scale=float(scale), eps=cfg.norm_eps, rep=rep)
+        return h.reshape(B, T, -1), ks2, vs2
+
     if cfg.mla:
         # deepseek multi-head latent attention: low-rank q/kv projections;
         # rope covers only the last qk_rope_head_dim lanes of each q head
@@ -645,39 +674,6 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     if attn_temp is not None:  # llama4 NoPE-layer temperature tuning
         q = (q.astype(jnp.float32)
              * attn_temp[:, :, None, None]).astype(q.dtype)
-
-    if attn_stacks is not None and fast is not None:
-        # Fused decode attention + o-proj (kernels/attn_o.py): cache
-        # append, masked softmax attention AND the quantized o-projection
-        # in one kernel — attention runs as the matvec's prologue while
-        # the o-proj weight ring streams, so the HBM weight stream never
-        # idles.  Caches updated IN PLACE on the [L, 1, S, Hkv, hd]
-        # stacks (forward skips its own cache writes for this layer).
-        # Gated by forward on B == T == 1 and the plain-causal /
-        # full-rotary config subset.
-        from ..kernels.attn_o import attn_o_reference, attn_o_step
-
-        ks, vs, li = attn_stacks
-        rep = H // Hkv
-        scale = (cfg.attn_scale if cfg.attn_scale is not None
-                 else (cfg.attn_scale_override or hd) ** -0.5)
-        qg = q.reshape(Hkv, rep, hd).swapaxes(0, 1)          # [rep,Hkv,hd]
-        fn = (attn_o_step if jax.default_backend() == "tpu"
-              else attn_o_reference)
-        oa = fast["o_attn"]
-        sg = jax.lax.stop_gradient
-        y, ks2, vs2 = fn(qg.astype(jnp.bfloat16),
-                         k.reshape(1, Hkv, hd).astype(jnp.bfloat16),
-                         v.reshape(1, Hkv, hd).astype(jnp.bfloat16),
-                         ks, vs, cache_at, sg(oa["qweight"]), sg(oa["sz"]),
-                         bits=attn_p["o"].bits, layer=li, scale=float(scale),
-                         sel=sg(oa["sel"]) if oa["sel"] is not None else None,
-                         ow=sg(oa["ow"]) if oa["ow"] is not None else None,
-                         res=res.reshape(1, -1),
-                         bias=(sg(oa["bias"]) if oa["bias"] is not None
-                               else None))
-        attn_out = y.reshape(B, T, -1)
-        return attn_out, ks2, vs2
 
     if kv is not None:
         quantized = len(kv) == 4
@@ -1557,13 +1553,15 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
               and kvc.k.dtype == jnp.bfloat16
               and kvc.v.dtype == jnp.bfloat16)
     if use_fa:
-        from ..kernels.attn_o import attn_o_applicable
+        from ..kernels.decode_block import attn_block_applicable
 
         L_, _, S_, Hkv_, hd_ = kvc.k.shape
         rep_ = cfg.num_heads // cfg.num_kv_heads
-        oa0 = params["layers"][0]["fast"]["o_attn"]["qweight"]
-        nw_, out_ = oa0.shape
-        if attn_o_applicable(S_, Hkv_, hd_, rep_, out_, nw_):
+        blk0 = params["layers"][0]
+        wq0 = blk0["attn"]["qkv"].qweight
+        wo0 = blk0["fast"]["o_attn"]["qweight"]
+        if attn_block_applicable(S_, Hkv_, hd_, rep_, wq0.shape[1],
+                                 wq0.shape[0], wo0.shape[1], wo0.shape[0]):
             # native 5D cache buffers, updated in place by the kernel
             cur_k, cur_v = kvc.k, kvc.v
         else:

@@ -153,9 +153,10 @@ def _permute_packed_rows(p: PackedLinear, perm: "np.ndarray") -> PackedLinear:
 
     Pure integer-code re-layout (unpack -> permute -> repack) plus the
     matching weak-column index remap; the represented matrix is unchanged
-    up to input order.  Used by the attn+o kernel (kernels/attn_o.py):
-    for GQA rep > 1 its ctx flatten is rep-major while the o-proj input is
-    head-major, so the o codes are permuted once at serving-prep time.
+    up to input order.  Used by the attention-phase mega kernel
+    (kernels/decode_block.py): for GQA rep > 1 its ctx flatten is
+    rep-major while the o-proj input is head-major, so the o codes are
+    permuted once at serving-prep time.
     """
     from ..core.packing import pack_np, unpack_np
 
@@ -211,18 +212,17 @@ def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
             "gu": make_fast_aux(mlp["gateup"], gamma=blk["ln2"]["w"]),
             "dn": make_fast_aux(mlp["down"]),
         }
-    # Fused decode attention+o-proj (kernels/attn_o.py): only when EVERY
-    # block runs the fastpath (forward then owns the whole cache through
-    # the in-place stacks).  OFF by default — BOTH in-place-stack
-    # attention kernels are measured net losses at S=128 on this chip
-    # (bench ablations r4: XLA attention chain 4.852 ms/token; round-3
-    # standalone attn_decode kernel 5.056; attn+o prologue fusion 5.067).
-    # Root cause: the kernels' slab-DMA waits + attention compute stall
-    # the packed-weight HBM stream, whose in-kernel ring only buffers
-    # ~3 tiles, while XLA issues its cache-slab reads layers ahead and
-    # hides them completely.  OWQ_FA=1 opts in (long-S regimes where the
-    # XLA chain scales worse).
-    if (_fast_attn_ok(cfg) and os.environ.get("OWQ_FA")
+    # Whole-attention-phase mega kernel (kernels/decode_block.py): only
+    # when EVERY block runs the fastpath (forward then owns the whole
+    # cache through the in-place stacks).  Ablation history (bench.py
+    # r4): XLA attention chain 4.852 ms/token; r3 standalone attention
+    # kernel 5.056 (slab-DMA wait + launch = dead weight-stream time);
+    # attn-as-o-prologue 5.067 (4-slot ring buffers ~4 us against a
+    # ~15 us prologue).  The mega kernel holds BOTH weight streams and
+    # the attention in one program — the o weights fully prefetch during
+    # the qkv stream, covering the attention compute.  OWQ_NO_FA=1
+    # drops back to the XLA attention chain.
+    if (_fast_attn_ok(cfg) and not os.environ.get("OWQ_NO_FA")
             and all(blk.get("fast") is not None
                     for blk in params["layers"])):
         rep = cfg.num_heads // cfg.num_kv_heads
