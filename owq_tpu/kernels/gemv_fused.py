@@ -263,19 +263,26 @@ def fused_call(x: jnp.ndarray, p, aux, *, pre: Optional[str] = None,
     x: [B, T, in] or [rows, in]; returns matching leading shape.
     ``aux`` is the dict from make_fast_aux.
     """
+    if hasattr(p, "local"):   # row-parallel ShardedPackedLinear inside
+        p = p.local()         # shard_map: leading-dim-1 local slice
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     res2 = res.reshape(-1, res.shape[-1]) if res is not None else None
     fn = (fused_matvec if jax.default_backend() == "tpu"
           else fused_matvec_reference)
     sg = jax.lax.stop_gradient
+
+    def sga(k):
+        v = aux[k]
+        if v is None:
+            return None
+        if k in ("sel", "ow") and v.ndim == 3:
+            v = v[0]  # per-shard aux (make_fast_aux_sharded) local slice
+        return sg(v)
+
     y = fn(x2, sg(p.qweight), sg(aux["sz"]), bits=p.bits, pre=pre,
-           gamma=sg(aux["gamma"]) if aux["gamma"] is not None else None,
-           sel=sg(aux["sel"]) if aux["sel"] is not None else None,
-           ow=sg(aux["ow"]) if aux["ow"] is not None else None,
-           res=res2,
-           bias=sg(aux["bias"]) if aux["bias"] is not None else None,
-           eps=eps)
+           gamma=sga("gamma"), sel=sga("sel"), ow=sga("ow"), res=res2,
+           bias=sga("bias"), eps=eps)
     return y.reshape(*lead, y.shape[-1])
 
 

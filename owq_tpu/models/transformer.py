@@ -731,10 +731,13 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     if fast is not None:
         # o-proj with the residual add fused in-kernel: returns the
         # post-attention hidden stream directly (block_forward skips
-        # its own residual add on this path)
+        # its own residual add on this path).  Under TP the output is a
+        # row-parallel partial sum: the residual moves OUT of the kernel
+        # and block_forward adds it after the psum.
         from ..kernels.gemv_fused import fused_call
 
-        attn_out = fused_call(ctx, attn_p["o"], fast["o"], res=res)
+        attn_out = fused_call(ctx, attn_p["o"], fast["o"],
+                              res=res if tp_axis is None else None)
     else:
         attn_out = _lin(attn_p["o"], ctx, kernel)
     return attn_out, k_full, v_full
@@ -891,8 +894,11 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     fast = None
     if (blk.get("fast") is not None
             and (kv is not None or attn_stacks is not None) and not taps
-            and tp_axis is None and alpha_beta is None and zs is None
+            and alpha_beta is None and zs is None
             and B * T <= 16 and x.dtype == jnp.bfloat16):
+        # under TP the aux was built per shard (prepare_decode_fast_tp);
+        # the row-parallel fused calls drop their in-kernel residual and
+        # the block psums before adding it (see below)
         fast = blk["fast"]
     # forward only passes attn_stacks when every block-level fast gate
     # holds (prepare_decode_fast sets params["fast_attn"] iff all blocks
@@ -1105,7 +1111,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if cfg.residual_multiplier is not None:  # granite
         attn_out = attn_out * cfg.residual_multiplier
 
-    if fast is not None:
+    if fast is not None and tp_axis is None:
         x = attn_out  # residual added inside the fused o-proj kernel
     elif alpha_beta is not None:
         x = res * alpha_beta[0] + attn_out * alpha_beta[1]
@@ -1289,18 +1295,23 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
         if fast is not None:
             from ..kernels.gemv_fused import fused_call
 
+            res_in = res if tp_axis is None else None
             gu = fused_call(x_ln2, mlp["gateup"], fast["gu"],
                             pre="rmsnorm", eps=cfg.norm_eps)
             if cfg.activation == "silu":
-                # silu(g)*u runs inside the down-proj kernel (pre="swiglu")
-                return (fused_call(gu, mlp["down"], fast["dn"],
-                                   pre="swiglu", res=res),
-                        (k_full, v_full), tapped)
-            g, u = jnp.split(gu, 2, axis=-1)
-            h = activation(g, cfg.activation) * u
-            # down-proj with the residual add fused in-kernel
-            return (fused_call(h, mlp["down"], fast["dn"], res=res),
-                    (k_full, v_full), tapped)
+                # silu(g)*u runs inside the down-proj kernel (pre="swiglu");
+                # under TP gu is the LOCAL [gate_s | up_s] pair, so the
+                # in-kernel split stays correct per shard
+                out = fused_call(gu, mlp["down"], fast["dn"],
+                                 pre="swiglu", res=res_in)
+            else:
+                g, u = jnp.split(gu, 2, axis=-1)
+                h2 = activation(g, cfg.activation) * u
+                # down-proj with the residual add fused in-kernel
+                out = fused_call(h2, mlp["down"], fast["dn"], res=res_in)
+            if tp_axis is not None:
+                out = res + jax.lax.psum(out, tp_axis)
+            return out, (k_full, v_full), tapped
         if "gateup" in mlp:  # runtime-fused gate|up projection
             gu = _lin(mlp["gateup"], x_ln2, kernel)
             g, u = jnp.split(gu, 2, axis=-1)

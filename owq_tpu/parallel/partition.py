@@ -38,12 +38,13 @@ from ..runtime.quant_linear import (
 from .mesh import DP_AXIS, TP_AXIS
 
 __all__ = ["shard_model_tp", "param_pspecs", "make_tp_forward",
-           "make_tp_train_step", "local_config"]
+           "make_tp_train_step", "local_config", "prepare_decode_fast_tp"]
 
 # dotted paths (within a block) of row-parallel linears
 _ROW_PARALLEL = {"attn.o", "mlp.down", "mlp.fc2"}
 _COL_PARALLEL = {"attn.q", "attn.k", "attn.v", "attn.qkv", "mlp.gate",
-                 "mlp.up", "mlp.fc1", "attn.q_b", "attn.kv_b"}
+                 "mlp.up", "mlp.gateup", "mlp.fc1", "attn.q_b",
+                 "attn.kv_b"}
 # small latent projections (MLA) and routers compute redundantly per shard
 _REPLICATED = {"attn.q_a", "attn.kv_a", "mlp.router", "mlp.shared_gate"}
 
@@ -155,6 +156,108 @@ def shard_model_tp(params: Dict[str, Any], cfg: ModelConfig, tp: int
     return params, local_config(cfg, tp)
 
 
+def _fuse_cols_tp(lins, tp: int):
+    """Concat linears along the output axis with columns GROUPED PER TP
+    SHARD: [l0_s | l1_s | ...] for s = 0..tp-1, so a contiguous
+    P(None, 'tp') column shard IS the shard-local fused projection.
+    (A plain concat would give shard s a mix of the components' columns.)
+    """
+    import numpy as np
+
+    from ..runtime.fuse import fuse_linears
+
+    fused = fuse_linears(lins)
+    outs = [l.out_features for l in lins]
+    off = np.cumsum([0] + outs)
+    cols = [np.arange(off[i] + s * (outs[i] // tp),
+                      off[i] + (s + 1) * (outs[i] // tp))
+            for s in range(tp) for i in range(len(lins))]
+    return _select_cols(fused, np.concatenate(cols))
+
+
+def _fast_block_ok_tp(cfg: ModelConfig, blk: Dict[str, Any], tp: int) -> bool:
+    """Structure gate for the TP fused-decode fastpath: the llama-class
+    subset of runtime.fuse._fast_block_ok, on TP-sharded blocks (separate
+    q/k/v column-parallel PackedLinears + row-parallel
+    ShardedPackedLinears for o/down)."""
+    from ..kernels.gemv_fused import fused_applicable
+
+    if not (cfg.do_layer_norm_before and cfg.input_norms):
+        return False
+    if cfg.norm_type != "rmsnorm" or not cfg.gated_mlp:
+        return False
+    if (cfg.parallel_block or cfg.branch_norms or cfg.sub_norms
+            or cfg.residual_multiplier is not None or cfg.attn_gate):
+        return False
+    if cfg.num_kv_heads < tp or cfg.num_kv_heads % tp:
+        return False  # MQA replicates k/v — no shard-interleaved fuse
+    for k in ("conv", "mamba", "zshared", "moa", "gdn", "lightning"):
+        if k in blk:
+            return False
+    attn, mlp = blk.get("attn"), blk.get("mlp")
+    if attn is None or mlp is None or "experts" in mlp:
+        return False
+    if blk.get("ln1") is None or blk.get("ln2") is None:
+        return False
+    cols = [attn.get("q"), attn.get("k"), attn.get("v"),
+            mlp.get("gate"), mlp.get("up")]
+    rows = [attn.get("o"), mlp.get("down")]
+    if not all(isinstance(l, PackedLinear) and l.layout == "paired"
+               and l.out_features % tp == 0 for l in cols):
+        return False
+    if not all(isinstance(l, ShardedPackedLinear) for l in rows):
+        return False
+    qkv_out = sum(l.out_features for l in cols[:3]) // tp
+    gu_out = sum(l.out_features for l in cols[3:]) // tp
+    nw_in = cols[0].qweight.shape[0]
+    nw_o = rows[0].qweight.shape[1]
+    nw_dn = rows[1].qweight.shape[1]
+    return (fused_applicable(8, qkv_out, nw_in)
+            and fused_applicable(8, gu_out, nw_in)
+            and fused_applicable(8, rows[0].oweight.shape[-1], nw_o)
+            and fused_applicable(8, rows[1].oweight.shape[-1], nw_dn))
+
+
+def prepare_decode_fast_tp(params: Dict[str, Any], cfg: ModelConfig,
+                           tp: int) -> Tuple[Dict[str, Any], ModelConfig]:
+    """TP serving transform — the tensor-parallel analogue of
+    runtime.fuse.prepare_decode_fast, applied AFTER shard_model_tp.
+
+    Fuses q|k|v and gate|up with shard-interleaved column order
+    (_fuse_cols_tp) so each device's contiguous column shard is its local
+    fused projection, and attaches per-block ``fast`` aux: column-parallel
+    aux from make_fast_aux (shards along the fused out axis with the
+    weights), row-parallel aux from make_fast_aux_sharded (leading shard
+    axis).  block_forward then runs the fused matvec kernels per shard
+    with psum epilogues (BASELINE configs #5/#6: 13b/70b-class sharded
+    decode no longer drops to the slow path).
+
+    All-or-nothing: if any block fails the structure gate, params are
+    returned unchanged (cfg.fused_qkv stays False).  Call BEFORE
+    place_params; a no-op when tp == 1 shapes don't divide.
+    """
+    from ..kernels.gemv_fused import make_fast_aux
+    from ..runtime.fuse import make_fast_aux_sharded
+
+    if cfg.fused_qkv:  # bloom/falcon-style native fused qkv: not supported
+        return params, local_config(cfg, tp)
+    if not all(_fast_block_ok_tp(cfg, blk, tp) for blk in params["layers"]):
+        return params, local_config(cfg, tp)
+    for blk in params["layers"]:
+        attn, mlp = blk["attn"], blk["mlp"]
+        attn["qkv"] = _fuse_cols_tp(
+            [attn.pop("q"), attn.pop("k"), attn.pop("v")], tp)
+        mlp["gateup"] = _fuse_cols_tp([mlp.pop("gate"), mlp.pop("up")], tp)
+        blk["fast"] = {
+            "qkv": make_fast_aux(attn["qkv"], gamma=blk["ln1"]["w"]),
+            "o": make_fast_aux_sharded(attn["o"]),
+            "gu": make_fast_aux(mlp["gateup"], gamma=blk["ln2"]["w"]),
+            "dn": make_fast_aux_sharded(mlp["down"]),
+        }
+    return params, dataclasses.replace(local_config(cfg, tp),
+                                       fused_qkv=True)
+
+
 def _expert_bank_spec(bank: ExpertBank) -> ExpertBank:
     """Leading expert axis shards over 'tp' (expert parallelism); every
     per-expert array stays whole within a shard."""
@@ -240,6 +343,25 @@ def param_pspecs(params: Dict[str, Any],
         for key, val in blk.items():
             if key.startswith(("ln", "post_ln")):
                 bspec[key] = norm_spec(val)
+            elif key == "fast":
+                # fused-decode aux (prepare_decode_fast_tp): column-
+                # parallel aux shards along the fused out axis with the
+                # weights; row-parallel aux carries a leading shard axis
+                def aux_spec(name, aux):
+                    col = name in ("qkv", "gu")
+                    sp = {}
+                    for k2, v2 in aux.items():
+                        if v2 is None:
+                            sp[k2] = None
+                        elif k2 in ("sz", "bias", "ow") and col:
+                            sp[k2] = P(None, TP_AXIS)
+                        elif k2 in ("sel", "ow") and not col:
+                            sp[k2] = P(TP_AXIS, None, None)
+                        else:  # gamma, replicated sel (col), sz/bias (row)
+                            sp[k2] = P()
+                    return sp
+
+                bspec[key] = {n: aux_spec(n, a) for n, a in val.items()}
             else:
                 # qk-norm weights: per-head ('head') norms replicate; whole-
                 # projection ('proj', olmo2) norms shard with the column-
@@ -332,6 +454,10 @@ def make_tp_decode(mesh: Mesh, cfg: ModelConfig, params: Dict[str, Any],
 
     tp = mesh.shape[TP_AXIS]
     cfg_local = local_config(cfg, tp)
+    if params["layers"] and params["layers"][0].get("fast") is not None:
+        # params went through prepare_decode_fast_tp: blocks carry the
+        # shard-interleaved fused projections
+        cfg_local = dataclasses.replace(cfg_local, fused_qkv=True)
     pspecs = param_pspecs(params, cfg)
     cache_spec = KVCache(k=P(None, DP_AXIS, None, TP_AXIS, None),
                          v=P(None, DP_AXIS, None, TP_AXIS, None),

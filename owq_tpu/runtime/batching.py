@@ -246,10 +246,14 @@ class Engine:
 
             from ..parallel.partition import (TP_AXIS, local_config,
                                               param_pspecs, place_params,
+                                              prepare_decode_fast_tp,
                                               shard_map, shard_model_tp)
 
             tp = mesh.shape[TP_AXIS]
             params, self._cfg_dev = shard_model_tp(params, cfg, tp)
+            # TP serving transform: per-shard fused-decode aux (a no-op
+            # when the model shapes don't fit the llama-class fastpath)
+            params, self._cfg_dev = prepare_decode_fast_tp(params, cfg, tp)
             self._tp_axis = TP_AXIS
             pspecs = param_pspecs(params, cfg)
             self.params = place_params(params, mesh, cfg)

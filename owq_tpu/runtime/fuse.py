@@ -21,7 +21,7 @@ from ..models.config import ModelConfig
 from .quant_linear import DenseLinear, PackedLinear
 
 __all__ = ["fuse_linears", "fuse_block_projections", "repack_model_a8",
-           "prepare_decode_fast"]
+           "prepare_decode_fast", "make_fast_aux_sharded"]
 
 
 def fuse_linears(lins: List[Any]):
@@ -146,6 +146,44 @@ def _fast_attn_ok(cfg: ModelConfig) -> bool:
             and not cfg.attn_temperature_tuning and not cfg.zamba_block
             and cfg.num_heads % cfg.num_kv_heads == 0
             and (cfg.num_kv_heads * hd) % 128 == 0)
+
+
+def make_fast_aux_sharded(sp, n_pad_min: int = 8):
+    """Per-shard fused-kernel aux for a row-parallel ShardedPackedLinear.
+
+    ``sel``/``ow`` carry a leading shard axis (PartitionSpec ('tp', ...));
+    inside shard_map the local slice has leading dim 1 and is squeezed by
+    the caller.  ``sz`` and ``bias`` are replicated — the scale/zero
+    correction distributes over input shards (y = Σ_s [acc_s*s -
+    sum(x_s)*c]) and the bias is already pre-divided by the shard count
+    (quant_linear.shard_packed_rowwise), so the block-level psum
+    reconstitutes both exactly.
+    """
+    import numpy as np
+
+    s32 = np.asarray(sp.scales, np.float32)
+    z32 = np.asarray(sp.zeros, np.float32)
+    sz = jnp.asarray(np.stack([s32, s32 * (z32 + 128.0)]))
+    aux = {"sz": sz, "sel": None, "ow": None, "gamma": None, "bias": None}
+    shards, n_max = sp.out_ids.shape
+    out = sp.oweight.shape[-1]
+    if n_max > 0:
+        n_pad = max(n_pad_min, -(-n_max // 8) * 8)
+        sels = np.zeros((shards, sp.in_features_local, n_pad), np.float32)
+        ows = np.zeros((shards, n_pad, out), np.float32)
+        ids = np.asarray(sp.out_ids)
+        own = np.asarray(sp.oweight, np.float32)
+        for s in range(shards):
+            # padded slots carry id 0 with a ZERO oweight row: the one-hot
+            # column picks x[0] but multiplies zeros — contribution is 0
+            sels[s, ids[s], np.arange(n_max)] = 1.0
+            ows[s, :n_max] = own[s]
+        aux["sel"] = jnp.asarray(sels, jnp.bfloat16)
+        aux["ow"] = jnp.asarray(ows, jnp.bfloat16)
+    if sp.bias is not None:
+        aux["bias"] = jnp.asarray(
+            np.asarray(sp.bias, np.float32).reshape(1, -1))
+    return aux
 
 
 def _permute_packed_rows(p: PackedLinear, perm: "np.ndarray") -> PackedLinear:

@@ -355,3 +355,90 @@ def test_tp_hybrid_mixer_forward_matches(rng, family):
         fwd = make_tp_forward(mesh, cfg, params_tp)
         got = np.asarray(fwd(params_tp, jnp.asarray(ids)))
     np.testing.assert_allclose(got, np.asarray(ref), atol=3e-4, rtol=1e-3)
+
+
+def test_tp_fast_decode_matches_generic(rng, monkeypatch):
+    """prepare_decode_fast_tp (VERDICT r3 item 4): per-shard fused-decode
+    aux under tensor parallelism.  TP-fast decode logits match the
+    SINGLE-CHIP fast path tightly (same fused math family, different
+    shard summation order), stay within the fused-vs-generic numeric
+    envelope of the generic TP path (the bf16-magic +128-offset
+    accumulation carries ~1e-3-grade absolute noise per matvec — the same
+    envelope the single-chip serving path has), and the fused dispatcher
+    demonstrably RUNS (spy) — 13b/70b-class sharded decode no longer
+    silently drops to the slow path."""
+    import dataclasses
+    from functools import partial
+
+    import owq_tpu.kernels.gemv_fused as gf
+    from owq_tpu.models import forward, init_cache
+    from owq_tpu.models.synthetic import build_synthetic, synthetic_config
+    from owq_tpu.parallel import make_tp_decode
+    from owq_tpu.parallel.partition import prepare_decode_fast_tp
+    from owq_tpu.runtime.fuse import prepare_decode_fast
+
+    calls = []
+    orig = gf.fused_matvec_reference
+
+    def spy(*a, **k):
+        calls.append(a[1].shape)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gf, "fused_matvec_reference", spy)
+
+    # llama-tiny with tile-divisible local shapes at tp=2:
+    # qkv 768/2=384, gateup 1024/2=512, o/down out 256 (all % 128 == 0)
+    cfg = synthetic_config("llama-tiny", max_pos=32)
+    cfg = dataclasses.replace(cfg, intermediate_size=512)
+    params = jax.jit(partial(build_synthetic, cfg, bits=3, target_bit=3.1,
+                             dtype=jnp.bfloat16))()
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 8)).astype(np.int32)
+
+    # single-chip FAST reference (teacher-forced, token by token)
+    ps, cfg_s = prepare_decode_fast(copy.deepcopy(params), cfg)
+    ps.pop("fast_attn", None)
+    cs = init_cache(cfg_s, 1, 16, dtype=jnp.bfloat16)
+    refs = []
+    for t in range(6):
+        ls, cs = forward(ps, cfg_s, jnp.asarray(ids[:, t:t + 1]), cache=cs,
+                         dtype=jnp.bfloat16)
+        refs.append(np.asarray(ls[:, -1], np.float32))
+
+    pg, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    pf, _ = shard_model_tp(copy.deepcopy(params), cfg, 2)
+    pf, cfg_local = prepare_decode_fast_tp(pf, cfg, 2)
+    assert pf["layers"][0].get("fast") is not None
+    assert cfg_local.fused_qkv
+    assert pf["layers"][0]["fast"]["o"]["sel"].ndim == 3  # per-shard aux
+
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        pg = place_params(pg, mesh, cfg)
+        step_g, mc_g = make_tp_decode(mesh, cfg, pg, dtype=jnp.bfloat16)
+        cg = mc_g(1, 16)
+        pf = place_params(pf, mesh, cfg)
+        step_f, mc_f = make_tp_decode(mesh, cfg, pf, dtype=jnp.bfloat16)
+        cf = mc_f(1, 16)
+
+        n_before = len(calls)
+        lg, cg = step_g(pg, jnp.asarray(ids[:, :1]), cg)
+        assert len(calls) == n_before  # generic path: no fused calls
+        lf, cf = step_f(pf, jnp.asarray(ids[:, :1]), cf)
+        assert len(calls) > n_before   # fast path ran the fused dispatcher
+        for t in range(6):
+            tok = jnp.asarray(ids[:, t:t + 1])
+            if t > 0:
+                lg, cg = step_g(pg, tok, cg)
+                lf, cf = step_f(pf, tok, cf)
+            a = np.asarray(lf, np.float32)
+            b = np.asarray(lg, np.float32)
+            # close to the single-chip fast path (same math family; the
+            # per-shard split reorders the f32 accumulation).  Only the
+            # FIRST step is gated tightly: later steps read back the
+            # slightly different caches, so bf16 deviations compound.
+            if t == 0:
+                assert np.abs(a - refs[t]).max() <= \
+                    0.05 * (np.abs(refs[t]).max() + 1e-6), t
+            # envelope vs the generic TP path (catches wiring errors like
+            # a dropped/doubled residual, which shift logits by O(1))
+            assert np.abs(a - b).max() <= 0.6 + 0.05 * np.abs(b).max(), t

@@ -208,6 +208,78 @@ def main() -> int:
         m = _rel_mse(got, ref)
         check("dense_dma_lmhead", m < _GATE, f"rmse={m:.2e}")
 
+        # ---- 7b. attention-phase mega kernel (decode_block.py) -----------
+        # The serving default: rmsnorm+qkv+rope+cache+attention+o+residual
+        # in one kernel.  h gate is 1e-5 (two chained matvecs with
+        # different f32 summation order than the one-dot jnp twin);
+        # written cache rows within 1 bf16 ulp, all other rows exact.
+        from owq_tpu.kernels.decode_block import (attn_block_applicable,
+                                                  attn_block_reference,
+                                                  attn_block_step)
+
+        for (S, Hkv, hd, rep) in [(128, 32, 128, 1), (256, 8, 128, 4)]:
+            hidden = rep * Hkv * hd
+            out_q = (rep + 2) * Hkv * hd
+            _, nw_q = padded_infeatures(hidden, 3)
+            qw, qs, qz, _ = rand_packed(hidden, out_q, 3)
+            ow_, os_, oz_, _ = rand_packed(hidden, hidden, 3)
+            qaux = {"sz": jnp.stack([qs, qs * (qz + 128.0)]),
+                    "sel": None, "ow": None, "bias": None}
+            oaux = {"sz": jnp.stack([os_, os_ * (oz_ + 128.0)]),
+                    "sel": None, "ow": None, "bias": None}
+            n_weak = 6
+            wids = np.sort(rng.choice(hidden, n_weak, replace=False))
+            selm = np.zeros((hidden, 8), np.float32)
+            selm[wids, np.arange(n_weak)] = 1.0
+            oaux["sel"] = jnp.asarray(selm, jnp.bfloat16)
+            oaux["ow"] = jnp.asarray(
+                (rng.standard_normal((8, hidden)) * 0.01).astype(np.float32),
+                jnp.bfloat16)
+            gamma = jnp.asarray(
+                1.0 + 0.1 * rng.standard_normal((1, hidden))
+                .astype(np.float32)).astype(jnp.bfloat16)
+            assert attn_block_applicable(S, Hkv, hd, rep, out_q,
+                                         qw.shape[0], hidden, ow_.shape[0])
+            mkb = lambda *sh: jnp.asarray(  # noqa: E731
+                rng.standard_normal(sh).astype(np.float32)).astype(
+                jnp.bfloat16)
+            x = mkb(1, hidden)
+            ks = mkb(2, 1, S, Hkv, hd)
+            vs = mkb(2, 1, S, Hkv, hd)
+            crow = jnp.asarray(np.cos(np.linspace(0, 2, hd))
+                               .astype(np.float32)).reshape(1, hd)
+            srow = jnp.asarray(np.sin(np.linspace(0, 2, hd))
+                               .astype(np.float32)).reshape(1, hd)
+            for pos in (0, S // 2, S - 1):
+                p = jnp.asarray(pos, jnp.int32)
+                h, k2, v2 = attn_block_step(
+                    x, ks.copy(), vs.copy(), p, crow, srow, qw, qaux,
+                    ow_, oaux, gamma, bits=3, layer=1, scale=hd ** -0.5,
+                    eps=1e-5, rep=rep)
+                hr, kr, vr = attn_block_reference(
+                    x, ks, vs, p, crow, srow, qw, qaux, ow_, oaux, gamma,
+                    bits=3, layer=1, scale=hd ** -0.5, eps=1e-5, rep=rep)
+                m = _rel_mse(h, hr)
+                k2n, krn = np.asarray(k2, np.float32), np.asarray(kr,
+                                                                  np.float32)
+                v2n, vrn = np.asarray(v2, np.float32), np.asarray(vr,
+                                                                  np.float32)
+                row_rel = max(
+                    np.abs(k2n[1, 0, pos] - krn[1, 0, pos]).max()
+                    / (np.abs(krn[1, 0, pos]).max() + 1e-9),
+                    np.abs(v2n[1, 0, pos] - vrn[1, 0, pos]).max()
+                    / (np.abs(vrn[1, 0, pos]).max() + 1e-9))
+                others = (np.abs(np.delete(k2n[1, 0], pos, 0)
+                                 - np.delete(krn[1, 0], pos, 0)).max()
+                          + np.abs(k2n[0] - krn[0]).max()
+                          + np.abs(np.delete(v2n[1, 0], pos, 0)
+                                   - np.delete(vrn[1, 0], pos, 0)).max()
+                          + np.abs(v2n[0] - vrn[0]).max())
+                check(f"megablock_S{S}_rep{rep}_pos{pos}",
+                      m < 1e-5 and row_rel < 1e-2 and others == 0.0,
+                      f"rmse={m:.2e} row_rel={row_rel:.2e} "
+                      f"others={others:.1e}")
+
         # ---- 7. fused decode attention: GQA x pos edges -------------------
         from owq_tpu.kernels.attn_decode import (attn_decode_reference,
                                                  attn_decode_step)
