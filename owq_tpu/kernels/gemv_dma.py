@@ -53,7 +53,7 @@ from ..core.packing import values_per_word
 
 __all__ = ["packed_matvec_dma", "interleave_pairs", "MAX_DMA_ROWS"]
 
-MAX_DMA_ROWS = 16
+MAX_DMA_ROWS = 32
 _SLOTS = 4
 _BF16_MAGIC = 0x43004300  # bf16(128.0) in both halves of an int32 lane
 
@@ -155,7 +155,7 @@ def packed_matvec_dma(x: jnp.ndarray, qweight: jnp.ndarray,
     to = _pick_tile(out, nw)
     assert to, f"no tile divides out={out}"
     n_tiles = out // to
-    rows_pad = 8 if rows <= 8 else MAX_DMA_ROWS
+    rows_pad = 8 if rows <= 8 else (16 if rows <= 16 else MAX_DMA_ROWS)
     assert rows <= rows_pad, f"decode kernel supports <= {MAX_DMA_ROWS} rows"
     if rows < rows_pad:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
@@ -250,7 +250,7 @@ def dense_matvec_dma(x: jnp.ndarray, w: jnp.ndarray, *,
     assert infeat == infeat_w
     to = _pick_tile_dense(out, infeat)
     assert to, f"no tile divides out={out}"
-    rows_pad = 8 if rows <= 8 else MAX_DMA_ROWS
+    rows_pad = 8 if rows <= 8 else (16 if rows <= 16 else MAX_DMA_ROWS)
     assert rows <= rows_pad
     if rows < rows_pad:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))

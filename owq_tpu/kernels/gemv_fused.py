@@ -45,7 +45,7 @@ __all__ = ["fused_matvec", "fused_matvec_reference", "fused_applicable",
 
 _SLOTS = 4
 _BF16_MAGIC = 0x43004300  # bf16(128.0) in both halves of an int32 lane
-MAX_ROWS = 16
+MAX_ROWS = 32  # engine slot counts up to 32 ride the fused path
 
 
 def _paired_acc(xb, q, bits: int, half: int, two_nw: int):
@@ -202,7 +202,7 @@ def fused_matvec(x: jnp.ndarray, qweight: jnp.ndarray, sz: jnp.ndarray, *,
     assert n_true <= in_pad
     to = _pick_tile(out, nw)
     assert to, f"no tile divides out={out}"
-    rows_pad = 8 if rows <= 8 else MAX_ROWS
+    rows_pad = 8 if rows <= 8 else (16 if rows <= 16 else MAX_ROWS)
     assert rows <= rows_pad
     if rows < rows_pad:
         x = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))

@@ -895,7 +895,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     if (blk.get("fast") is not None
             and (kv is not None or attn_stacks is not None) and not taps
             and alpha_beta is None and zs is None
-            and B * T <= 16 and x.dtype == jnp.bfloat16):
+            and B * T <= 32 and x.dtype == jnp.bfloat16):
         # under TP the aux was built per shard (prepare_decode_fast_tp);
         # the row-parallel fused calls drop their in-kernel residual and
         # the block psums before adding it (see below)
