@@ -112,7 +112,7 @@ def main() -> int:
             return jnp.asarray(qw), jnp.asarray(s), jnp.asarray(z), in_pad
 
         for bits in (3, 4):
-            for rows in (1, 8, 16):
+            for rows in (1, 8, 32):
                 infeat, out = 4096, 4096
                 qw, s, z, in_pad = rand_packed(infeat, out, bits)
                 x = jnp.asarray(
