@@ -357,6 +357,11 @@ class Engine:
         raise ValueError(f"prompt of {n} tokens exceeds largest bucket")
 
     def _admit(self) -> None:
+        # Phase 1: dispatch every free slot's prefill + insert WITHOUT
+        # blocking — argmax stays on device.  Phase 2: ONE host readback
+        # for the whole admit burst.  (A per-request int() sync costs a
+        # full host round trip each — 8 admits were paying 8 RTTs.)
+        pending = []
         for slot in range(self.max_batch):
             if self.slot_req[slot] is not None or not self.queue:
                 continue
@@ -370,7 +375,13 @@ class Engine:
             self.cache = self._insert(self.cache, kvs,
                                       jnp.asarray(slot, jnp.int32),
                                       jnp.asarray(n, jnp.int32))
-            first = int(jnp.argmax(last_logits.astype(jnp.float32)))
+            pending.append((req, slot,
+                            jnp.argmax(last_logits.astype(jnp.float32))))
+        if not pending:
+            return
+        firsts = np.asarray(jnp.stack([f for _, _, f in pending]))
+        for (req, slot, _), first in zip(pending, firsts):
+            first = int(first)
             req.generated.append(first)
             req.slot = slot
             self.slot_req[slot] = req
