@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.packing import values_per_word
 
 __all__ = ["attn_block_step", "attn_block_reference",
-           "attn_block_applicable"]
+           "attn_block_applicable", "layer_block_step",
+           "layer_block_reference", "layer_block_applicable"]
 
 _SLOTS = 4
 _BF16_MAGIC = 0x43004300
@@ -419,3 +420,418 @@ def attn_block_reference(x, k_stack, v_stack, pos, crow, srow, wq, qaux,
         xrow, wo, oaux["sz"], bits=bits, sel=oaux["sel"], ow=oaux["ow"],
         res=x.reshape(1, -1), bias=oaux["bias"], out_dtype=out_dtype)
     return h, k2, v2
+
+
+# ---------------------------------------------------------------------------
+# Full-LAYER kernel: the attention phase above + ln2 -> gate|up matvec ->
+# swiglu -> down matvec -> residual, all in ONE program.  The phase split
+# still paid two launches + a VMEM->XLA->VMEM staging of the hidden state
+# per layer and re-warmed the weight ring twice; here the gate|up ring is
+# issued while the o matvec runs and the down ring during swiglu, so the
+# HBM stream crosses the attention/mlp boundary without a gap.
+# ---------------------------------------------------------------------------
+
+_DN_SLOTS = 4
+
+
+def layer_block_applicable(S: int, Hkv: int, hd: int, rep: int,
+                           out_q: int, nw_q: int, out_o: int, nw_o: int,
+                           out_g: int, nw_g: int, out_d: int, nw_d: int
+                           ) -> bool:
+    to_q, to_o = _tiles(out_q, nw_q, out_o, nw_o)
+    to_g = _pick_tile(out_g, nw_g, (12 << 20) // _SLOTS)
+    to_d = _pick_tile(out_d, nw_d, (12 << 20) // _DN_SLOTS)
+    if 0 in (to_q, to_o, to_g, to_d):
+        return False
+    vmem = (_SLOTS * nw_q * to_q * 4          # qkv ring
+            + nw_o * out_o * 4                # o full prefetch
+            + _SLOTS * nw_g * to_g * 4        # gate|up ring
+            + _DN_SLOTS * nw_d * to_d * 4     # down ring
+            + 2 * S * Hkv * hd * 2            # cache slabs
+            + 8 * out_q * 4 + 8 * out_g * 2)  # qkv f32 + gu bf16 scratch
+    return (hd % 128 == 0 and S % 8 == 0 and rep >= 1
+            and vmem <= _VMEM_BYTES)
+
+
+def _layer_kernel(pos_ref, x_ref, g1_ref, qsz_ref, qsel_ref, qow_ref,
+                  qbias_ref, crow_ref, srow_ref, osz_ref, osel_ref, oow_ref,
+                  obias_ref, g2_ref, gsz_ref, gsel_ref, gow_ref, gbias_ref,
+                  dsz_ref, dsel_ref, dow_ref, dbias_ref,
+                  k_hbm, v_hbm, wq_hbm, wo_hbm, wg_hbm, wd_hbm,
+                  h_ref, ko_ref, vo_ref,
+                  qring, obuf, gring, dring, kslab, vslab, knew_s, vnew_s,
+                  qkv_s, gu_s, qsem, osem, gsem, dsem, csem, *,
+                  bits: int, half: int, to_q: int, n_q: int, to_o: int,
+                  n_o: int, to_g: int, n_g: int, to_d: int, n_d: int,
+                  slots: int, dslots: int, S: int, rep: int, Hkv: int,
+                  hd: int, layer: int, scale: float, eps: float, in_q: int,
+                  pad_q: int, in_o: int, pad_o: int, in_d: int, pad_d: int,
+                  q_has_sel: bool, q_has_bias: bool, o_has_sel: bool,
+                  o_has_bias: bool, g_has_sel: bool, g_has_bias: bool,
+                  d_has_sel: bool, d_has_bias: bool, rows_pad: int,
+                  out_dtype):
+    pos = pos_ref[0, 0]
+    two_nw_q = 2 * wq_hbm.shape[0]
+    two_nw_o = 2 * wo_hbm.shape[0]
+    two_nw_g = 2 * wg_hbm.shape[0]
+    two_nw_d = 2 * wd_hbm.shape[0]
+
+    def ring(w_hbm, buf, sem, to):
+        def dma(slot, tile):
+            return pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(tile * to, to)], buf.at[slot],
+                sem.at[slot])
+        return dma
+
+    qdma = ring(wq_hbm, qring, qsem, to_q)
+    gdma = ring(wg_hbm, gring, gsem, to_g)
+    ddma = ring(wd_hbm, dring, dsem, to_d)
+
+    def odma(tile):
+        return pltpu.make_async_copy(
+            wo_hbm.at[:, pl.ds(tile * to_o, to_o)], obuf.at[tile],
+            osem.at[tile])
+
+    # --- in flight up front: qkv ring, o full, cache slabs ---------------
+    for s in range(min(slots - 1, n_q)):
+        qdma(s, s).start()
+    for t in range(n_o):
+        odma(t).start()
+    kread = pltpu.make_async_copy(k_hbm.at[layer, 0], kslab, csem.at[0])
+    vread = pltpu.make_async_copy(v_hbm.at[layer, 0], vslab, csem.at[1])
+    kread.start()
+    vread.start()
+
+    # --- qkv matvec with rmsnorm prologue --------------------------------
+    xf = x_ref[:].astype(jnp.float32)
+    ms = jnp.sum(xf * xf, axis=1, keepdims=True) * (1.0 / in_q)
+    xn = xf * jax.lax.rsqrt(ms + eps) * g1_ref[:].astype(jnp.float32)
+    xb = xn.astype(jnp.bfloat16)
+    xsum = jnp.sum(xn, axis=1, keepdims=True)
+    if q_has_sel:
+        xo = jnp.dot(xb, qsel_ref[:], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)
+    if pad_q:
+        xb = jnp.pad(xb, ((0, 0), (0, pad_q)))
+
+    def qbody(tile, _):
+        slot = tile % slots
+
+        @pl.when(tile + slots - 1 < n_q)
+        def _():
+            qdma((tile + slots - 1) % slots, tile + slots - 1).start()
+
+        qdma(slot, tile).wait()
+        acc = _matvec_acc(xb, qring[slot], bits, half, two_nw_q)
+        s = qsz_ref[0:1, pl.ds(tile * to_q, to_q)]
+        c = qsz_ref[1:2, pl.ds(tile * to_q, to_q)]
+        y = acc * s - xsum * c
+        if q_has_sel:
+            y = y + jnp.dot(xo, qow_ref[:, pl.ds(tile * to_q, to_q)],
+                            preferred_element_type=jnp.float32)
+        if q_has_bias:
+            y = y + qbias_ref[0:1, pl.ds(tile * to_q, to_q)]
+        qkv_s[:, pl.ds(tile * to_q, to_q)] = y
+        return ()
+
+    jax.lax.fori_loop(0, n_q, qbody, ())
+
+    # --- split + rope + cache append -------------------------------------
+    Hq = rep * Hkv
+    q_all = qkv_s[0:1, 0:Hq * hd].reshape(Hq, hd)
+    k_lin = qkv_s[0:1, Hq * hd:(Hq + Hkv) * hd].reshape(Hkv, hd)
+    v_lin = qkv_s[0:1, (Hq + Hkv) * hd:(Hq + 2 * Hkv) * hd].reshape(Hkv, hd)
+    crow = crow_ref[:]
+    srow = srow_ref[:]
+    hh = hd // 2
+
+    def rope(t):
+        rot = jnp.concatenate(
+            [-jax.lax.slice_in_dim(t, hh, hd, axis=1),
+             jax.lax.slice_in_dim(t, 0, hh, axis=1)], axis=1)
+        return (t * crow + rot * srow).astype(jnp.bfloat16)
+
+    qr = rope(q_all.astype(jnp.bfloat16).astype(jnp.float32))
+    kr = rope(k_lin.astype(jnp.bfloat16).astype(jnp.float32))
+    vb = v_lin.astype(jnp.bfloat16)
+    knew_s[:] = kr.reshape(1, Hkv, hd)
+    vnew_s[:] = vb.reshape(1, Hkv, hd)
+    kwrite = pltpu.make_async_copy(
+        knew_s, k_hbm.at[layer, 0, pl.ds(pos, 1)], csem.at[2])
+    vwrite = pltpu.make_async_copy(
+        vnew_s, v_hbm.at[layer, 0, pl.ds(pos, 1)], csem.at[3])
+    kwrite.start()
+    vwrite.start()
+
+    # --- attention --------------------------------------------------------
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    valid = sidx <= pos
+    is_new = sidx == pos
+    is_new3 = is_new[:, :, None]
+    kf_new = kr.astype(jnp.float32).reshape(1, Hkv, hd)
+    vf_new = vb.reshape(1, Hkv, hd)
+    kread.wait()
+    vread.wait()
+    kf = kslab[:].astype(jnp.float32)
+    vpat = jnp.where(is_new3, vf_new, vslab[:]).astype(jnp.float32)
+    qrf = qr.astype(jnp.float32).reshape(Hkv, rep, hd)
+    ctxs = []
+    for r in range(rep):
+        qh = qrf[:, r, :].reshape(1, Hkv, hd)
+        scores = jnp.sum(kf * qh, axis=-1)
+        snew = jnp.sum(kf_new * qh, axis=-1)
+        scores = jnp.where(is_new, snew, scores) * scale
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=0, keepdims=True)).astype(jnp.bfloat16)
+        pb = probs.astype(jnp.float32)[:, :, None]
+        ctxs.append(jnp.sum(pb * vpat, axis=0))
+    ctx = ctxs[0] if rep == 1 else jnp.concatenate(ctxs, axis=0)
+
+    # --- o matvec (resident tiles); gate|up ring starts streaming now ----
+    for s in range(min(slots - 1, n_g)):
+        gdma(s, s).start()
+
+    xrow_b = ctx.reshape(1, in_o).astype(jnp.bfloat16)
+    xrow_f = xrow_b.astype(jnp.float32)
+    xsum_o = jnp.pad(jnp.sum(xrow_f, axis=1, keepdims=True),
+                     ((0, rows_pad - 1), (0, 0)))
+    xb_o = jnp.pad(xrow_b, ((0, rows_pad - 1), (0, pad_o)))
+    if o_has_sel:
+        xo_o = jnp.dot(xb_o[:, :in_o] if pad_o else xb_o, osel_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+
+    def obody(tile, _):
+        odma(tile).wait()
+        acc = _matvec_acc(xb_o, obuf[tile], bits, half, two_nw_o)
+        s = osz_ref[0:1, pl.ds(tile * to_o, to_o)]
+        c = osz_ref[1:2, pl.ds(tile * to_o, to_o)]
+        y = acc * s - xsum_o * c
+        if o_has_sel:
+            y = y + jnp.dot(xo_o, oow_ref[:, pl.ds(tile * to_o, to_o)],
+                            preferred_element_type=jnp.float32)
+        if o_has_bias:
+            y = y + obias_ref[0:1, pl.ds(tile * to_o, to_o)]
+        y = y + x_ref[:, pl.ds(tile * to_o, to_o)].astype(jnp.float32)
+        h_ref[:, pl.ds(tile * to_o, to_o)] = y.astype(out_dtype)
+        return ()
+
+    jax.lax.fori_loop(0, n_o, obody, ())
+
+    # --- ln2 + gate|up matvec --------------------------------------------
+    h1 = h_ref[:].astype(jnp.float32)                  # post-attn hidden
+    ms2 = jnp.sum(h1 * h1, axis=1, keepdims=True) * (1.0 / in_q)
+    hn = h1 * jax.lax.rsqrt(ms2 + eps) * g2_ref[:].astype(jnp.float32)
+    hb = hn.astype(jnp.bfloat16)
+    hsum = jnp.sum(hn, axis=1, keepdims=True)
+    if g_has_sel:
+        ho = jnp.dot(hb, gsel_ref[:], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)
+    if pad_q:
+        hb = jnp.pad(hb, ((0, 0), (0, pad_q)))
+
+    def gbody(tile, _):
+        slot = tile % slots
+
+        @pl.when(tile + slots - 1 < n_g)
+        def _():
+            gdma((tile + slots - 1) % slots, tile + slots - 1).start()
+
+        gdma(slot, tile).wait()
+        acc = _matvec_acc(hb, gring[slot], bits, half, two_nw_g)
+        s = gsz_ref[0:1, pl.ds(tile * to_g, to_g)]
+        c = gsz_ref[1:2, pl.ds(tile * to_g, to_g)]
+        y = acc * s - hsum * c
+        if g_has_sel:
+            y = y + jnp.dot(ho, gow_ref[:, pl.ds(tile * to_g, to_g)],
+                            preferred_element_type=jnp.float32)
+        if g_has_bias:
+            y = y + gbias_ref[0:1, pl.ds(tile * to_g, to_g)]
+        gu_s[:, pl.ds(tile * to_g, to_g)] = y.astype(jnp.bfloat16)
+        return ()
+
+    jax.lax.fori_loop(0, n_g, gbody, ())
+
+    # --- swiglu + down matvec; down ring streams during the swiglu -------
+    for s in range(min(dslots - 1, n_d)):
+        ddma(s, s).start()
+
+    gu = gu_s[:].astype(jnp.float32)                   # [rows, 2*in_d]
+    g = jax.lax.slice_in_dim(gu, 0, in_d, axis=1)
+    u = jax.lax.slice_in_dim(gu, in_d, 2 * in_d, axis=1)
+    xd_f = g * jax.lax.logistic(g) * u
+    xd = xd_f.astype(jnp.bfloat16)
+    dsum = jnp.sum(xd_f, axis=1, keepdims=True)
+    if d_has_sel:
+        do = jnp.dot(xd, dsel_ref[:], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)
+    if pad_d:
+        xd = jnp.pad(xd, ((0, 0), (0, pad_d)))
+
+    def dbody(tile, _):
+        slot = tile % dslots
+
+        @pl.when(tile + dslots - 1 < n_d)
+        def _():
+            ddma((tile + dslots - 1) % dslots, tile + dslots - 1).start()
+
+        ddma(slot, tile).wait()
+        acc = _matvec_acc(xd, dring[slot], bits, half, two_nw_d)
+        s = dsz_ref[0:1, pl.ds(tile * to_d, to_d)]
+        c = dsz_ref[1:2, pl.ds(tile * to_d, to_d)]
+        y = acc * s - dsum * c
+        if d_has_sel:
+            y = y + jnp.dot(do, dow_ref[:, pl.ds(tile * to_d, to_d)],
+                            preferred_element_type=jnp.float32)
+        if d_has_bias:
+            y = y + dbias_ref[0:1, pl.ds(tile * to_d, to_d)]
+        y = y + h_ref[:, pl.ds(tile * to_d, to_d)].astype(jnp.float32)
+        h_ref[:, pl.ds(tile * to_d, to_d)] = y.astype(out_dtype)
+        return ()
+
+    jax.lax.fori_loop(0, n_d, dbody, ())
+
+    kwrite.wait()
+    vwrite.wait()
+    del ko_ref, vo_ref
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "layer", "scale", "eps",
+                                    "rep", "out_dtype"),
+                   donate_argnums=(1, 2))
+def layer_block_step(x: jnp.ndarray,
+                     k_stack: jnp.ndarray, v_stack: jnp.ndarray,
+                     pos: jnp.ndarray, crow: jnp.ndarray, srow: jnp.ndarray,
+                     wq: jnp.ndarray, qaux, wo: jnp.ndarray, oaux,
+                     wg: jnp.ndarray, gaux, wd: jnp.ndarray, daux, *,
+                     bits: int, layer: int, scale: float, eps: float,
+                     rep: int, out_dtype=jnp.bfloat16
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One FULL llama-class decoder layer at B=T=1; caches in place.
+
+    x: [1, hidden] bf16.  qaux/gaux carry the rmsnorm gammas
+    (make_fast_aux(..., gamma=lnX)); oaux/daux the o/down epilogues (o
+    rows rep-major-permuted for rep > 1).  Returns (h [1, hidden],
+    k_stack, v_stack).
+    """
+    L, B, S, Hkv, hd = k_stack.shape
+    nw_q, out_q = wq.shape
+    nw_o, out_o = wo.shape
+    nw_g, out_g = wg.shape
+    nw_d, out_d = wd.shape
+    v = values_per_word(bits)
+    in_q = x.shape[1]
+    in_o = rep * Hkv * hd
+    in_d = out_g // 2
+    assert B == 1 and x.shape == (1, in_q)
+    assert out_q == (rep + 2) * Hkv * hd and out_o == in_q and out_d == in_q
+    assert layer_block_applicable(S, Hkv, hd, rep, out_q, nw_q, out_o,
+                                  nw_o, out_g, nw_g, out_d, nw_d)
+    assert k_stack.dtype == jnp.bfloat16 and v_stack.dtype == jnp.bfloat16
+    to_q, to_o = _tiles(out_q, nw_q, out_o, nw_o)
+    to_g = _pick_tile(out_g, nw_g, (12 << 20) // _SLOTS)
+    to_d = _pick_tile(out_d, nw_d, (12 << 20) // _DN_SLOTS)
+    rows_pad = 8
+
+    flags = {}
+    for name, aux in (("q", qaux), ("o", oaux), ("g", gaux), ("d", daux)):
+        flags[f"{name}_has_sel"] = aux["sel"] is not None
+        flags[f"{name}_has_bias"] = aux["bias"] is not None
+    one_f = jnp.zeros((1, 1), jnp.float32)
+    one_b = jnp.zeros((1, 1), jnp.bfloat16)
+
+    def opt(aux, key, dummy):
+        val = aux[key]
+        return val if val is not None else dummy
+
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, rows_pad - 1), (0, 0)))
+
+    h, k_out, v_out = pl.pallas_call(
+        functools.partial(
+            _layer_kernel, bits=bits, half=v // 2, to_q=to_q,
+            n_q=out_q // to_q, to_o=to_o, n_o=out_o // to_o, to_g=to_g,
+            n_g=out_g // to_g, to_d=to_d, n_d=out_d // to_d, slots=_SLOTS,
+            dslots=_DN_SLOTS, S=S, rep=rep, Hkv=Hkv, hd=hd, layer=layer,
+            scale=scale, eps=eps, in_q=in_q, pad_q=nw_q * v - in_q,
+            in_o=in_o, pad_o=nw_o * v - in_o, in_d=in_d,
+            pad_d=nw_d * v - in_d, rows_pad=rows_pad, out_dtype=out_dtype,
+            **flags),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 21
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, out_d), out_dtype),
+            jax.ShapeDtypeStruct(k_stack.shape, k_stack.dtype),
+            jax.ShapeDtypeStruct(v_stack.shape, v_stack.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS, nw_q, to_q), jnp.int32),
+            pltpu.VMEM((out_o // to_o, nw_o, to_o), jnp.int32),
+            pltpu.VMEM((_SLOTS, nw_g, to_g), jnp.int32),
+            pltpu.VMEM((_DN_SLOTS, nw_d, to_d), jnp.int32),
+            pltpu.VMEM((S, Hkv, hd), k_stack.dtype),
+            pltpu.VMEM((S, Hkv, hd), v_stack.dtype),
+            pltpu.VMEM((1, Hkv, hd), k_stack.dtype),
+            pltpu.VMEM((1, Hkv, hd), v_stack.dtype),
+            pltpu.VMEM((rows_pad, out_q), jnp.float32),
+            pltpu.VMEM((rows_pad, out_g), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
+            pltpu.SemaphoreType.DMA((out_o // to_o,)),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
+            pltpu.SemaphoreType.DMA((_DN_SLOTS,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        input_output_aliases={22: 1, 23: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BYTES + (8 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * v * (nw_q * out_q + nw_o * out_o
+                                      + nw_g * out_g + nw_d * out_d)
+            + 4 * rep * S * Hkv * hd,
+            bytes_accessed=(wq.nbytes + wo.nbytes + wg.nbytes + wd.nbytes
+                            + 2 * S * Hkv * hd * 2),
+            transcendentals=rep * S + rows_pad * in_d,
+        ),
+        name=f"owq_layer_block_{bits}b",
+    )(pos.reshape(1, 1).astype(jnp.int32), xp,
+      qaux["gamma"], qaux["sz"], opt(qaux, "sel", one_b),
+      opt(qaux, "ow", one_b), opt(qaux, "bias", one_f),
+      crow.astype(jnp.float32), srow.astype(jnp.float32),
+      oaux["sz"], opt(oaux, "sel", one_b), opt(oaux, "ow", one_b),
+      opt(oaux, "bias", one_f),
+      gaux["gamma"], gaux["sz"], opt(gaux, "sel", one_b),
+      opt(gaux, "ow", one_b), opt(gaux, "bias", one_f),
+      daux["sz"], opt(daux, "sel", one_b), opt(daux, "ow", one_b),
+      opt(daux, "bias", one_f),
+      k_stack, v_stack, wq, wo, wg, wd)
+    return h[:1], k_out, v_out
+
+
+def layer_block_reference(x, k_stack, v_stack, pos, crow, srow, wq, qaux,
+                          wo, oaux, wg, gaux, wd, daux, *, bits, layer,
+                          scale, eps, rep, out_dtype=jnp.bfloat16):
+    """Pure-jnp twin: attention phase reference + fused gu/down math."""
+    from .gemv_fused import fused_matvec_reference
+
+    h1, k2, v2 = attn_block_reference(
+        x, k_stack, v_stack, pos, crow, srow, wq, qaux, wo, oaux,
+        qaux["gamma"], bits=bits, layer=layer, scale=scale, eps=eps,
+        rep=rep)
+    gu = fused_matvec_reference(
+        h1.astype(jnp.bfloat16), wg, gaux["sz"], bits=bits, pre="rmsnorm",
+        gamma=gaux["gamma"], sel=gaux["sel"], ow=gaux["ow"],
+        bias=gaux["bias"], eps=eps, out_dtype=jnp.bfloat16)
+    h2 = fused_matvec_reference(
+        gu, wd, daux["sz"], bits=bits, pre="swiglu", sel=daux["sel"],
+        ow=daux["ow"], res=h1, bias=daux["bias"], eps=eps,
+        out_dtype=out_dtype)
+    return h2, k2, v2

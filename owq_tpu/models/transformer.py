@@ -554,34 +554,6 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     x = res  # mask/cache shapes reference the block input
     attn_p = blk["attn"]
 
-    if attn_stacks is not None and fast is not None:
-        # Whole-attention-phase mega kernel (kernels/decode_block.py):
-        # rmsnorm + qkv matvec + rope + cache append + attention + o-proj
-        # + residual in ONE kernel, with the o weights fully prefetched
-        # during the qkv stream so the HBM weight stream never idles.
-        # Caches updated IN PLACE on the [L, 1, S, Hkv, hd] stacks
-        # (forward skips its own cache writes for this layer).  Gated by
-        # forward on B == T == 1 and the plain-causal/full-rotary subset.
-        from ..kernels.decode_block import (attn_block_reference,
-                                            attn_block_step)
-
-        ks, vs, li = attn_stacks
-        rep = H // Hkv
-        scale = (cfg.attn_scale if cfg.attn_scale is not None
-                 else (cfg.attn_scale_override or hd) ** -0.5)
-        cos, sin = rope
-        fn = (attn_block_step if jax.default_backend() == "tpu"
-              else attn_block_reference)
-        sg = partial(jax.tree_util.tree_map, jax.lax.stop_gradient)
-        qa, oa = fast["qkv"], fast["o_attn"]
-        h, ks2, vs2 = fn(x.reshape(1, -1).astype(jnp.bfloat16), ks, vs,
-                         cache_at, cos.reshape(1, hd), sin.reshape(1, hd),
-                         sg(attn_p["qkv"].qweight), sg(qa),
-                         sg(oa["qweight"]), sg(oa), sg(qa["gamma"]),
-                         bits=attn_p["qkv"].bits, layer=li,
-                         scale=float(scale), eps=cfg.norm_eps, rep=rep)
-        return h.reshape(B, T, -1), ks2, vs2
-
     if cfg.mla:
         # deepseek multi-head latent attention: low-rank q/kv projections;
         # rope covers only the last qk_rope_head_dim lanes of each q head
@@ -905,6 +877,41 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
     # carry "fast"); a disagreement here would silently drop the cache
     assert attn_stacks is None or fast is not None, \
         "attn_stacks passed to a block without the fused fastpath"
+    if attn_stacks is not None:
+        # FULL-LAYER mega kernel (kernels/decode_block.py): rmsnorm ->
+        # qkv matvec -> rope -> in-place cache append -> attention ->
+        # o-proj -> residual -> ln2 -> gate|up -> swiglu -> down ->
+        # residual as ONE pallas program — the o weights prefetch during
+        # the qkv stream, the gate|up ring starts during the o matvec and
+        # the down ring during the swiglu, so the HBM weight stream
+        # crosses the whole layer without a gap.  Caches updated IN PLACE
+        # on the [L, 1, S, Hkv, hd] stacks (forward skips its own cache
+        # writes).  Gated by forward on B == T == 1 and the
+        # plain-causal/full-rotary llama-class subset.
+        from ..kernels.decode_block import (layer_block_reference,
+                                            layer_block_step)
+
+        attn_p, mlp_p = blk["attn"], blk["mlp"]
+        ks, vs, li = attn_stacks
+        rep = cfg.num_heads // cfg.num_kv_heads
+        hd = cfg.head_dim
+        scale = (cfg.attn_scale if cfg.attn_scale is not None
+                 else (cfg.attn_scale_override or hd) ** -0.5)
+        cos, sin = rope
+        fn = (layer_block_step if jax.default_backend() == "tpu"
+              else layer_block_reference)
+        sg = partial(jax.tree_util.tree_map, jax.lax.stop_gradient)
+        qa, oa = fast["qkv"], fast["o_attn"]
+        ga, da = fast["gu"], fast["dn"]
+        h, ks2, vs2 = fn(x.reshape(1, -1).astype(jnp.bfloat16), ks, vs,
+                         cache_at, cos.reshape(1, hd), sin.reshape(1, hd),
+                         sg(attn_p["qkv"].qweight), sg(qa),
+                         sg(oa["qweight"]), sg(oa),
+                         sg(mlp_p["gateup"].qweight), sg(ga),
+                         sg(mlp_p["down"].qweight), sg(da),
+                         bits=attn_p["qkv"].bits, layer=li,
+                         scale=float(scale), eps=cfg.norm_eps, rep=rep)
+        return h.reshape(B, T, -1), (ks2, vs2), tapped
     # zamba2: the prefix output is added to the NORM input only — the
     # mamba residual stays the pre-add hidden (Zamba2MambaDecoderLayer)
     norm_in = x if zs is None else x + z_add
@@ -1564,15 +1571,19 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
               and kvc.k.dtype == jnp.bfloat16
               and kvc.v.dtype == jnp.bfloat16)
     if use_fa:
-        from ..kernels.decode_block import attn_block_applicable
+        from ..kernels.decode_block import layer_block_applicable
 
         L_, _, S_, Hkv_, hd_ = kvc.k.shape
         rep_ = cfg.num_heads // cfg.num_kv_heads
         blk0 = params["layers"][0]
         wq0 = blk0["attn"]["qkv"].qweight
         wo0 = blk0["fast"]["o_attn"]["qweight"]
-        if attn_block_applicable(S_, Hkv_, hd_, rep_, wq0.shape[1],
-                                 wq0.shape[0], wo0.shape[1], wo0.shape[0]):
+        wg0 = blk0["mlp"]["gateup"].qweight
+        wd0 = blk0["mlp"]["down"].qweight
+        if layer_block_applicable(S_, Hkv_, hd_, rep_, wq0.shape[1],
+                                  wq0.shape[0], wo0.shape[1], wo0.shape[0],
+                                  wg0.shape[1], wg0.shape[0],
+                                  wd0.shape[1], wd0.shape[0]):
             # native 5D cache buffers, updated in place by the kernel
             cur_k, cur_v = kvc.k, kvc.v
         else:
