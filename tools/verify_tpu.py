@@ -280,6 +280,94 @@ def main() -> int:
                       f"rmse={m:.2e} row_rel={row_rel:.2e} "
                       f"others={others:.1e}")
 
+        # ---- 7c. FULL-LAYER mega kernel (decode_block.py) ----------------
+        # Gate 1: bitwise-level parity against the composition of the
+        # independently-gated on-chip kernels (attn_block_step + two
+        # fused_matvec calls) — the layer kernel must be a pure fusion.
+        # Gate 2 (loose): the jnp twin.  The full-layer chain amplifies
+        # one-ulp bf16 rounding diffs in the post-attention hidden state
+        # through rmsnorm->matvec->swiglu->matvec (measured ~150x on
+        # random weights, tools/dbg_layer_block.py), so the twin gate is
+        # 5e-2 and correctness rests on gate 1 + the phase gates above.
+        from owq_tpu.kernels.decode_block import (layer_block_applicable,
+                                                  layer_block_reference,
+                                                  layer_block_step)
+        from owq_tpu.kernels.gemv_fused import fused_matvec
+
+        for (S, Hkv, hd, rep, inter) in [(128, 32, 128, 1, 11008),
+                                         (256, 8, 128, 4, 11008)]:
+            hidden = rep * Hkv * hd
+            out_q = (rep + 2) * Hkv * hd
+            qw, qs, qz, _ = rand_packed(hidden, out_q, 3)
+            ow_, os_, oz_, _ = rand_packed(hidden, hidden, 3)
+            gw, gs, gz, _ = rand_packed(hidden, 2 * inter, 3)
+            dw, ds, dz, _ = rand_packed(inter, hidden, 3)
+
+            def mk_aux(s, z, infeat, out, gamma=False, weak=0):
+                aux = {"sz": jnp.stack([s, s * (z + 128.0)]),
+                       "sel": None, "ow": None, "bias": None}
+                if weak:
+                    cols = ((weak + 7) // 8) * 8
+                    wid = np.sort(rng.choice(infeat, weak, replace=False))
+                    selm = np.zeros((infeat, cols), np.float32)
+                    selm[wid, np.arange(weak)] = 1.0
+                    aux["sel"] = jnp.asarray(selm, jnp.bfloat16)
+                    aux["ow"] = jnp.asarray(
+                        (rng.standard_normal((cols, out)) * 0.01)
+                        .astype(np.float32), jnp.bfloat16)
+                if gamma:
+                    aux["gamma"] = jnp.asarray(
+                        1.0 + 0.1 * rng.standard_normal((1, infeat))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+                return aux
+
+            qaux = mk_aux(qs, qz, hidden, out_q, gamma=True, weak=6)
+            oaux = mk_aux(os_, oz_, hidden, hidden, weak=6)
+            gaux = mk_aux(gs, gz, hidden, 2 * inter, gamma=True, weak=6)
+            daux = mk_aux(ds, dz, inter, hidden, weak=6)
+            assert layer_block_applicable(
+                S, Hkv, hd, rep, out_q, qw.shape[0], hidden, ow_.shape[0],
+                2 * inter, gw.shape[0], hidden, dw.shape[0])
+            mkb = lambda *sh: jnp.asarray(  # noqa: E731
+                rng.standard_normal(sh).astype(np.float32)).astype(
+                jnp.bfloat16)
+            x = mkb(1, hidden)
+            ks = mkb(2, 1, S, Hkv, hd)
+            vs = mkb(2, 1, S, Hkv, hd)
+            crow = jnp.asarray(np.cos(np.linspace(0, 2, hd))
+                               .astype(np.float32)).reshape(1, hd)
+            srow = jnp.asarray(np.sin(np.linspace(0, 2, hd))
+                               .astype(np.float32)).reshape(1, hd)
+            lkw = dict(bits=3, layer=1, scale=hd ** -0.5, eps=1e-5,
+                       rep=rep)
+            for pos in (0, S // 2, S - 1):
+                p = jnp.asarray(pos, jnp.int32)
+                h, k2, v2 = layer_block_step(
+                    x, ks.copy(), vs.copy(), p, crow, srow, qw, qaux,
+                    ow_, oaux, gw, gaux, dw, daux, **lkw)
+                # composition of the on-chip phase kernels
+                h1, kc, vc = attn_block_step(
+                    x, ks.copy(), vs.copy(), p, crow, srow, qw, qaux,
+                    ow_, oaux, qaux["gamma"], **lkw)
+                gu = fused_matvec(h1, gw, gaux["sz"], bits=3,
+                                  pre="rmsnorm", gamma=gaux["gamma"],
+                                  sel=gaux["sel"], ow=gaux["ow"],
+                                  eps=1e-5, out_dtype=jnp.bfloat16)
+                hc = fused_matvec(gu, dw, daux["sz"], bits=3, pre="swiglu",
+                                  sel=daux["sel"], ow=daux["ow"], res=h1,
+                                  eps=1e-5, out_dtype=jnp.bfloat16)
+                m_comp = _rel_mse(h, hc)
+                hr, kr, vr = layer_block_reference(
+                    x, ks, vs, p, crow, srow, qw, qaux, ow_, oaux,
+                    gw, gaux, dw, daux, **lkw)
+                m_twin = _rel_mse(h, hr)
+                cache_ok = (bool(jnp.array_equal(k2, kc))
+                            and bool(jnp.array_equal(v2, vc)))
+                check(f"layerblock_S{S}_rep{rep}_pos{pos}",
+                      m_comp < 1e-9 and m_twin < 5e-2 and cache_ok,
+                      f"vs_phases={m_comp:.2e} vs_twin={m_twin:.2e} "
+                      f"cache_vs_phases={cache_ok}")
+
         # ---- 7. fused decode attention: GQA x pos edges -------------------
         from owq_tpu.kernels.attn_decode import (attn_decode_reference,
                                                  attn_decode_step)
