@@ -68,7 +68,7 @@ def main() -> None:
                     help="disable qkv/gateup runtime fusion in single-stream")
     ap.add_argument("--batch", type=int, default=8,
                     help="engine slot count")
-    ap.add_argument("--window", type=int, default=32,
+    ap.add_argument("--window", type=int, default=64,
                     help="engine decode steps per host sync (per-dispatch "
                          "overhead through the relayed backend is large; "
                          "a server would also batch steps)")

@@ -1594,17 +1594,36 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
                     or "conv" in blk)
         is_dual = is_mamba and "attn" in blk  # falcon-h1 parallel mixers
         ssm_in = None
+        # Read layer i's cache slice from the ALREADY-UPDATED stack, not
+        # the original: layer i's rows are untouched until layer i writes
+        # them, so the values are identical — but slicing the original
+        # keeps it live across every later layer's delta write, which
+        # forces XLA to materialize a FULL KV-stack copy at the first
+        # write (read-after-write hazard; xplane showed a
+        # [L,B,S,H,hd]-sized copy-done per decode step — ~5.4 GB/step of
+        # hidden HBM traffic for llama-7b b8, the engine's dominant
+        # cost).  Reading from the updated buffer makes the original
+        # dead after the first write, so the whole chain runs in place
+        # on the donated scan carry.
         if cache is None:
             kv = None
         elif is_dual:
-            kv = (kvc.k[i], kvc.v[i])
-            ssm_in = (cache.conv[i], cache.ssm[i])
+            k_buf = kvc.k if new_k is None else new_k
+            v_buf = kvc.v if new_v is None else new_v
+            kv = (k_buf[i], v_buf[i])
+            ssm_in = (cache.conv[i] if new_conv is None else new_conv[i],
+                      cache.ssm[i] if new_ssm is None else new_ssm[i])
         elif is_mamba:
-            kv = (cache.conv[i], cache.ssm[i])
+            kv = (cache.conv[i] if new_conv is None else new_conv[i],
+                  cache.ssm[i] if new_ssm is None else new_ssm[i])
         elif quant_cache:
-            kv = (cache.k[i], cache.v[i], cache.k_scale[i], cache.v_scale[i])
+            kv = (cache.k[i] if new_k is None else new_k[i],
+                  cache.v[i] if new_v is None else new_v[i],
+                  cache.k_scale[i] if new_ks is None else new_ks[i],
+                  cache.v_scale[i] if new_vs is None else new_vs[i])
         else:
-            kv = (kvc.k[i], kvc.v[i])
+            kv = ((kvc.k if new_k is None else new_k)[i],
+                  (kvc.v if new_v is None else new_v)[i])
         use_delta = (cache is not None and not is_mamba
                      and "attn" in blk and "zshared" not in blk
                      and "moa" not in blk)
