@@ -77,6 +77,9 @@ def main() -> None:
                     help="best-of-N timing (the shared TPU pool has noisy "
                          "neighbors; only the best sample reflects the "
                          "hardware)")
+    ap.add_argument("--pack-head", action="store_true",
+                    help="RTN-pack the dense lm_head (beyond-reference "
+                         "serving mode; separate metric suffix 'ph')")
     ap.add_argument("--a8", action="store_true",
                     help="W4A8 serving mode (4-bit only): repack weights "
                          "into the A8 byte layout and decode on the int8 "
@@ -129,6 +132,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
     wbytes = packed_model_bytes(params)
     roofline_tps = V5E_HBM_GBPS * 1e9 / wbytes
+    if args.pack_head:
+        # BEYOND-reference opt-in: RTN-pack the dense lm_head so the last
+        # matmul streams packed words too (the reference serves an fp16
+        # head, so the default protocol line keeps the dense head).
+        from owq_tpu.runtime.fuse import pack_lm_head
+
+        params = pack_lm_head(params, cfg, bits=args.bits, n_weak=8)
+        name = name + "ph"  # metric: <model>ph_<bits>.01bit_decode
+        wbytes = packed_model_bytes(params)
+        roofline_tps = V5E_HBM_GBPS * 1e9 / wbytes
     if args.fuse:
         # serving prep: qkv/gateup fusion (7 -> 4 quantized matmuls per
         # block) + fused-decode-kernel aux (norms/corrections/weak

@@ -1471,6 +1471,32 @@ def unembed(params: Dict[str, Any], cfg: ModelConfig,
     """Final norm + output projection + LM head -> logits [B, T, vocab]."""
     # layernorm_np (olmo) has no norm params at all (an empty dict does not
     # survive a checkpoint roundtrip) — the final norm still applies
+    fh = params.get("fast_head")
+    if (fh is not None and kernel == "pallas" and x.ndim == 3
+            and x.shape[0] * x.shape[1] <= 32
+            and x.dtype == jnp.bfloat16):
+        # packed lm_head decode fastpath (fuse.py::pack_lm_head): final
+        # rmsnorm + packed head matvec (+ weak columns/bias) in one
+        # kernel; prepare_decode_fast attaches "fast_head" only for the
+        # rmsnorm / no-project_out structure this covers
+        from ..kernels.gemv_fused import fused_matvec, fused_matvec_reference
+
+        head = params["lm_head"]
+        fn = (fused_matvec if jax.default_backend() == "tpu"
+              else fused_matvec_reference)
+        rows = x.reshape(-1, x.shape[-1])
+        logits = fn(rows, jax.lax.stop_gradient(head.qweight), fh["sz"],
+                    bits=head.bits, pre="rmsnorm", gamma=fh["gamma"],
+                    sel=fh["sel"], ow=fh["ow"], bias=fh["bias"],
+                    eps=cfg.norm_eps, out_dtype=x.dtype)
+        logits = logits.reshape(x.shape[0], x.shape[1], -1)
+        if cfg.logit_scale is not None:
+            logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
+        if cfg.final_logit_softcap is not None:
+            cap = cfg.final_logit_softcap
+            logits = (cap * jnp.tanh(logits.astype(jnp.float32) / cap)
+                      ).astype(logits.dtype)
+        return logits
     if params.get("final_norm") is not None or cfg.norm_type == "layernorm_np":
         x = _norm(params.get("final_norm"), cfg, x)
     if params.get("project_out") is not None:

@@ -212,3 +212,64 @@ def test_attn_decode_reference_vs_attention_core(rep, rng):
         np.asarray(ks2[layer, 0, pos]), np.asarray(kn[0, 0]))
     # other layers untouched
     np.testing.assert_array_equal(np.asarray(ks2[0]), np.asarray(kstack[0]))
+
+
+def test_pack_lm_head_parity_and_fastpath(rng):
+    """pack_lm_head replaces the dense head with an RTN PackedLinear whose
+    plain packed forward matches the fast_head fused path bit-for-bit on
+    the reference math, and the packed logits track the dense logits."""
+    from owq_tpu.models.transformer import _lin, _norm
+    from owq_tpu.runtime.fuse import pack_lm_head
+    from owq_tpu.runtime.quant_linear import PackedLinear
+
+    cfg = _tiny_cfg()
+    params = _build(cfg)
+    dense_head = params["lm_head"]
+    packed = pack_lm_head(params, cfg, bits=4, n_weak=8)
+    head = packed["lm_head"]
+    assert isinstance(head, PackedLinear) and head.bits == 4
+    assert head.out_ids.shape == (8,)
+
+    fast, fcfg = prepare_decode_fast(dict(packed), cfg)
+    assert fast.get("fast_head") is not None
+
+    x = jnp.asarray(rng.standard_normal((1, 1, cfg.hidden_size)),
+                    jnp.bfloat16)
+    from owq_tpu.models.transformer import unembed
+
+    got = unembed(fast, fcfg, x, kernel="pallas")         # fast_head path
+    xn = _norm(packed.get("final_norm"), cfg, x)
+    want = _lin(head, xn, "pallas")                        # plain packed
+    # same quantized weights through two formulations (fused bf16-magic
+    # correction vs plane-sum dequant): bf16 rounding orders differ, so
+    # gate on near-perfect correlation + matching argmax, not bitwise
+    g = np.asarray(got, np.float32).ravel()
+    w = np.asarray(want, np.float32).ravel()
+    assert np.corrcoef(g, w)[0, 1] > 0.9999
+    assert g.argmax() == w.argmax()
+    # quantization tracks the dense head (same argmax on a benign input)
+    dense = _lin(dense_head, xn, "xla")
+    g = np.asarray(got, np.float32).ravel()
+    d = np.asarray(dense, np.float32).ravel()
+    corr = np.corrcoef(g, d)[0, 1]
+    assert corr > 0.99, f"packed head diverged from dense (corr={corr})"
+
+
+def test_pack_lm_head_tied_embeddings(rng):
+    """Tied-embedding models pack embed_tokens.T; the input embedding
+    stays dense."""
+    from owq_tpu.runtime.fuse import pack_lm_head
+    from owq_tpu.runtime.quant_linear import PackedLinear
+
+    cfg = dataclasses.replace(_tiny_cfg(), tie_word_embeddings=True)
+    params = _build(cfg)
+    assert params.get("lm_head") is None
+    packed = pack_lm_head(params, cfg, bits=4)
+    assert isinstance(packed["lm_head"], PackedLinear)
+    assert packed["embed_tokens"].dtype == jnp.bfloat16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 4)), jnp.int32)
+    logits, _ = forward(packed, cfg, ids, kernel="pallas")
+    base, _ = forward(params, cfg, ids, kernel="pallas")
+    g = np.asarray(logits, np.float32).ravel()
+    d = np.asarray(base, np.float32).ravel()
+    assert np.corrcoef(g, d)[0, 1] > 0.99
