@@ -69,10 +69,15 @@ def _prefill_kv(params, cfg: ModelConfig, ids: jnp.ndarray, length: jnp.ndarray,
 
 
 def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
-                     valid_len=None, tp_axis=None):
+                     valid_len=None, tp_axis=None, keep_batch=False):
     """forward() variant that returns per-layer states for the tokens:
     (k, v) stacks for attention layers plus, on hybrid models, (conv, ssm)
-    stacks for mamba layers (zero placeholders on the other kind)."""
+    stacks for mamba layers (zero placeholders on the other kind).
+
+    ``keep_batch`` keeps the row dim in the stacks ([L, B, T, ...], for
+    the batched multi-slot prefill) instead of squeezing row 0; hybrid
+    state collection stays single-row.
+    """
     B, T = ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x = embed(params, cfg, ids, positions, dtype=dtype)
@@ -126,8 +131,8 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
             convs.append(k[0].astype(jnp.float32))
             ssms.append(v[0].astype(jnp.float32))
         else:
-            ks.append(k[0])
-            vs.append(v[0])
+            ks.append(k if keep_batch else k[0])
+            vs.append(v if keep_batch else v[0])
             if hybrid:
                 convs.append(czero)
                 ssms.append(szero)
@@ -136,6 +141,42 @@ def _forward_collect(params, cfg: ModelConfig, ids, kernel, dtype,
         return logits, x, (jnp.stack(ks), jnp.stack(vs), jnp.stack(convs),
                            jnp.stack(ssms))
     return logits, x, (jnp.stack(ks), jnp.stack(vs))
+
+
+def _prefill_kv_batch(params, cfg: ModelConfig, ids: jnp.ndarray,
+                      lengths: jnp.ndarray, kernel: str = "xla",
+                      dtype=jnp.bfloat16, tp_axis=None):
+    """Batched prompt prefill: ``ids`` [k, bucket] right-padded prompts,
+    ``lengths`` [k] true lengths.  Returns (last-valid logits [k, vocab],
+    (k, v) stacks [L, k, T, Hkv, hd]) for a multi-slot insert.
+
+    One dispatch admits a whole burst of same-bucket requests — the
+    per-request path paid one prefill + one insert dispatch each, which
+    dominates engine throughput at 16-32 slots (each dispatch is a host
+    round trip on a relayed backend, and small-batch prefills waste the
+    MXU anyway).  Non-hybrid attention models only: the mamba pad-freeze
+    recurrence takes a scalar valid_len in the single-slot path.
+    """
+    logits, _, kvs = _forward_collect(params, cfg, ids, kernel, dtype,
+                                      tp_axis=tp_axis, keep_batch=True)
+    last = jnp.take_along_axis(
+        logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    return last, kvs
+
+
+def _insert_slots(cache: KVCache, kvs, slots: jnp.ndarray,
+                  lengths: jnp.ndarray) -> KVCache:
+    """Scatter a batch of prefilled slots into the pool in one dispatch.
+
+    kvs: (k, v) [L, k, T, Hkv, hd]; slots/lengths [k].  Duplicate slot
+    indices (admission pads bursts by repeating the last row) write
+    identical values, so the scatter stays deterministic.
+    """
+    k_new, v_new = kvs
+    T = k_new.shape[2]
+    k = cache.k.at[:, slots, :T].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[:, slots, :T].set(v_new.astype(cache.v.dtype))
+    return KVCache(k=k, v=v, length=cache.length.at[slots].set(lengths))
 
 
 def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
@@ -314,6 +355,17 @@ class Engine:
             self._insert = jax.jit(insert_fn, donate_argnums=(0,))
             self._decode_factory = lambda steps: jax.jit(
                 decode_fn(steps), donate_argnums=(2,))
+            if not hybrid:
+                # batched admission: one prefill + one insert dispatch
+                # per same-bucket burst (jit shape-specializes per
+                # (burst, bucket); bursts are padded to powers of two to
+                # bound the variants)
+                self._bprefill = jax.jit(
+                    lambda p, ids, ns: _prefill_kv_batch(
+                        p, cfg_dev, ids, ns, kernel, compute_dtype))
+                self._binsert = jax.jit(_insert_slots, donate_argnums=(0,))
+            else:
+                self._bprefill = self._binsert = None
         else:
             self._prefill = jax.jit(shard_map(
                 prefill_fn, mesh=mesh, in_specs=(pspecs, P(), P()),
@@ -327,6 +379,9 @@ class Engine:
                 in_specs=(pspecs, P(), cache_spec, P(), P()),
                 out_specs=(P(), cache_spec), check_vma=False),
                 donate_argnums=(2,))
+            # TP keeps the per-request admit path (the batched insert's
+            # [L,k,T,Hkv,hd] stacks would need their own shard specs)
+            self._bprefill = self._binsert = None
         self._decode_fns: Dict[int, Any] = {}
         self.cur_tok = np.zeros((max_batch,), np.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
@@ -357,14 +412,60 @@ class Engine:
         raise ValueError(f"prompt of {n} tokens exceeds largest bucket")
 
     def _admit(self) -> None:
-        # Phase 1: dispatch every free slot's prefill + insert WITHOUT
-        # blocking — argmax stays on device.  Phase 2: ONE host readback
-        # for the whole admit burst.  (A per-request int() sync costs a
-        # full host round trip each — 8 admits were paying 8 RTTs.)
+        # Batched admission (non-hybrid, single-chip): same-bucket bursts
+        # run ONE batched prefill + ONE multi-slot scatter insert + ONE
+        # argmax readback — the per-request path paid a prefill and an
+        # insert dispatch each (a host round trip apiece on relayed
+        # backends) and ran the prompt matmuls at batch 1.  Bursts pad
+        # to powers of two (cloning the last row onto its own slot, a
+        # deterministic duplicate-scatter) to bound jit variants.
+        free = [s for s in range(self.max_batch)
+                if self.slot_req[s] is None]
+        if not free or not self.queue:
+            return
+        if self._bprefill is not None:
+            take = min(len(free), len(self.queue))
+            groups: Dict[int, list] = {}
+            for slot in free[:take]:
+                req = self.queue.popleft()
+                groups.setdefault(self._bucket(req.prompt.size), []
+                                  ).append((req, slot))
+            pending = []
+            for bucket, group in groups.items():
+                k = len(group)
+                # pad every burst to max_batch rows: the prefill is
+                # weight-stream-bound, so a full-width burst costs the
+                # same as a 1-row one, and there is exactly ONE compiled
+                # variant per bucket (a power-of-two ladder was observed
+                # compiling mid-run through the tunnel, 32 tok/s dips)
+                kp = self.max_batch
+                ids = np.zeros((kp, bucket), np.int32)
+                lens = np.zeros((kp,), np.int32)
+                slots = np.zeros((kp,), np.int32)
+                for j, (req, slot) in enumerate(group):
+                    n = req.prompt.size
+                    ids[j, :n] = req.prompt
+                    lens[j] = n
+                    slots[j] = slot
+                for j in range(k, kp):  # pad: clone the last real row
+                    ids[j], lens[j], slots[j] = ids[k-1], lens[k-1], slots[k-1]
+                last, kvs = self._bprefill(self.params, jnp.asarray(ids),
+                                           jnp.asarray(lens))
+                self.cache = self._binsert(self.cache, kvs,
+                                           jnp.asarray(slots),
+                                           jnp.asarray(lens))
+                pending.append(
+                    (group, jnp.argmax(last.astype(jnp.float32), axis=-1)))
+            for group, firsts in pending:  # ONE readback per burst
+                fs = np.asarray(firsts)
+                for j, (req, slot) in enumerate(group):
+                    self._seat(req, slot, int(fs[j]))
+            return
+        # per-request path (hybrid state collection / TP shard specs)
         pending = []
-        for slot in range(self.max_batch):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
+        for slot in free:
+            if not self.queue:
+                break
             req = self.queue.popleft()
             n = req.prompt.size
             bucket = self._bucket(n)
@@ -381,14 +482,16 @@ class Engine:
             return
         firsts = np.asarray(jnp.stack([f for _, _, f in pending]))
         for (req, slot, _), first in zip(pending, firsts):
-            first = int(first)
-            req.generated.append(first)
-            req.slot = slot
-            self.slot_req[slot] = req
-            self.cur_tok[slot] = first
-            self.stats["prefills"] += 1
-            self.stats["generated_tokens"] += 1
-            self._maybe_finish(req, first)
+            self._seat(req, slot, int(first))
+
+    def _seat(self, req: Request, slot: int, first: int) -> None:
+        req.generated.append(first)
+        req.slot = slot
+        self.slot_req[slot] = req
+        self.cur_tok[slot] = first
+        self.stats["prefills"] += 1
+        self.stats["generated_tokens"] += 1
+        self._maybe_finish(req, first)
 
     def _maybe_finish(self, req: Request, tok: int) -> None:
         if ((self.eos is not None and tok == self.eos)

@@ -239,3 +239,26 @@ def test_engine_recurrentgemma_griffin(rng):
                  prompt_buckets=(16,))
     out = eng.run(prompts, max_new_tokens=5)
     assert [out[i] for i in sorted(out)] == want
+
+
+def test_batched_admission_matches_serial(rng, model_and_params):
+    """The batched multi-slot admission (one prefill + one scatter insert
+    per same-bucket burst, padded to a power of two) seats exactly the
+    same first tokens and generations as the per-request path."""
+    params, cfg = model_and_params
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (5, 9, 3, 7, 12, 2, 6)]  # 7 reqs -> padded bursts
+
+    eng_b = Engine(params, cfg, max_batch=4, max_len=64,
+                   cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                   prompt_buckets=(8, 16))       # mixed buckets in a burst
+    assert eng_b._bprefill is not None
+    out_b = eng_b.run(prompts, max_new_tokens=5)
+
+    eng_s = Engine(params, cfg, max_batch=4, max_len=64,
+                   cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                   prompt_buckets=(8, 16))
+    eng_s._bprefill = None                        # force per-request path
+    out_s = eng_s.run(prompts, max_new_tokens=5)
+    assert [out_b[i] for i in sorted(out_b)] == \
+           [out_s[i] for i in sorted(out_s)]
