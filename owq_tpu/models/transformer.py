@@ -537,7 +537,7 @@ def _split_qkv(cfg: ModelConfig, fused: jnp.ndarray
 def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
                     mask_bias, rope, alibi, attn_temp, kv, cache_at,
                     kernel, taps, tapped, tp_axis, kv_delta=False,
-                    fast=None, attn_stacks=None):
+                    fast=None):
     """The attention half of a decoder block: q/k/v (dense, fused,
     or MLA), rope/qk-norms, cache update, attention core, o-proj.
     Returns (attn_out, k_full, v_full); taps write into ``tapped``.
@@ -1064,8 +1064,7 @@ def block_forward(blk: Dict[str, Any], cfg: ModelConfig, x: jnp.ndarray, *,
             rope=rope, alibi=alibi, attn_temp=attn_temp, kv=kv,
             cache_at=cache_at, kernel=kernel, taps=taps,
             tapped=tapped, tp_axis=tp_axis,
-            kv_delta=kv_delta and "mamba" not in blk, fast=fast,
-            attn_stacks=attn_stacks)
+            kv_delta=kv_delta and "mamba" not in blk, fast=fast)
         if conv_f is not None:  # falcon-h1: parallel sum of both mixers.
             # o_proj output is row-parallel partial sums but the mamba half
             # is replicated: reduce the attention half alone before adding
@@ -1490,22 +1489,18 @@ def unembed(params: Dict[str, Any], cfg: ModelConfig,
                     sel=fh["sel"], ow=fh["ow"], bias=fh["bias"],
                     eps=cfg.norm_eps, out_dtype=x.dtype)
         logits = logits.reshape(x.shape[0], x.shape[1], -1)
-        if cfg.logit_scale is not None:
-            logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
-        if cfg.final_logit_softcap is not None:
-            cap = cfg.final_logit_softcap
-            logits = (cap * jnp.tanh(logits.astype(jnp.float32) / cap)
-                      ).astype(logits.dtype)
-        return logits
-    if params.get("final_norm") is not None or cfg.norm_type == "layernorm_np":
-        x = _norm(params.get("final_norm"), cfg, x)
-    if params.get("project_out") is not None:
-        x = _lin(params["project_out"], x, kernel)
-    if params.get("lm_head") is not None:
-        logits = _lin(params["lm_head"], x, kernel)
     else:
-        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if (params.get("final_norm") is not None
+                or cfg.norm_type == "layernorm_np"):
+            x = _norm(params.get("final_norm"), cfg, x)
+        if params.get("project_out") is not None:
+            x = _lin(params["project_out"], x, kernel)
+        if params.get("lm_head") is not None:
+            logits = _lin(params["lm_head"], x, kernel)
+        else:
+            logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
     if cfg.logit_scale is not None:  # cohere logit_scale / granite scaling
         logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
     if cfg.final_logit_softcap is not None:  # gemma2
@@ -1631,7 +1626,12 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         # cost).  Reading from the updated buffer makes the original
         # dead after the first write, so the whole chain runs in place
         # on the donated scan carry.
-        if cache is None:
+        if cache is None or use_fa:
+            # use_fa: the layer kernel reads/writes the 5D stacks
+            # directly; slicing them here would also dereference buffers
+            # the kernel's donate_argnums already consumed (an eager,
+            # non-jitted decode step would crash on the deleted array —
+            # under jit the dead slice is DCE'd, but don't rely on it)
             kv = None
         elif is_dual:
             k_buf = kvc.k if new_k is None else new_k
@@ -1656,7 +1656,6 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
         fa_arg = None
         if use_fa:
             fa_arg = (cur_k, cur_v, i)
-            kv = None  # the kernel reads/writes the stacks directly
             use_delta = False
         x, (kf, vf), _ = block_forward(
             blk, cfg, x, mask_bias=masks[i], rope=layer_rope(cfg, rope, i),

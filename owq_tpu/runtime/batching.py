@@ -357,9 +357,9 @@ class Engine:
                 decode_fn(steps), donate_argnums=(2,))
             if not hybrid:
                 # batched admission: one prefill + one insert dispatch
-                # per same-bucket burst (jit shape-specializes per
-                # (burst, bucket); bursts are padded to powers of two to
-                # bound the variants)
+                # per same-bucket burst (jit shape-specializes; bursts
+                # pad to max_batch rows so each bucket compiles exactly
+                # one variant)
                 self._bprefill = jax.jit(
                     lambda p, ids, ns: _prefill_kv_batch(
                         p, cfg_dev, ids, ns, kernel, compute_dtype))
@@ -417,8 +417,9 @@ class Engine:
         # argmax readback — the per-request path paid a prefill and an
         # insert dispatch each (a host round trip apiece on relayed
         # backends) and ran the prompt matmuls at batch 1.  Bursts pad
-        # to powers of two (cloning the last row onto its own slot, a
-        # deterministic duplicate-scatter) to bound jit variants.
+        # to max_batch rows (cloning the last real row onto its own
+        # slot — a deterministic duplicate-scatter) so each bucket
+        # compiles exactly one variant.
         free = [s for s in range(self.max_batch)
                 if self.slot_req[s] is None]
         if not free or not self.queue:

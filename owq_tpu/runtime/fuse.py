@@ -131,9 +131,12 @@ def _fast_block_ok(cfg: ModelConfig, blk: Dict[str, Any]) -> bool:
 
 
 def _fast_attn_ok(cfg: ModelConfig) -> bool:
-    """Static gate for the fused decode-attention kernel
-    (kernels/attn_decode.py): plain causal full-rotary attention only —
-    every feature the kernel does not implement falls back generically.
+    """Static gate for the full-layer decode kernel
+    (kernels/decode_block.py): plain causal full-rotary attention AND a
+    silu-gated MLP only — every feature the kernel does not implement
+    falls back generically.  The activation check matters: the kernel
+    hardcodes the swiglu (g * logistic(g) * u), so a gelu-gated model
+    routed here would silently decode with the wrong nonlinearity.
     """
     hd = cfg.head_dim
     return (cfg.pos_embedding == "rope" and cfg.rope_style == "half"
@@ -144,6 +147,7 @@ def _fast_attn_ok(cfg: ModelConfig) -> bool:
             and not cfg.mla and not cfg.attn_gate and not cfg.attn_sinks
             and cfg.attn_logit_softcap is None
             and not cfg.attn_temperature_tuning and not cfg.zamba_block
+            and cfg.gated_mlp and cfg.activation == "silu"
             and cfg.num_heads % cfg.num_kv_heads == 0
             and (cfg.num_kv_heads * hd) % 128 == 0)
 

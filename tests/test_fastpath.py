@@ -273,3 +273,26 @@ def test_pack_lm_head_tied_embeddings(rng):
     g = np.asarray(logits, np.float32).ravel()
     d = np.asarray(base, np.float32).ravel()
     assert np.corrcoef(g, d)[0, 1] > 0.99
+
+
+def test_fast_attn_gate_rejects_non_silu(rng):
+    """A gelu-gated model must NOT route into the full-layer kernel (it
+    hardcodes the swiglu); the generic path serves it instead and the
+    fastpath-model decode matches the unfused model."""
+    from owq_tpu.models.transformer import init_cache
+
+    cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1,
+                              activation="gelu")
+    params = _build(cfg)
+    fparams, fcfg = prepare_decode_fast(
+        jax.tree_util.tree_map(lambda a: a, params), cfg)
+    assert "fast_attn" not in fparams
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)), jnp.int32)
+    cache = init_cache(fcfg, 1, 32, dtype=jnp.bfloat16)
+    logits, cache = forward(fparams, fcfg, ids, cache=cache,
+                            kernel="pallas", dtype=jnp.bfloat16)
+    tok = int(jnp.argmax(logits[0, -1]))
+    cache2 = init_cache(cfg, 1, 32, dtype=jnp.bfloat16)
+    logits2, _ = forward(params, cfg, ids, cache=cache2, kernel="pallas",
+                         dtype=jnp.bfloat16)
+    assert tok == int(jnp.argmax(logits2[0, -1]))
