@@ -79,3 +79,45 @@ def test_kernel_output_width_not_tile_multiple(rng):
     got = np.asarray(quant_matmul(p, jnp.asarray(x), interpret=True))
     assert got.shape == (9, out)
     np.testing.assert_allclose(got, x @ Wfake.T, atol=1e-4)
+
+
+def test_engine_attn_reference_semantics(rng):
+    """engine_attn_reference (jnp twin of the experimental batched engine
+    attention kernel) == per-slot masked softmax oracle, incl. the empty
+    slot, write-index clamp, and GQA head-major ctx layout."""
+    import jax.numpy as jnp
+
+    from owq_tpu.kernels.attn_engine import engine_attn_reference
+
+    L, B, S, Hkv, hd, rep = 2, 4, 16, 2, 128, 2
+    Hq = rep * Hkv
+    layer, scale = 1, hd ** -0.5
+    mk = lambda *sh: jnp.asarray(  # noqa: E731
+        rng.standard_normal(sh).astype(np.float32))
+    ks, vs = mk(L, B, S, Hkv, hd), mk(L, B, S, Hkv, hd)
+    q, kn, vn = mk(B, Hq, hd), mk(B, Hkv, hd), mk(B, Hkv, hd)
+    pos = jnp.asarray([0, 5, S - 1, S + 3], jnp.int32)
+
+    ctx, k2, v2 = engine_attn_reference(
+        q.astype(jnp.bfloat16), kn.astype(jnp.bfloat16),
+        vn.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
+        vs.astype(jnp.bfloat16), pos, layer=layer, scale=scale, rep=rep)
+
+    k2n = np.asarray(k2, np.float32)
+    for b, p in enumerate([0, 5, S - 1, S - 1]):  # clamped write index
+        np.testing.assert_allclose(
+            k2n[layer, b, p],
+            np.asarray(kn.astype(jnp.bfloat16), np.float32)[b], atol=1e-6)
+    # oracle per slot/head
+    ctxn = np.asarray(ctx, np.float32).reshape(B, Hq, hd)
+    kf = np.asarray(k2, np.float32)[layer]
+    vf = np.asarray(v2, np.float32)[layer]
+    for b, p in enumerate([0, 5, S - 1, S - 1]):
+        for h in range(Hq):
+            g = h // rep  # head-major: h = g*rep + r shares kv group g
+            s = kf[b, :p + 1, g] @ np.asarray(
+                q.astype(jnp.bfloat16), np.float32)[b, h] * scale
+            e = np.exp(s - s.max())
+            want = (e / e.sum()) @ vf[b, :p + 1, g]
+            np.testing.assert_allclose(ctxn[b, h], want, rtol=2e-2,
+                                       atol=2e-2)
