@@ -201,7 +201,8 @@ def causal_mask_bias(q_positions: jnp.ndarray, kv_valid: jnp.ndarray,
 def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    bias: Optional[jnp.ndarray], scale: float,
                    softcap: Optional[float] = None,
-                   sinks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   sinks: Optional[jnp.ndarray] = None,
+                   kv_patch=None) -> jnp.ndarray:
     """Softmax attention with f32 logits (HF upcasting behavior).
 
     q: [B, T, H, hd]; k/v: [B, S, Hkv, hd]; bias: [B, 1|H, T, S] additive.
@@ -211,6 +212,15 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ``sinks``: gpt-oss per-head attention-sink logits [H] — joins the
     softmax denominator as one extra virtual key, then its probability
     mass is dropped.
+    ``kv_patch``: (k_new [B,1,Hkv,hd], v_new [B,1,Hkv,hd], pos [B] or
+    scalar) — decode-step mode: k/v are the RAW cache slices whose row at
+    ``pos`` is stale, and the new token's key/value are patched in at the
+    score/value level.  This avoids materializing an updated copy of the
+    whole cache slice just to attend once (xplane: ~33 MB/layer/step of
+    slice+update staging on the b8 engine, ~1 ms/step at 32 layers).
+    Rows where pos >= S (an overrunning inactive engine slot) patch
+    nothing — matching the update path, whose out-of-range scatter rows
+    are dropped.
     """
     B, T, H, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -218,8 +228,23 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         rep = H // Hkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+        if kv_patch is not None:
+            kn, vn, _pos = kv_patch
+            kv_patch = (jnp.repeat(kn, rep, axis=2),
+                        jnp.repeat(vn, rep, axis=2), _pos)
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32) * scale
+    is_new = None
+    if kv_patch is not None:
+        k_new, v_new, pos = kv_patch
+        pos = jnp.asarray(pos, jnp.int32)
+        pos_b = jnp.broadcast_to(pos.reshape(-1), (B,)) \
+            if pos.ndim <= 1 else pos
+        snew = jnp.einsum("bthd,bshd->bhts", q, k_new.astype(q.dtype),
+                          preferred_element_type=jnp.float32) * scale
+        is_new = (jnp.arange(S)[None, :] == pos_b[:, None]
+                  )[:, None, None, :]                      # [B,1,1,S]
+        scores = jnp.where(is_new, snew, scores)
     if softcap is not None:
         scores = softcap * jnp.tanh(scores / softcap)
     if bias is not None:
@@ -230,10 +255,22 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         comb = jnp.concatenate([scores.astype(jnp.float32), col], axis=-1)
         comb = comb - jnp.max(comb, axis=-1, keepdims=True)
         probs = jax.nn.softmax(comb, axis=-1)[..., :-1].astype(q.dtype)
+    else:
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1
+                               ).astype(q.dtype)
+    if is_new is not None:
+        # the stale row contributes NOTHING (its probability column is
+        # zeroed before the value product) and the new token's value
+        # joins as a rank-1 term — no gather, no materialized cache
+        # update, one extra where over the probability matrix.
+        p_new = jnp.sum(jnp.where(is_new, probs.astype(jnp.float32), 0.0),
+                        axis=-1)                           # [B, H, T]
+        probs = jnp.where(is_new, jnp.zeros((), probs.dtype), probs)
         out = jnp.einsum("bhts,bshd->bthd", probs, v,
                          preferred_element_type=jnp.float32)
+        out = out + (p_new.transpose(0, 2, 1)[..., None]   # [B, T, H, 1]
+                     * v_new.astype(jnp.float32))
         return out.astype(q.dtype)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhts,bshd->bthd", probs, v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)

@@ -553,6 +553,7 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = res  # mask/cache shapes reference the block input
     attn_p = blk["attn"]
+    attn_gate = None  # only the separate-q branch may rebind (qwen3-next)
 
     if cfg.mla:
         # deepseek multi-head latent attention: low-rank q/kv projections;
@@ -612,7 +613,6 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
             if name in taps:
                 tapped[name] = x_ln
         q = _lin(attn_p["q"], x_ln, kernel)
-        attn_gate = None
         if cfg.attn_gate:  # qwen3-next: per-head [query | gate] halves
             qg = q.reshape(B, T, H, 2 * hd)
             q = qg[..., :hd].reshape(B, T, H * hd)
@@ -647,6 +647,7 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
         q = (q.astype(jnp.float32)
              * attn_temp[:, :, None, None]).astype(q.dtype)
 
+    kv_patch = None
     if kv is not None:
         quantized = len(kv) == 4
         if quantized:
@@ -655,6 +656,27 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
         else:
             k_cache, v_cache = kv
             k_w, v_w = k.astype(k_cache.dtype), v.astype(v_cache.dtype)
+        if not quantized and kv_delta and T == 1:
+            # decode step on the delta path: forward writes the new row
+            # into the stack itself, and attention runs over the RAW
+            # cache slice with the new token patched in at score/value
+            # level (attention_core kv_patch) — no updated copy of the
+            # whole [B, S, Hkv, hd] slice is ever materialized (xplane:
+            # that staging cost ~1 ms/step on the b8 engine).
+            kv_patch = (k_w, v_w, cache_at)
+            k_att, v_att = k_cache.astype(x.dtype), v_cache.astype(x.dtype)
+            k_full, v_full = k_w, v_w
+            bias = mask_bias if alibi is None else mask_bias + alibi
+            scale = (cfg.attn_scale if cfg.attn_scale is not None
+                     else (cfg.attn_scale_override or hd) ** -0.5)
+            ctx = attention_core(
+                q, k_att, v_att, bias, scale,
+                softcap=cfg.attn_logit_softcap,
+                sinks=attn_p.get("sinks") if cfg.attn_sinks else None,
+                kv_patch=kv_patch)
+            return _attn_epilogue(blk, cfg, ctx, res, attn_gate, B, T, H,
+                                  hd, taps, tapped, kernel, fast, tp_axis,
+                                  k_full, v_full, attn_p)
         if cache_at.ndim == 0:
             upd = lambda c, n: jax.lax.dynamic_update_slice(
                 c, n, (0, cache_at) + (0,) * (c.ndim - 2))
@@ -690,6 +712,15 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
     ctx = attention_core(q, k_att, v_att, bias, scale,
                          softcap=cfg.attn_logit_softcap,
                          sinks=attn_p.get("sinks") if cfg.attn_sinks else None)
+    return _attn_epilogue(blk, cfg, ctx, res, attn_gate, B, T, H, hd,
+                          taps, tapped, kernel, fast, tp_axis,
+                          k_full, v_full, attn_p)
+
+
+def _attn_epilogue(blk, cfg: ModelConfig, ctx, res, attn_gate, B, T, H, hd,
+                   taps, tapped, kernel, fast, tp_axis, k_full, v_full,
+                   attn_p):
+    """Shared tail of the attention half: gate / sub-norm / tap / o-proj."""
     ctx = ctx.reshape(B, T, H * (cfg.v_dim if cfg.mla else hd))
     if cfg.attn_gate:
         ctx = (ctx.astype(jnp.float32)
