@@ -85,6 +85,11 @@ def main() -> None:
                          "into the A8 byte layout and decode on the int8 "
                          "MXU with per-row int8 activations (weak columns "
                          "stay full-precision)")
+    ap.add_argument("--quant-kv", action="store_true",
+                    help="serve the engine from an int8 KV pool "
+                         "(attention reads int8 codes directly — half the "
+                         "cache traffic that bounds 16-32 slots; metric "
+                         "suffix 'kv8')")
     ap.add_argument("--speculative", action="store_true",
                     help="add a prompt-lookup speculative-decoding line "
                          "(B=1, repetitive synthetic stream so n-gram "
@@ -191,7 +196,7 @@ def main() -> None:
                    for _ in range(args.requests)]
         eng = Engine(params, cfg, max_batch=args.batch,
                      max_len=args.tokens + 32, kernel=kernel,
-                     prompt_buckets=(32,))
+                     prompt_buckets=(32,), quant_kv=args.quant_kv)
         # warmup compiles every decode-window variant the measured run
         # uses; the measurement then reuses the SAME engine (steady-state
         # serving throughput)
@@ -199,8 +204,9 @@ def main() -> None:
         eng.reset_stats()
         eng.run(prompts, max_new_tokens=args.tokens, window=args.window)
         tps = eng.stats["throughput_tok_s"]
+        kvs = "kv8" if args.quant_kv else ""
         emit({
-            "metric": f"{name}_{args.bits}.01bit_engine_b{args.batch}",
+            "metric": f"{name}_{args.bits}.01bit_engine_b{args.batch}{kvs}",
             "value": round(tps, 2),
             "unit": "tokens/s/chip",
             "vs_baseline": round(tps / roofline_tps, 4),

@@ -274,3 +274,63 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = jnp.einsum("bhts,bshd->bthd", probs, v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+def attention_core_q8(q: jnp.ndarray, kq: jnp.ndarray, vq: jnp.ndarray,
+                      ks: jnp.ndarray, vs: jnp.ndarray,
+                      bias: Optional[jnp.ndarray], scale: float,
+                      kv_patch) -> jnp.ndarray:
+    """Patched decode attention DIRECTLY on an int8-quantized KV cache.
+
+    q: [B, T, H, hd]; kq/vq: int8 codes [B, S, Hkv, hd]; ks/vs: f32
+    per-row scales [B, S, Hkv] (symmetric absmax over the head dim,
+    ``_quantize_kv``); ``kv_patch``: (k_new, v_new, pos) with the NEW
+    token's bf16 key/value [B, 1, Hkv, hd] and its cache position.
+
+    The per-row scale factors OUT of the head-dim contraction:
+    q.(codes*s/127) == (q.codes)*s/127 — so the score einsum reads the
+    raw int8 codes (the convert fuses into XLA's decode-shape reduce
+    fusion; only int8 bytes stream from HBM, HALF the bf16 cache
+    traffic that bounds the batched engine) and the dequant collapses
+    to one multiply on the [B,H,T,S] score plane.  Likewise the value
+    scale folds into the probability plane before the AV product.  The
+    new token attends its EXACT bf16 key/value (later steps read the
+    quantized row — standard KV-quantization semantics, strictly more
+    accurate than dequantizing the just-written row).  The stale cache
+    row at ``pos`` contributes nothing: its score column is replaced
+    and its probability column is zeroed before the value product,
+    exactly like the bf16 ``kv_patch`` path above.
+    """
+    B, T, H, hd = q.shape
+    S, Hkv = kq.shape[1], kq.shape[2]
+    k_new, v_new, pos = kv_patch
+    if Hkv != H:
+        rep = H // Hkv
+        kq = jnp.repeat(kq, rep, axis=2)
+        vq = jnp.repeat(vq, rep, axis=2)
+        ks = jnp.repeat(ks, rep, axis=2)
+        vs = jnp.repeat(vs, rep, axis=2)
+        k_new = jnp.repeat(k_new, rep, axis=2)
+        v_new = jnp.repeat(v_new, rep, axis=2)
+    pos = jnp.asarray(pos, jnp.int32)
+    pos_b = jnp.broadcast_to(pos.reshape(-1), (B,)) if pos.ndim <= 1 else pos
+    raw = jnp.einsum("bthd,bshd->bhts", q, kq.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    ks_t = ks.transpose(0, 2, 1)[:, :, None, :]            # [B, H, 1, S]
+    scores = raw * (ks_t * (scale / 127.0))
+    snew = jnp.einsum("bthd,bshd->bhts", q, k_new.astype(q.dtype),
+                      preferred_element_type=jnp.float32) * scale
+    is_new = (jnp.arange(S)[None, :] == pos_b[:, None])[:, None, None, :]
+    scores = jnp.where(is_new, snew, scores)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    p_new = jnp.sum(jnp.where(is_new, probs, 0.0), axis=-1)  # [B, H, T]
+    probs = jnp.where(is_new, 0.0, probs)
+    vs_t = vs.transpose(0, 2, 1)[:, :, None, :]            # [B, H, 1, S]
+    pv = (probs * (vs_t / 127.0)).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", pv, vq.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + (p_new.transpose(0, 2, 1)[..., None]
+                 * v_new.astype(jnp.float32))
+    return out.astype(q.dtype)

@@ -656,6 +656,27 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
         else:
             k_cache, v_cache = kv
             k_w, v_w = k.astype(k_cache.dtype), v.astype(v_cache.dtype)
+        if quantized and kv_delta and T == 1 \
+                and cfg.attn_logit_softcap is None and not cfg.attn_sinks:
+            # decode step on the QUANTIZED delta path: attend the raw
+            # int8 cache directly (scales fold out of the hd-contraction
+            # — attention_core_q8), patch the new token at score/value
+            # level, and hand back only the quantized new-row slab for
+            # the stacked delta write.  No dequantized bf16 copy of the
+            # [B, S, Hkv, hd] slice is ever materialized — the engine's
+            # attention traffic drops to the int8 bytes themselves
+            # (half the bf16-cache bound that dominates b16/b32).
+            from .layers import attention_core_q8
+
+            bias = mask_bias if alibi is None else mask_bias + alibi
+            scale = (cfg.attn_scale if cfg.attn_scale is not None
+                     else (cfg.attn_scale_override or hd) ** -0.5)
+            ctx = attention_core_q8(q, k_cache, v_cache, ks_cache,
+                                    vs_cache, bias, scale,
+                                    kv_patch=(k, v, cache_at))
+            return _attn_epilogue(blk, cfg, ctx, res, attn_gate, B, T, H,
+                                  hd, taps, tapped, kernel, fast, tp_axis,
+                                  (k_w, k_s), (v_w, v_s), attn_p)
         if not quantized and kv_delta and T == 1:
             # decode step on the delta path: forward writes the new row
             # into the stack itself, and attention runs over the RAW

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.transformer import (HybridCache, KVCache, block_forward,
-                                  embed, forward, unembed)
+from ..models.transformer import (HybridCache, KVCache, QuantKVCache,
+                                  _quantize_kv, block_forward, embed,
+                                  forward, unembed)
 from ..models.layers import alibi_bias, causal_mask_bias, rope_cos_sin
 
 __all__ = ["Engine", "Request"]
@@ -179,6 +180,37 @@ def _insert_slots(cache: KVCache, kvs, slots: jnp.ndarray,
     return KVCache(k=k, v=v, length=cache.length.at[slots].set(lengths))
 
 
+def _insert_slots_q(cache: QuantKVCache, kvs, slots: jnp.ndarray,
+                    lengths: jnp.ndarray) -> QuantKVCache:
+    """Batched-admission scatter into an int8 KV pool: quantize the
+    prefilled bf16 stacks per cache row (symmetric absmax over the head
+    dim, the same ``_quantize_kv`` the decode step uses) and scatter
+    codes + scales.  kvs: (k, v) [L, k, T, Hkv, hd]; slots/lengths [k]."""
+    k_new, v_new = kvs
+    T = k_new.shape[2]
+    (kq, ks), (vq, vs) = _quantize_kv(k_new), _quantize_kv(v_new)
+    return QuantKVCache(
+        k=cache.k.at[:, slots, :T].set(kq),
+        v=cache.v.at[:, slots, :T].set(vq),
+        k_scale=cache.k_scale.at[:, slots, :T].set(ks),
+        v_scale=cache.v_scale.at[:, slots, :T].set(vs),
+        length=cache.length.at[slots].set(lengths))
+
+
+def _insert_slot_q(cache: QuantKVCache, kvs, slot: jnp.ndarray,
+                   length: jnp.ndarray) -> QuantKVCache:
+    k_new, v_new = kvs  # [L, T, Hkv, hd] bf16 (single-slot prefill)
+    (kq, ks), (vq, vs) = _quantize_kv(k_new), _quantize_kv(v_new)
+    k = jax.lax.dynamic_update_slice(cache.k, kq[:, None], (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, vq[:, None], (0, slot, 0, 0, 0))
+    kss = jax.lax.dynamic_update_slice(cache.k_scale, ks[:, None],
+                                       (0, slot, 0, 0))
+    vss = jax.lax.dynamic_update_slice(cache.v_scale, vs[:, None],
+                                       (0, slot, 0, 0))
+    return QuantKVCache(k=k, v=v, k_scale=kss, v_scale=vss,
+                        length=cache.length.at[slot].set(length))
+
+
 def _insert_slot(cache: KVCache, kvs, slot: jnp.ndarray, length: jnp.ndarray
                  ) -> KVCache:
     k_new, v_new = kvs
@@ -241,8 +273,8 @@ def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
         out = HybridCache(kv=KVCache(k=cache2.kv.k, v=cache2.kv.v,
                                      length=new_len),
                           conv=cache2.conv, ssm=cache2.ssm)
-    else:
-        out = KVCache(k=cache2.k, v=cache2.v, length=new_len)
+    else:  # KVCache or QuantKVCache
+        out = dataclasses.replace(cache2, length=new_len)
     return jnp.moveaxis(toks_out, 0, 1), out
 
 
@@ -253,14 +285,23 @@ class Engine:
                  cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  temperature: float = 0.0, top_p: float = 1.0, seed: int = 0,
                  prompt_buckets: Sequence[int] = (32, 128, 512, 2048),
-                 mesh=None):
+                 mesh=None, quant_kv: bool = False):
         """``mesh``: a jax Mesh with a 'tp' axis turns on tensor-parallel
         serving — ``params`` must be the UNSHARDED model; the engine splits
         heads/ffn across the axis (shard_model_tp), shards the KV pool on
         the head axis, replicates linear-mixer states, and runs every
         device step (prefill / slot insert / decode scan) under shard_map
         with the usual two psums per block riding ICI.  Host-side slot
-        bookkeeping is unchanged."""
+        bookkeeping is unchanged.
+
+        ``quant_kv``: serve from an int8 KV pool (QuantKVCache —
+        symmetric absmax codes + per-row f32 scales).  Decode attention
+        reads the int8 codes directly (attention_core_q8: scales factor
+        out of the head-dim contraction), HALVING the per-step cache
+        traffic that bounds the batched engine at 16-32 slots; prefill
+        rows quantize inside the jitted insert.  Serving-grade accuracy
+        (the same class of tradeoff as int8/fp8 KV in production
+        servers); single-chip attention models only for now."""
         self.cfg = cfg
         self.kernel = kernel
         self.max_batch = max_batch
@@ -314,11 +355,23 @@ class Engine:
                 lambda s: NamedSharding(mesh, s), cache_spec,
                 is_leaf=lambda x: isinstance(x, P))
 
+        self.quant_kv = quant_kv
+        if quant_kv:
+            assert not hybrid and mesh is None, \
+                "quant_kv: single-chip attention models only"
         base = (cfg.num_layers, max_batch, max_len, kv_heads)
-        kv = KVCache(
-            k=jnp.zeros(base + (cfg.head_dim,), cache_dtype),
-            v=jnp.zeros(base + (cfg.v_dim,), cache_dtype),
-            length=jnp.zeros((max_batch,), jnp.int32))
+        if quant_kv:
+            kv = QuantKVCache(
+                k=jnp.zeros(base + (cfg.head_dim,), jnp.int8),
+                v=jnp.zeros(base + (cfg.v_dim,), jnp.int8),
+                k_scale=jnp.ones(base, jnp.float32),
+                v_scale=jnp.ones(base, jnp.float32),
+                length=jnp.zeros((max_batch,), jnp.int32))
+        else:
+            kv = KVCache(
+                k=jnp.zeros(base + (cfg.head_dim,), cache_dtype),
+                v=jnp.zeros(base + (cfg.v_dim,), cache_dtype),
+                length=jnp.zeros((max_batch,), jnp.int32))
         if hybrid:
             from ..models.transformer import hybrid_state_shapes
 
@@ -341,7 +394,8 @@ class Engine:
             return _prefill_kv(p, cfg_dev, ids, n, kernel, compute_dtype,
                                tp_axis=tpa)
 
-        insert_fn = _insert_slot_hybrid if hybrid else _insert_slot
+        insert_fn = (_insert_slot_hybrid if hybrid
+                     else _insert_slot_q if quant_kv else _insert_slot)
 
         def decode_fn(steps):
             def f(p, toks, cache, active, key):
@@ -363,7 +417,9 @@ class Engine:
                 self._bprefill = jax.jit(
                     lambda p, ids, ns: _prefill_kv_batch(
                         p, cfg_dev, ids, ns, kernel, compute_dtype))
-                self._binsert = jax.jit(_insert_slots, donate_argnums=(0,))
+                self._binsert = jax.jit(
+                    _insert_slots_q if quant_kv else _insert_slots,
+                    donate_argnums=(0,))
             else:
                 self._bprefill = self._binsert = None
         else:

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--bits", type=int, default=3)
     ap.add_argument("--model", default="llama-7b")
     ap.add_argument("--no-fuse", dest="fuse", action="store_false")
+    ap.add_argument("--quant-kv", action="store_true")
     ap.add_argument("--logdir", default="/tmp/owq_engine_trace")
     ap.add_argument("--filter", default="")
     args = ap.parse_args()
@@ -65,7 +66,7 @@ def main():
                for _ in range(2 * args.batch)]
     eng = Engine(params, cfg, max_batch=args.batch,
                  max_len=args.tokens + 32, kernel=args.kernel,
-                 prompt_buckets=(32,))
+                 prompt_buckets=(32,), quant_kv=args.quant_kv)
     # compile + warmup outside the trace (fills all slots, runs windows)
     eng.run(prompts[:args.batch], max_new_tokens=args.window + 1,
             window=args.window)
