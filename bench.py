@@ -181,6 +181,7 @@ def main() -> None:
                                  max_len=args.tokens, repeats=args.repeats)
         detail["median_ms"] = round(stats["median_s"] * 1e3, 3)
         detail["min_ms"] = round(stats["min_s"] * 1e3, 3)
+        detail["tokens_per_s_min"] = round(stats["tokens_per_s_min"], 2)
         detail["fused"] = bool(args.fuse)
         emit({
             "metric": f"{name}_{args.bits}.01bit_decode",
@@ -204,7 +205,7 @@ def main() -> None:
         eng.reset_stats()
         eng.run(prompts, max_new_tokens=args.tokens, window=args.window)
         tps = eng.stats["throughput_tok_s"]
-        kvs = "kv8" if args.quant_kv else ""
+        kvs = "_kv8" if args.quant_kv else ""
         emit({
             "metric": f"{name}_{args.bits}.01bit_engine_b{args.batch}{kvs}",
             "value": round(tps, 2),

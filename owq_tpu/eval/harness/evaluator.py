@@ -1,11 +1,17 @@
 """Evaluator core: request grouping, execution, aggregation, tables.
 
 Mirrors the reference evaluator's flow (lm_eval/evaluator.py:142-391): per
-doc build the fewshot context and requests; group requests by type and run
-them in one batched call per type; route responses back to each task's
-``process_results``; aggregate with bootstrap stderr; render a markdown
-table.  Seeds match the reference (random 1234 for fewshot sampling,
-evaluator.py:67-68,230-232).
+task, deterministically SHUFFLE the docs with a Random seeded 42 and chop
+the first ``limit`` (fractional limits are a doc-count ratio,
+evaluator.py:243-244); the SAME rnd then drives fewshot sampling (the
+reference reuses its shuffle generator for fewshot_context,
+evaluator.py:229-232,254-255).  Requests group by type and run in one
+batched call per type; responses route back to each task's
+``process_results``; aggregation adds bootstrap stderr.  Global seeds
+1234 (random/np) are set in simple_evaluate (evaluator.py:67-68).
+Protocol equality with the reference's own vendored lm_eval is asserted
+head-to-head in tests/test_reference_protocol.py (shared local-JSON
+fixture + injected LM).
 """
 
 from __future__ import annotations
@@ -23,17 +29,22 @@ __all__ = ["evaluate", "simple_evaluate", "make_table"]
 
 def evaluate(lm: LM, task_dict: Dict[str, Task], *, num_fewshot: int = 0,
              limit: Optional[int] = None, bootstrap_iters: int = 1000,
-             seed: int = 1234) -> Dict[str, Any]:
+             seed: int = 42) -> Dict[str, Any]:
     requests: Dict[str, List] = {}
     request_origin: Dict[str, List] = {}
     docs: Dict[str, List[dict]] = {}
 
     for task_name, task in task_dict.items():
         eval_docs = task.eval_docs()
+        # deterministic shuffle-then-limit, same generator reused for
+        # fewshot sampling (reference evaluator.py:229-246)
+        rnd = random.Random()
+        rnd.seed(seed)
+        rnd.shuffle(eval_docs)
         if limit is not None:
-            eval_docs = eval_docs[:limit]
+            n = int(len(eval_docs) * limit) if limit < 1.0 else int(limit)
+            eval_docs = eval_docs[:n]
         docs[task_name] = eval_docs
-        rnd = random.Random(seed)
         for doc_id, doc in enumerate(eval_docs):
             ctx = task.fewshot_context(doc, num_fewshot, rnd)
             for req_i, req in enumerate(task.construct_requests(doc, ctx)):
@@ -72,8 +83,9 @@ def evaluate(lm: LM, task_dict: Dict[str, Task], *, num_fewshot: int = 0,
         agg = task.aggregation()[metric]
         results.setdefault(task_name, {})[metric] = agg(items)
         if bootstrap_iters > 0:
-            results[task_name][metric + "_stderr"] = stderr_for(
-                metric, agg, items)
+            se = stderr_for(metric, agg, items, iters=bootstrap_iters)
+            if se is not None:  # reference omits the key when no stderr
+                results[task_name][metric + "_stderr"] = se
         versions[task_name] = task.VERSION
     return {"results": results, "versions": versions}
 
@@ -88,7 +100,12 @@ def simple_evaluate(*, model, tasks: Sequence[str], model_args: str = "",
     ``model`` is an LM instance or a registry name ("owq", "dummy") with
     comma-separated ``model_args``.
     """
+    import numpy as np
+
     from .registry import get_model
+
+    random.seed(1234)
+    np.random.seed(1234)
 
     if isinstance(model, str):
         kwargs = {}

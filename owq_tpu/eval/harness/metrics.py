@@ -9,13 +9,13 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["mean", "perplexity", "weighted_perplexity", "bits_per_byte",
-           "matthews_corrcoef", "f1_score", "bootstrap_stderr", "stderr_for",
-           "bleu", "chrf", "ter"]
+__all__ = ["mean", "median", "perplexity", "weighted_perplexity",
+           "bits_per_byte", "matthews_corrcoef", "f1_score", "acc_all",
+           "bootstrap_stderr", "stderr_for", "bleu", "chrf", "ter"]
 
 
 def _translation_streams(items):
@@ -106,23 +106,71 @@ def f1_score(items: Sequence[Tuple[int, int]]) -> float:
     return 2 * tp / denom if denom else 0.0
 
 
-def bootstrap_stderr(metric: Callable, items: List, iters: int = 1000,
-                     seed: int = 1234) -> float:
-    rnd = random.Random(seed)
-    n = len(items)
-    if n <= 1:
+def median(items: Sequence[float]) -> float:
+    return items[len(items) // 2]
+
+
+def bootstrap_stderr(metric: Callable, items: List, iters: int = 1000
+                     ) -> float:
+    """Nonparametric bootstrap stderr, reproducing the reference's exact
+    resampling stream (lm_eval/metrics.py:192-233): ``iters`` draws in
+    chunks of min(1000, iters), chunk i from ``random.Random(i)`` via
+    ``rnd.choices(items, k=len(items))``, sample-stddev (ddof=1) of the
+    stat distribution.  The reference fans chunks over a process pool;
+    imap preserves chunk order, so a serial loop is bit-identical.
+    """
+    if len(items) <= 1:
         return 0.0
+    chunk = min(1000, iters)
     stats = []
-    for _ in range(min(iters, 1000)):
-        sample = [items[rnd.randrange(n)] for _ in range(n)]
-        stats.append(metric(sample))
+    for i in range(max(iters // chunk, 1)):
+        rnd = random.Random()
+        rnd.seed(i)
+        for _ in range(chunk):
+            stats.append(metric(rnd.choices(items, k=len(items))))
     return float(np.std(stats, ddof=1))
 
 
-def stderr_for(metric_name: str, metric: Callable, items: List) -> float:
-    if metric_name in ("acc", "acc_norm", "em", "exact_match", "mean"):
+# metric functions whose stderr the reference bootstraps
+# (lm_eval/metrics.py:236-246); everything else analytic-or-none
+_BOOTSTRAPPABLE = {"median", "matthews_corrcoef", "f1_score", "perplexity",
+                   "bleu", "chrf", "ter"}
+
+
+def stderr_for(metric_name: str, metric: Callable, items: List,
+               iters: int = 1000) -> Optional[float]:
+    """Stderr for an aggregation, reference dispatch semantics
+    (lm_eval/metrics.py:236-252): bootstrappable metrics resample
+    (bleu/chrf/ter capped at 1000 iters); ``mean`` gets the analytic
+    sample-stddev/sqrt(n); anything else has NO stderr (returns None —
+    the evaluator then omits the ``_stderr`` key, like the reference).
+    """
+    fn_name = getattr(metric, "__name__", "")
+    if fn_name in _BOOTSTRAPPABLE:
+        it = min(iters, 1000) if metric_name in ("bleu", "chrf", "ter") \
+            else iters
+        return bootstrap_stderr(metric, items, iters=it)
+    if fn_name in ("mean", "acc_all"):
         vals = np.asarray(items, dtype=np.float64)
+        if fn_name == "acc_all":  # per-question grouped accuracy
+            vals = np.asarray(_acc_all_values(items), dtype=np.float64)
         if vals.size <= 1:
             return 0.0
         return float(vals.std(ddof=1) / math.sqrt(vals.size))
-    return bootstrap_stderr(metric, items)
+    return None
+
+
+def _acc_all_values(items) -> List[float]:
+    """Question-grouped all-correct indicators (reference acc_all[_stderr],
+    lm_eval/metrics.py:48-85): one 0/1 per (paragraph, question)."""
+    scoring: dict = {}
+    for pred, doc in items:
+        key = (doc["idx"]["paragraph"], doc["idx"]["question"])
+        ok = doc["label"] == pred
+        scoring.setdefault(key, []).append(ok)
+    return [float(all(v)) for v in scoring.values()]
+
+
+def acc_all(items) -> float:
+    vals = _acc_all_values(items)
+    return float(np.mean(vals)) if vals else 0.0

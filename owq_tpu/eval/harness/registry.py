@@ -4,11 +4,26 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Sequence
 
-__all__ = ["TASK_REGISTRY", "MODEL_REGISTRY", "register_task", "get_task",
-           "get_task_dict", "get_model", "list_tasks"]
+__all__ = ["TASK_REGISTRY", "MODEL_REGISTRY", "TASK_GROUPS", "register_task",
+           "get_task", "get_task_dict", "get_model", "list_tasks"]
 
 TASK_REGISTRY: Dict[str, Callable] = {}
 MODEL_REGISTRY: Dict[str, Callable] = {}
+
+# Benchmark-group aliases: the reference expands these dicts into
+# per-langpair registry entries (lm_eval/tasks/__init__.py:76-87 ->
+# translation.create_tasks_from_benchmarks), so ``--tasks wmt16`` resolves
+# to every member task.  Members must exist in TASK_REGISTRY.
+TASK_GROUPS: Dict[str, Sequence[str]] = {
+    "wmt14": ["wmt14-en-fr", "wmt14-fr-en"],
+    "wmt16": ["wmt16-en-ro", "wmt16-ro-en", "wmt16-de-en", "wmt16-en-de"],
+    "wmt20": ["wmt20-" + p for p in (
+        "cs-en", "de-en", "de-fr", "en-cs", "en-de", "en-iu", "en-ja",
+        "en-km", "en-pl", "en-ps", "en-ru", "en-ta", "en-zh", "fr-de",
+        "iu-en", "ja-en", "km-en", "pl-en", "ps-en", "ru-en", "ta-en",
+        "zh-en")],
+    "iwslt17": ["iwslt17-en-ar", "iwslt17-ar-en"],
+}
 
 
 def register_task(name: str):
@@ -40,7 +55,14 @@ def get_task(name: str, data_dir: Optional[str] = None):
 
 
 def get_task_dict(names: Sequence[str], data_dir: Optional[str] = None):
-    return {n: get_task(n, data_dir=data_dir) for n in names}
+    _ensure_tasks_loaded()
+    expanded = []
+    for n in names:
+        members = TASK_GROUPS.get(n, [n]) if n not in TASK_REGISTRY else [n]
+        for m in members:
+            if m not in expanded:
+                expanded.append(m)
+    return {n: get_task(n, data_dir=data_dir) for n in expanded}
 
 
 def get_model(name: str):

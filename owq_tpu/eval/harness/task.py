@@ -33,6 +33,7 @@ class Task(abc.ABC):
 
     def __init__(self, data_dir: Optional[str] = None):
         self._training_docs = None
+        self._fewshot_docs = None
         self.download(data_dir)
 
     # -- data ----------------------------------------------------------
@@ -71,18 +72,48 @@ class Task(abc.ABC):
     def fewshot_description(self) -> str:
         return ""
 
+    def has_training_docs(self) -> bool:
+        """Whether a dedicated training split exists for fewshot draws.
+
+        The reference declares this per task (base.py abstract); default
+        here probes training_docs() once and caches the materialized list
+        (also the fewshot pool) so the answer is free afterwards.
+        """
+        if self._training_docs is None:
+            self._training_docs = list(self.training_docs())
+        return bool(self._training_docs)
+
+    def fewshot_examples(self, k: int, rnd) -> List[dict]:
+        """k examples from the training split (reference base.py:811-815:
+        plain rnd.sample, NO dedup against the evaluated doc)."""
+        if self._training_docs is None:
+            self._training_docs = list(self.training_docs())
+        return rnd.sample(self._training_docs, k)
+
     def fewshot_context(self, doc: dict, num_fewshot: int, rnd) -> str:
-        """Assemble k-shot prompt (reference base.py:887-954 semantics)."""
+        """Assemble k-shot prompt (reference base.py:887-954 semantics).
+
+        Training-split tasks draw exactly k examples (no overlap filter);
+        tasks without a training split draw k+1 from validation/test and
+        drop the evaluated doc if sampled — branch AND rnd-consumption
+        order match the reference so identical seeds give identical
+        prompts.
+        """
         description = self.fewshot_description()
         prefix = description + "\n\n" if description else ""
         if num_fewshot == 0:
             return prefix + self.doc_to_text(doc)
-        if self._training_docs is None:
-            src = list(self.training_docs()) or self.eval_docs()
-            self._training_docs = src
-        pool = self._training_docs
-        examples = rnd.sample(pool, min(num_fewshot + 1, len(pool)))
-        examples = [e for e in examples if e != doc][:num_fewshot]
+        if self.has_training_docs():
+            examples = self.fewshot_examples(num_fewshot, rnd)
+        else:
+            if self._fewshot_docs is None:
+                self._fewshot_docs = list(
+                    self.validation_docs() if self.has_validation_docs()
+                    else self.test_docs())
+            examples = rnd.sample(self._fewshot_docs,
+                                  min(num_fewshot + 1,
+                                      len(self._fewshot_docs)))
+            examples = [e for e in examples if e != doc][:num_fewshot]
         shots = "\n\n".join(self.doc_to_text(e) + self.doc_to_target(e)
                             for e in examples)
         return prefix + shots + "\n\n" + self.doc_to_text(doc)

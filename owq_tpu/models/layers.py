@@ -304,22 +304,23 @@ def attention_core_q8(q: jnp.ndarray, kq: jnp.ndarray, vq: jnp.ndarray,
     B, T, H, hd = q.shape
     S, Hkv = kq.shape[1], kq.shape[2]
     k_new, v_new, pos = kv_patch
-    if Hkv != H:
-        rep = H // Hkv
-        kq = jnp.repeat(kq, rep, axis=2)
-        vq = jnp.repeat(vq, rep, axis=2)
-        ks = jnp.repeat(ks, rep, axis=2)
-        vs = jnp.repeat(vs, rep, axis=2)
-        k_new = jnp.repeat(k_new, rep, axis=2)
-        v_new = jnp.repeat(v_new, rep, axis=2)
+    # GQA runs GROUPED: q reshapes to [B, T, Hkv, rep, hd] and contracts
+    # against the UN-repeated int8 codes — a jnp.repeat of the code/scale
+    # arrays would (if XLA declined to fuse it) materialize H-head copies
+    # of the cache slice each step, eroding the only-int8-bytes-stream
+    # claim for GQA models.  Head order matches jnp.repeat semantics:
+    # query head h attends kv head h // rep.
+    rep = H // Hkv
+    qg = q.reshape(B, T, Hkv, rep, hd)
     pos = jnp.asarray(pos, jnp.int32)
     pos_b = jnp.broadcast_to(pos.reshape(-1), (B,)) if pos.ndim <= 1 else pos
-    raw = jnp.einsum("bthd,bshd->bhts", q, kq.astype(q.dtype),
+    raw = jnp.einsum("btkrd,bskd->bkrts", qg, kq.astype(q.dtype),
                      preferred_element_type=jnp.float32)
-    ks_t = ks.transpose(0, 2, 1)[:, :, None, :]            # [B, H, 1, S]
-    scores = raw * (ks_t * (scale / 127.0))
-    snew = jnp.einsum("bthd,bshd->bhts", q, k_new.astype(q.dtype),
-                      preferred_element_type=jnp.float32) * scale
+    ks_g = ks.transpose(0, 2, 1)[:, :, None, None, :]      # [B, Hkv, 1, 1, S]
+    scores = (raw * (ks_g * (scale / 127.0))).reshape(B, H, T, S)
+    snew = jnp.einsum("btkrd,bskd->bkrts", qg, k_new.astype(q.dtype),
+                      preferred_element_type=jnp.float32
+                      ).reshape(B, H, T, 1) * scale
     is_new = (jnp.arange(S)[None, :] == pos_b[:, None])[:, None, None, :]
     scores = jnp.where(is_new, snew, scores)
     if bias is not None:
@@ -327,10 +328,12 @@ def attention_core_q8(q: jnp.ndarray, kq: jnp.ndarray, vq: jnp.ndarray,
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     p_new = jnp.sum(jnp.where(is_new, probs, 0.0), axis=-1)  # [B, H, T]
     probs = jnp.where(is_new, 0.0, probs)
-    vs_t = vs.transpose(0, 2, 1)[:, :, None, :]            # [B, H, 1, S]
-    pv = (probs * (vs_t / 127.0)).astype(q.dtype)
-    out = jnp.einsum("bhts,bshd->bthd", pv, vq.astype(q.dtype),
+    vs_g = vs.transpose(0, 2, 1)[:, :, None, None, :]      # [B, Hkv, 1, 1, S]
+    pv = (probs.reshape(B, Hkv, rep, T, S) * (vs_g / 127.0)).astype(q.dtype)
+    out = jnp.einsum("bkrts,bskd->btkrd", pv, vq.astype(q.dtype),
                      preferred_element_type=jnp.float32)
-    out = out + (p_new.transpose(0, 2, 1)[..., None]
-                 * v_new.astype(jnp.float32))
+    out = out.reshape(B, T, H, hd)
+    vn = jnp.broadcast_to(v_new.astype(jnp.float32)[:, :, :, None],
+                          (B, 1, Hkv, rep, hd)).reshape(B, 1, H, hd)
+    out = out + p_new.transpose(0, 2, 1)[..., None] * vn
     return out.astype(q.dtype)

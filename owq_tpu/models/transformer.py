@@ -43,6 +43,12 @@ __all__ = ["KVCache", "QuantKVCache", "ExpertBank", "block_forward",
            "QUANTIZABLE", "quantizable_names", "layer_mask_biases",
            "layer_rope", "HybridCache", "init_hybrid_cache"]
 
+# Ablation/debug switch: False routes quantized T==1 decode through the
+# generic scatter-then-dequantize attention path instead of the patched
+# int8 path (attention_core_q8).  Differential tests flip this to compare
+# the two branches on identical cache state; serving always leaves it on.
+_QUANT_PATCHED_DECODE = True
+
 # dotted linear names per family (quantization targets)
 QUANTIZABLE = {
     "opt": ("attn.q", "attn.k", "attn.v", "attn.o", "mlp.fc1", "mlp.fc2"),
@@ -656,7 +662,7 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
         else:
             k_cache, v_cache = kv
             k_w, v_w = k.astype(k_cache.dtype), v.astype(v_cache.dtype)
-        if quantized and kv_delta and T == 1 \
+        if quantized and kv_delta and T == 1 and _QUANT_PATCHED_DECODE \
                 and cfg.attn_logit_softcap is None and not cfg.attn_sinks:
             # decode step on the QUANTIZED delta path: attend the raw
             # int8 cache directly (scales fold out of the hd-contraction

@@ -301,7 +301,10 @@ class Engine:
         traffic that bounds the batched engine at 16-32 slots; prefill
         rows quantize inside the jitted insert.  Serving-grade accuracy
         (the same class of tradeoff as int8/fp8 KV in production
-        servers); single-chip attention models only for now."""
+        servers).  Composes with ``mesh`` TP: the int8 pool (codes and
+        per-row scales) shards on the head axis like the bf16 pool, and
+        every quantize/attend step is shard-local.  Attention models
+        only (hybrid linear-mixer states are f32 recurrences)."""
         self.cfg = cfg
         self.kernel = kernel
         self.max_batch = max_batch
@@ -315,6 +318,23 @@ class Engine:
         self.mesh = mesh
         hybrid = (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
               or cfg.has_griffin)
+
+        self.quant_kv = quant_kv
+        if quant_kv:
+            if hybrid:
+                raise ValueError(
+                    "quant_kv: attention models only (hybrid linear-mixer "
+                    "conv/ssm states are f32 recurrences, not a KV pool)")
+            if cfg.attn_logit_softcap is not None or cfg.attn_sinks:
+                import warnings
+
+                warnings.warn(
+                    "quant_kv: attn_logit_softcap/attn_sinks models decode "
+                    "through the generic dequantizing path (the patched "
+                    "int8 attention does not implement softcap/sinks) — "
+                    "the cache still halves in memory, but the "
+                    "int8-traffic bandwidth win does not apply",
+                    stacklevel=2)
 
         cache_sharding = None
         if mesh is None:
@@ -342,9 +362,21 @@ class Engine:
             kv_heads = cfg.num_kv_heads  # cache keeps GLOBAL heads; the
             # head axis shards so each device holds its local heads' slices
             hspec = None if cfg.num_kv_heads == 1 else TP_AXIS
-            kv_spec = KVCache(k=P(None, None, None, hspec, None),
-                              v=P(None, None, None, hspec, None),
-                              length=P())
+            if quant_kv:
+                # int8 pool shards exactly like the bf16 one — codes AND
+                # per-(token, head) scales split on the head axis; each
+                # shard quantizes/attends its local heads (absmax is an
+                # over-the-head-dim reduction, purely shard-local)
+                kv_spec = QuantKVCache(
+                    k=P(None, None, None, hspec, None),
+                    v=P(None, None, None, hspec, None),
+                    k_scale=P(None, None, None, hspec),
+                    v_scale=P(None, None, None, hspec),
+                    length=P())
+            else:
+                kv_spec = KVCache(k=P(None, None, None, hspec, None),
+                                  v=P(None, None, None, hspec, None),
+                                  length=P())
             state_spec = (P(None, None, hspec, None),) * 2  # [L,T,Hkv,hd]
             if hybrid:
                 cache_spec = HybridCache(kv=kv_spec, conv=P(), ssm=P())
@@ -355,10 +387,6 @@ class Engine:
                 lambda s: NamedSharding(mesh, s), cache_spec,
                 is_leaf=lambda x: isinstance(x, P))
 
-        self.quant_kv = quant_kv
-        if quant_kv:
-            assert not hybrid and mesh is None, \
-                "quant_kv: single-chip attention models only"
         base = (cfg.num_layers, max_batch, max_len, kv_heads)
         if quant_kv:
             kv = QuantKVCache(

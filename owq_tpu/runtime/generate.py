@@ -166,14 +166,17 @@ def benchmark_decode(params, cfg: ModelConfig, input_ids: np.ndarray, *,
         samples.append(time.perf_counter() - t0)
 
     # Reference protocol reports median AND min separately
-    # (/root/reference/main.py:335-353).  The shared-pool caveat (noisy
-    # neighbors inflate the median; min reflects the hardware) is the
-    # reader's to weigh — both are published honestly.
+    # (/root/reference/main.py:335-353), and its headline is the MEDIAN —
+    # so ``tokens_per_s`` here derives from the median sample.  The min is
+    # kept as a detail (``tokens_per_s_min``): on a shared TPU pool noisy
+    # neighbors inflate the median and the min reflects the hardware, but
+    # the honest default matches the reference's protocol.
     median = float(np.median(samples))
     best = float(np.min(samples))
     return {
         "median_s": median / n,
         "min_s": best / n,
-        "tokens_per_s": n / best,
+        "tokens_per_s": n / median,
+        "tokens_per_s_min": n / best,
         "ppl": ppl,
     }

@@ -225,6 +225,36 @@ def test_engine_tensor_parallel(rng, family):
     assert [got[i] for i in sorted(got)] == [want[i] for i in sorted(want)]
 
 
+def test_engine_quant_kv_tensor_parallel(rng, model_and_params):
+    """int8-KV serving composes with TP: the QuantKVCache pool (codes and
+    per-row scales) shards on the head axis, each shard quantizes and
+    patched-attends its local heads, and greedy outputs match the
+    single-device quant_kv engine exactly (quantization is shard-local
+    absmax over the head dim, so sharding cannot change the codes)."""
+    import copy
+
+    from owq_tpu.models.transformer import QuantKVCache
+    from owq_tpu.parallel import make_mesh
+
+    params, cfg = model_and_params
+    prompts = [rng.integers(0, 97, size=(n,)).astype(np.int32)
+               for n in (9, 5, 3)]
+    kw = dict(max_batch=2, max_len=64, prompt_buckets=(16,), quant_kv=True)
+    want = Engine(params, cfg, **kw).run(prompts, max_new_tokens=6)
+    mesh = make_mesh(dp=1, tp=2)
+    eng = Engine(copy.deepcopy(params), cfg, mesh=mesh, **kw)
+    assert isinstance(eng.cache, QuantKVCache)
+    got = eng.run(prompts, max_new_tokens=6)
+    assert [got[i] for i in sorted(got)] == [want[i] for i in sorted(want)]
+
+
+def test_engine_quant_kv_hybrid_raises(rng):
+    model = hf_tiny.tiny_bamba()
+    params, cfg = import_hf_model(model)
+    with pytest.raises(ValueError, match="attention models only"):
+        Engine(params, cfg, max_batch=2, max_len=32, quant_kv=True)
+
+
 def test_engine_recurrentgemma_griffin(rng):
     # RG-LRU layers through the engine slot pool: rank-2 recurrent states,
     # pad-frozen bucket prefill, conv left-context continuation
@@ -298,17 +328,22 @@ def test_attention_core_q8_matches_dequant_patched(rng):
                                atol=1e-5, rtol=1e-4)
 
 
-def test_quant_patched_decode_matches_generic_quant(rng, model_and_params):
-    """The patched int8 decode branch vs the generic quant-cache path.
+def test_quant_patched_decode_matches_generic_quant(rng, model_and_params,
+                                                    monkeypatch):
+    """The patched int8 decode branch vs the GENERIC quant-cache path.
 
-    Same initial quantized cache, one decode step: the quantized new-row
-    slab must be BIT-EXACT (both quantize the same bf16 k/v), and the
-    logits must agree within the quantize-the-new-row tolerance (the
-    generic path attends the just-written QUANTIZED row; the patched
-    path attends the exact row — strictly more accurate).
+    Same initial quantized cache, one decode step each way (the generic
+    branch forced via transformer._QUANT_PATCHED_DECODE): the written
+    cache — codes AND scale rows — must be BIT-EXACT (both quantize the
+    same bf16 k/v slab), and the logits must agree within the
+    quantize-the-new-row tolerance (the generic path attends the
+    just-written QUANTIZED row; the patched path attends the exact bf16
+    row — strictly more accurate).
     """
     import jax
 
+    import owq_tpu.models.layers as L
+    import owq_tpu.models.transformer as TR
     from owq_tpu.models.transformer import forward, init_quant_cache
 
     params, cfg = model_and_params
@@ -317,39 +352,43 @@ def test_quant_patched_decode_matches_generic_quant(rng, model_and_params):
     _, cache = forward(params, cfg, jnp.asarray(ids), cache=cache)
 
     step = rng.integers(0, 97, size=(2, 1)).astype(np.int32)
-    # patched branch (the default for quantized T==1 decode)
-    lg_fast, c_fast = forward(params, cfg, jnp.asarray(step), cache=cache)
-    # generic branch: force it by monkeypatching the gate
-    import owq_tpu.models.layers as L
-    orig = L.attention_core_q8
+    # patched branch (the default for quantized T==1 decode) — spy that
+    # it actually fires
     calls = []
-    try:
-        def spy(*a, **kw):
-            calls.append(1)
-            return orig(*a, **kw)
-        L.attention_core_q8 = spy
-        with jax.disable_jit():
-            forward(params, cfg, jnp.asarray(step), cache=cache)
-    finally:
-        L.attention_core_q8 = orig
+    orig = L.attention_core_q8
+    monkeypatch.setattr(L, "attention_core_q8",
+                        lambda *a, **kw: calls.append(1) or orig(*a, **kw))
+    with jax.disable_jit():
+        lg_fast, c_fast = forward(params, cfg, jnp.asarray(step),
+                                  cache=cache)
     assert calls, "patched int8 decode branch not active"
 
-    # generic path: pretend it's a 2-token write (T==1 gate off) by
-    # running the same step with softcap temporarily set — instead,
-    # compare against the bf16 exact path within int8-KV tolerance
-    from owq_tpu.models.transformer import init_cache
-    cache_fp = init_cache(cfg, batch=2, max_len=16, dtype=jnp.float32)
-    _, cache_fp = forward(params, cfg, jnp.asarray(ids), cache=cache_fp,
-                          dtype=jnp.float32)
-    lg_fp, _ = forward(params, cfg, jnp.asarray(step), cache=cache_fp,
-                       dtype=jnp.float32)
-    assert np.allclose(np.asarray(lg_fast), np.asarray(lg_fp), atol=0.08,
-                       rtol=0.1)
-    assert (np.argmax(np.asarray(lg_fast)[:, -1], -1)
-            == np.argmax(np.asarray(lg_fp)[:, -1], -1)).all()
-    # the written rows are the quantization of the step's k/v: lengths
-    # advanced by one and the new scale rows are finite/nonzero
+    # generic branch on the SAME cache state
+    monkeypatch.setattr(TR, "_QUANT_PATCHED_DECODE", False)
+    calls.clear()
+    with jax.disable_jit():
+        lg_gen, c_gen = forward(params, cfg, jnp.asarray(step), cache=cache)
+    assert not calls, "generic branch still used attention_core_q8"
+
+    # layer 0's written slab is bit-identical: both branches quantize the
+    # SAME bf16 k/v (layers >= 1 see slightly different inputs because
+    # the attended row differs — exact bf16 vs its int8 quantization —
+    # so only the first layer's write is comparable bit-for-bit)
+    pos = int(np.asarray(cache.length).reshape(-1)[0])
+    for fld in ("k", "v", "k_scale", "v_scale"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c_fast, fld))[0, :, pos],
+            np.asarray(getattr(c_gen, fld))[0, :, pos])
     assert (np.asarray(c_fast.length) == np.asarray(cache.length) + 1).all()
+    # the step's scale rows are finite and nonzero
+    srow = np.asarray(c_fast.k_scale)[:, :, pos]
+    assert np.isfinite(srow).all() and (srow > 0).all()
+    # logits: only the just-written row is attended differently (exact
+    # bf16 vs its int8 quantization) — tight tolerance, same argmax
+    np.testing.assert_allclose(np.asarray(lg_fast), np.asarray(lg_gen),
+                               atol=0.08, rtol=0.1)
+    assert (np.argmax(np.asarray(lg_fast)[:, -1], -1)
+            == np.argmax(np.asarray(lg_gen)[:, -1], -1)).all()
 
 
 def test_engine_quant_kv_matches_manual_decode(rng, model_and_params):

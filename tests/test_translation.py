@@ -100,3 +100,29 @@ def test_ter_perfect_and_shifted():
     ours = T.corpus_ter(["c a b"], [["a b c"]]).score
     theirs = sacrebleu.corpus_ter(["c a b"], [["a b c"]]).score
     assert ours == pytest.approx(theirs, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# Benchmark-group aliases: the reference expands wmt14/wmt16/wmt20/iwslt17
+# to per-langpair tasks in its registry (lm_eval/tasks/__init__.py:76-87,
+# 202-205 via translation.create_tasks_from_benchmarks), so
+# ``--tasks wmt16`` resolves.  get_task_dict performs the same expansion.
+# --------------------------------------------------------------------------
+
+def test_group_aliases_expand(monkeypatch):
+    import owq_tpu.eval.harness.registry as R
+
+    R._ensure_tasks_loaded()
+    for group, members in R.TASK_GROUPS.items():
+        assert group not in R.TASK_REGISTRY          # alias, not a task
+        for m in members:
+            assert m in R.TASK_REGISTRY, (group, m)  # members all exist
+
+    made = []
+    monkeypatch.setattr(R, "get_task", lambda n, data_dir=None: made.append(n) or n)
+    d = R.get_task_dict(["wmt16", "iwslt17-en-ar"])
+    assert list(d) == ["wmt16-en-ro", "wmt16-ro-en", "wmt16-de-en",
+                       "wmt16-en-de", "iwslt17-en-ar"]
+    # overlap between a group and an explicit member dedupes
+    d = R.get_task_dict(["wmt14-en-fr", "wmt14"])
+    assert list(d) == ["wmt14-en-fr", "wmt14-fr-en"]
