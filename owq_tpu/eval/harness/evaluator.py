@@ -82,10 +82,12 @@ def evaluate(lm: LM, task_dict: Dict[str, Task], *, num_fewshot: int = 0,
         task = task_dict[task_name]
         agg = task.aggregation()[metric]
         results.setdefault(task_name, {})[metric] = agg(items)
-        if bootstrap_iters > 0:
-            se = stderr_for(metric, agg, items, iters=bootstrap_iters)
-            if se is not None:  # reference omits the key when no stderr
-                results[task_name][metric + "_stderr"] = se
+        # analytic stderrs (mean/acc_all) always emit — the reference's
+        # bootstrap_iters only sizes the resampling; bootstrappable
+        # metrics skip their stderr when iters <= 0
+        se = stderr_for(metric, agg, items, iters=bootstrap_iters)
+        if se is not None:  # reference omits the key when no stderr
+            results[task_name][metric + "_stderr"] = se
         versions[task_name] = task.VERSION
     return {"results": results, "versions": versions}
 

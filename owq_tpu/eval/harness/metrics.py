@@ -147,6 +147,8 @@ def stderr_for(metric_name: str, metric: Callable, items: List,
     """
     fn_name = getattr(metric, "__name__", "")
     if fn_name in _BOOTSTRAPPABLE:
+        if iters <= 0:
+            return None
         it = min(iters, 1000) if metric_name in ("bleu", "chrf", "ter") \
             else iters
         return bootstrap_stderr(metric, items, iters=it)

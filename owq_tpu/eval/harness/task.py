@@ -179,7 +179,12 @@ class PerplexityTask(Task):
         return [Request("loglikelihood_rolling", (self.doc_to_target(doc),))]
 
     def count_words(self, doc) -> int:
-        return len(self.doc_to_target(doc).split())
+        # reference semantics (base.py:1069-1071): re.split(r"\s+") — which,
+        # unlike str.split(), counts empty fields at leading/trailing
+        # whitespace; word_perplexity depends on this exact count
+        import re
+
+        return len(re.split(r"\s+", self.doc_to_target(doc)))
 
     def count_bytes(self, doc) -> int:
         return len(self.doc_to_target(doc).encode("utf-8"))

@@ -11,7 +11,7 @@ from typing import List, Optional
 
 from ..metrics import mean
 from ..registry import TASK_REGISTRY, register_task
-from ..task import MultipleChoiceTask, Request, Task
+from ..task import MultipleChoiceTask, PerplexityTask, Request, Task
 from . import _load
 
 BIGBENCH_MC_TASKS = [
@@ -120,3 +120,83 @@ class JsonTask(Task):
 
     def higher_is_better(self):
         return {"acc": True}
+
+
+# --------------------------------------------------------------------------
+# Reference-compatible JSON perplexity task (lm_eval/tasks/json.py): the
+# reference's literal "json" registry entry is a PerplexityTask over a
+# LOCAL json/jsonl file, addressed as data_dir="split:text:/abs/path.json"
+# (colons escapable with backslashes, utils.escaped_split).  The "json"
+# key dispatches on the data_dir shape: the reference spec goes here, a
+# bare file path keeps the extended JsonTask above (beyond-reference
+# choices/continuation docs).
+# --------------------------------------------------------------------------
+
+def escaped_split(text: str, sep: str, maxsplit: int = -1) -> List[str]:
+    """Split on ``sep`` unless backslash-escaped (reference
+    lm_eval/utils.py:26-61 semantics); escapes are unescaped in the
+    output."""
+    assert len(sep) == 1
+    parts, buf, n = [], [], 0
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if c == "\\" and i + 1 < len(text) and text[i + 1] == sep:
+            buf.append(sep)
+            i += 2
+            continue
+        if c == sep and (maxsplit < 0 or n < maxsplit):
+            parts.append("".join(buf))
+            buf = []
+            n += 1
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+class JsonPerplexity(PerplexityTask):
+    """Rolling perplexity over a local JSON dataset (reference
+    lm_eval/tasks/json.py).  Docs are the ``key`` field of each row; the
+    split name is accepted for reference-CLI compatibility (a flat json
+    file is a single split)."""
+
+    VERSION = 0
+
+    def __init__(self, data_dir: Optional[str] = None):
+        assert data_dir, "json ppl task needs data_dir='split:key:path.json'"
+        self._split, self._key, path = escaped_split(data_dir, ":", 2)
+        if path.endswith(".jsonl"):
+            with open(path) as f:
+                rows = [_json.loads(ln) for ln in f if ln.strip()]
+        else:
+            with open(path) as f:
+                rows = _json.load(f)
+        self._rows = rows
+        super().__init__(data_dir=None)
+
+    def download(self, data_dir: Optional[str] = None):
+        pass
+
+    def has_validation_docs(self):
+        return False
+
+    def has_test_docs(self):
+        return True
+
+    def test_docs(self):
+        return [row[self._key] for row in self._rows]
+
+
+_JSON_FILE_TASK = TASK_REGISTRY["json"]
+
+
+def _json_dispatch(data_dir: Optional[str] = None):
+    if data_dir and data_dir.count(":") >= 2:
+        return JsonPerplexity(data_dir=data_dir)
+    return _JSON_FILE_TASK(data_dir=data_dir)
+
+
+TASK_REGISTRY["json"] = _json_dispatch
