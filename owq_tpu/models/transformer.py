@@ -43,11 +43,14 @@ __all__ = ["KVCache", "QuantKVCache", "ExpertBank", "block_forward",
            "QUANTIZABLE", "quantizable_names", "layer_mask_biases",
            "layer_rope", "HybridCache", "init_hybrid_cache"]
 
-# Ablation/debug switch: False routes quantized T==1 decode through the
-# generic scatter-then-dequantize attention path instead of the patched
-# int8 path (attention_core_q8).  Differential tests flip this to compare
-# the two branches on identical cache state; serving always leaves it on.
+# Ablation/debug switches: False routes T==1 decode through the generic
+# scatter-then-attend path instead of the patched attention (bf16:
+# attention_core kv_patch; int8: attention_core_q8).  Differential tests
+# (CPU: tests/test_batching.py; on-chip: tools/verify_tpu.py section 9)
+# flip these to compare the branches on identical cache state; serving
+# always leaves them on.
 _QUANT_PATCHED_DECODE = True
+_DELTA_DECODE = True
 
 # dotted linear names per family (quantization targets)
 QUANTIZABLE = {
@@ -683,7 +686,7 @@ def _attention_part(blk, cfg: ModelConfig, x_ln, res, *, B, T,
             return _attn_epilogue(blk, cfg, ctx, res, attn_gate, B, T, H,
                                   hd, taps, tapped, kernel, fast, tp_axis,
                                   (k_w, k_s), (v_w, v_s), attn_p)
-        if not quantized and kv_delta and T == 1:
+        if not quantized and kv_delta and T == 1 and _DELTA_DECODE:
             # decode step on the delta path: forward writes the new row
             # into the stack itself, and attention runs over the RAW
             # cache slice with the new token patched in at score/value

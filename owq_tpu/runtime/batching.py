@@ -278,6 +278,34 @@ def _decode_all(params, cfg: ModelConfig, toks: jnp.ndarray, cache: KVCache,
     return jnp.moveaxis(toks_out, 0, 1), out
 
 
+def _spec_decode_all(params, cfg: ModelConfig, toks: jnp.ndarray,
+                     cache, active: jnp.ndarray, kernel: str = "xla",
+                     dtype=jnp.bfloat16, tp_axis: Optional[str] = None):
+    """Batched speculative verify: score [cur_tok | K drafts] for EVERY
+    slot in one forward (toks [B, K+1]).
+
+    Returns (preds [B, K+1] greedy ids, acc [B] accepted-draft counts,
+    cache).  preds[:, i] is the argmax continuation after consuming
+    toks[:, :i+1]; acc is the length of the longest prefix of drafts
+    matching preds (computed ON DEVICE so the cache's per-slot lengths
+    can be corrected inside the same dispatch: rows written for rejected
+    drafts sit beyond the corrected length and are never attended).
+    Inactive slots keep their lengths.  Greedy-exact: emitted tokens are
+    preds[:, :acc+1] — exactly what one-token-at-a-time decode would
+    produce, speculation only changes how many dispatches that takes.
+    """
+    start_len = jnp.broadcast_to(jnp.atleast_1d(cache.length),
+                                 (toks.shape[0],))
+    logits, cache2 = forward(params, cfg, toks, cache=cache, kernel=kernel,
+                             dtype=dtype, tp_axis=tp_axis)
+    preds = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+    match = (toks[:, 1:] == preds[:, :-1]).astype(jnp.int32)
+    acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)      # [B]
+    new_len = jnp.where(active, start_len + acc + 1, start_len)
+    cache2 = dataclasses.replace(cache2, length=new_len.astype(jnp.int32))
+    return preds, acc, cache2
+
+
 class Engine:
     def __init__(self, params, cfg: ModelConfig, *, max_batch: int = 8,
                  max_len: int = 2048, kernel: str = "xla",
@@ -285,7 +313,7 @@ class Engine:
                  cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  temperature: float = 0.0, top_p: float = 1.0, seed: int = 0,
                  prompt_buckets: Sequence[int] = (32, 128, 512, 2048),
-                 mesh=None, quant_kv: bool = False):
+                 mesh=None, quant_kv: bool = False, speculative: int = 0):
         """``mesh``: a jax Mesh with a 'tp' axis turns on tensor-parallel
         serving — ``params`` must be the UNSHARDED model; the engine splits
         heads/ffn across the axis (shard_model_tp), shards the KV pool on
@@ -304,7 +332,18 @@ class Engine:
         servers).  Composes with ``mesh`` TP: the int8 pool (codes and
         per-row scales) shards on the head axis like the bf16 pool, and
         every quantize/attend step is shard-local.  Attention models
-        only (hybrid linear-mixer states are f32 recurrences)."""
+        only (hybrid linear-mixer states are f32 recurrences).
+
+        ``speculative``: K > 0 turns on PER-SLOT prompt-lookup drafting
+        inside the batched step (VERDICT r4 item 5): each engine tick
+        drafts K tokens per slot from that slot's own context (n-gram
+        lookup, runtime/speculative.py::propose_ngram) and verifies all
+        slots' drafts in ONE [B, K+1] forward — the verify forward is
+        weight-stream-bound like everything else, so batching amortizes
+        it identically, and every accepted draft is an extra token per
+        dispatch.  Greedy-exact (requires temperature == 0); attention
+        models only; one dispatch per tick (the multi-step decode window
+        does not apply — acceptance is data-dependent)."""
         self.cfg = cfg
         self.kernel = kernel
         self.max_batch = max_batch
@@ -318,6 +357,16 @@ class Engine:
         self.mesh = mesh
         hybrid = (cfg.has_mamba or cfg.has_gdn or cfg.has_lightning
               or cfg.has_griffin)
+
+        self.spec_k = int(speculative)
+        if self.spec_k:
+            if hybrid:
+                raise ValueError("speculative: attention models only "
+                                 "(linear-mixer states cannot rewind "
+                                 "rejected drafts)")
+            if temperature != 0.0:
+                raise ValueError("speculative engine serving is "
+                                 "greedy-exact: temperature must be 0")
 
         self.quant_kv = quant_kv
         if quant_kv:
@@ -432,11 +481,17 @@ class Engine:
                                    top_p, steps, tp_axis=tpa)
             return f
 
+        def spec_fn(p, toks, cache, active):
+            return _spec_decode_all(p, cfg_dev, toks, cache, active,
+                                    kernel, compute_dtype, tp_axis=tpa)
+
         if mesh is None:
             self._prefill = jax.jit(prefill_fn)
             self._insert = jax.jit(insert_fn, donate_argnums=(0,))
             self._decode_factory = lambda steps: jax.jit(
                 decode_fn(steps), donate_argnums=(2,))
+            self._spec = (jax.jit(spec_fn, donate_argnums=(2,))
+                          if self.spec_k else None)
             if not hybrid:
                 # batched admission: one prefill + one insert dispatch
                 # per same-bucket burst (jit shape-specializes; bursts
@@ -463,6 +518,11 @@ class Engine:
                 in_specs=(pspecs, P(), cache_spec, P(), P()),
                 out_specs=(P(), cache_spec), check_vma=False),
                 donate_argnums=(2,))
+            self._spec = (jax.jit(shard_map(
+                spec_fn, mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, P()),
+                out_specs=(P(), P(), cache_spec), check_vma=False),
+                donate_argnums=(2,)) if self.spec_k else None)
             # TP keeps the per-request admit path (the batched insert's
             # [L,k,T,Hkv,hd] stacks would need their own shard specs)
             self._bprefill = self._binsert = None
@@ -472,13 +532,20 @@ class Engine:
         self.queue: deque = deque()
         self.requests: Dict[int, Request] = {}
         self._next_rid = 0
-        self.stats = {"generated_tokens": 0, "steps": 0, "prefills": 0}
+        self.stats = self._zero_stats()
+
+    def _zero_stats(self) -> Dict[str, Any]:
+        s = {"generated_tokens": 0, "steps": 0, "prefills": 0}
+        if self.spec_k:
+            s.update({"spec_forwards": 0, "spec_drafted": 0,
+                      "spec_accepted": 0})
+        return s
 
     # -- public api ----------------------------------------------------
     def reset_stats(self) -> None:
         """Zero the throughput counters (e.g. after a warmup run, so a
         measurement window reflects steady-state serving only)."""
-        self.stats = {"generated_tokens": 0, "steps": 0, "prefills": 0}
+        self.stats = self._zero_stats()
 
     def add_request(self, prompt_ids, max_new_tokens: int = 128) -> int:
         rid = self._next_rid
@@ -605,6 +672,12 @@ class Engine:
         active = [r for r in self.slot_req if r is not None]
         if not active:
             return []
+        if self.spec_k:
+            # capacity guard: a spec tick writes K+1 rows per slot; if
+            # any active slot is too full, fall back to plain steps
+            if all(r.prompt.size + len(r.generated) + self.spec_k
+                   < self.max_len for r in active):
+                return self._step_speculative()
         steps = max(1, min([max_steps]
                            + [r.max_new_tokens - len(r.generated)
                               for r in active]))
@@ -634,6 +707,54 @@ class Engine:
                     finished.append(req)
                     break
         self.stats["steps"] += steps
+        return finished
+
+    def _step_speculative(self) -> List[Request]:
+        """One speculative engine tick: draft K per active slot from its
+        own context, verify every slot in one [B, K+1] forward, emit the
+        accepted prefix + one argmax token per slot (greedy-exact)."""
+        from .speculative import propose_ngram
+
+        K = self.spec_k
+        toks = np.zeros((self.max_batch, K + 1), np.int32)
+        toks[:, 0] = self.cur_tok
+        drafted = np.zeros((self.max_batch,), bool)
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            ctx = np.concatenate([req.prompt,
+                                  np.asarray(req.generated, np.int32)])
+            d = propose_ngram(ctx, K)
+            if d is None:  # no n-gram recurrence: pad with cur_tok
+                toks[slot, 1:] = self.cur_tok[slot]
+            else:
+                toks[slot, 1:] = d
+                drafted[slot] = True
+        active_mask = np.asarray([r is not None for r in self.slot_req],
+                                 bool)
+        preds, acc, self.cache = self._spec(
+            self.params, jnp.asarray(toks), self.cache,
+            jnp.asarray(active_mask))
+        preds = np.asarray(preds)
+        acc = np.asarray(acc)
+        finished = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            n_emit = int(acc[slot]) + 1
+            if drafted[slot]:
+                self.stats["spec_drafted"] += K
+                self.stats["spec_accepted"] += int(acc[slot])
+            for tok in preds[slot, :n_emit].tolist():
+                req.generated.append(int(tok))
+                self.cur_tok[slot] = int(tok)
+                self.stats["generated_tokens"] += 1
+                self._maybe_finish(req, int(tok))
+                if req.done:
+                    finished.append(req)
+                    break
+        self.stats["steps"] += 1
+        self.stats["spec_forwards"] += 1
         return finished
 
     def run(self, prompts: Sequence[np.ndarray], max_new_tokens: int = 128,

@@ -294,6 +294,81 @@ def test_batched_admission_matches_serial(rng, model_and_params):
            [out_s[i] for i in sorted(out_s)]
 
 
+def test_engine_speculative_matches_plain(rng, model_and_params):
+    """Engine(speculative=K) greedy outputs == plain engine outputs
+    token-for-token (speculation is greedy-exact — only the dispatch
+    count changes), and repetitive prompts actually accept drafts so the
+    token/forward ratio beats one-token-per-step decode."""
+    params, cfg = model_and_params
+    pat = rng.integers(0, 97, size=(4,)).astype(np.int32)
+    prompts = [np.tile(pat, 3), np.tile(pat[::-1].copy(), 2),
+               rng.integers(0, 97, size=(5,)).astype(np.int32)]
+    kw = dict(max_batch=2, max_len=96, cache_dtype=jnp.float32,
+              compute_dtype=jnp.float32, prompt_buckets=(16,))
+    want = Engine(params, cfg, **kw).run(prompts, max_new_tokens=20)
+    eng = Engine(params, cfg, speculative=4, **kw)
+    got = eng.run(prompts, max_new_tokens=20)
+    assert [got[i] for i in sorted(got)] == [want[i] for i in sorted(want)]
+    assert eng.stats["spec_forwards"] > 0
+    assert eng.stats["spec_accepted"] > 0  # cyclic prompts must accept
+    # dispatches strictly fewer than generated tokens (the point)
+    assert eng.stats["spec_forwards"] < eng.stats["generated_tokens"]
+
+
+def test_engine_speculative_eos_and_budget(rng, model_and_params):
+    """EOS inside an accepted draft window truncates that slot exactly;
+    token budgets never overshoot."""
+    params, cfg = model_and_params
+    pat = rng.integers(0, 97, size=(3,)).astype(np.int32)
+    prompt = np.tile(pat, 4)
+    ref = Engine(params, cfg, max_batch=1, max_len=96,
+                 cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                 prompt_buckets=(16,)).run([prompt], max_new_tokens=12)[0]
+    eos = ref[len(ref) // 2]  # a token mid-stream becomes "EOS"
+    kw = dict(max_batch=1, max_len=96, cache_dtype=jnp.float32,
+              compute_dtype=jnp.float32, prompt_buckets=(16,),
+              eos_token_id=int(eos))
+    want = Engine(params, cfg, **kw).run([prompt], max_new_tokens=12)[0]
+    got = Engine(params, cfg, speculative=4, **kw).run(
+        [prompt], max_new_tokens=12)[0]
+    assert got == want
+    assert len(got) <= 12 and got[-1] == int(eos)
+
+
+def test_engine_speculative_tensor_parallel(rng, model_and_params):
+    """Speculative verify under a TP mesh: the [B, K+1] forward runs
+    shard_map'd like the plain decode; outputs match single-device."""
+    import copy
+
+    from owq_tpu.parallel import make_mesh
+
+    params, cfg = model_and_params
+    pat = rng.integers(0, 97, size=(4,)).astype(np.int32)
+    prompts = [np.tile(pat, 3), rng.integers(0, 97, size=(5,))
+               .astype(np.int32)]
+    kw = dict(max_batch=2, max_len=96, cache_dtype=jnp.float32,
+              compute_dtype=jnp.float32, prompt_buckets=(16,),
+              speculative=4)
+    want = Engine(params, cfg, **kw).run(prompts, max_new_tokens=10)
+    eng = Engine(copy.deepcopy(params), cfg, mesh=make_mesh(dp=1, tp=2),
+                 **kw)
+    got = eng.run(prompts, max_new_tokens=10)
+    assert [got[i] for i in sorted(got)] == [want[i] for i in sorted(want)]
+
+
+def test_engine_speculative_rejects_sampling_and_hybrid(rng):
+    model = hf_tiny.tiny_bamba()
+    params, cfg = import_hf_model(model)
+    with pytest.raises(ValueError, match="attention models only"):
+        Engine(params, cfg, max_batch=2, max_len=32, speculative=4)
+    model2 = hf_tiny.tiny_llama(hidden=32, inter=64, layers=2, heads=4,
+                                kv_heads=2, vocab=97, max_pos=128)
+    params2, cfg2 = import_hf_model(model2)
+    with pytest.raises(ValueError, match="greedy-exact"):
+        Engine(params2, cfg2, max_batch=2, max_len=32, speculative=4,
+               temperature=0.7)
+
+
 def test_attention_core_q8_matches_dequant_patched(rng):
     """attention_core_q8 == dequantize-then-attention_core(kv_patch).
 

@@ -46,4 +46,6 @@ def test_two_process_tp_forward_and_decode():
         pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"MULTIHOST_ENGINE_OK {pid}" in out, \
+            f"worker {pid} output:\n{out}"
         assert f"MULTIHOST_OK {pid}" in out, f"worker {pid} output:\n{out}"

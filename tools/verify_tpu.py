@@ -17,6 +17,12 @@ Coverage (VERDICT r3 item 2 — one command a driver/judge can run):
   7. fused decode attention (attn_decode.py): GQA reps x pos edges
      {0, mid, S-1}, cache rows exact + ctx MSE gate
   8. packed model forward: pallas vs xla logits; decode determinism
+  9. engine attention paths (VERDICT r4 item 3): patched bf16 decode
+     attention (kv_patch) at b8/b32 vs the scatter-update twin; int8
+     attention_core_q8 vs dequantize-then-patched; batched-admission
+     scatter inserts (bf16 + int8) vs serial single-slot inserts; one
+     full engine decode step patched-vs-generic (token equality) and
+     int8 engine step vs its dequantizing twin
 
 Usage: python tools/verify_tpu.py [--quick]   (--quick = sections 1,2,8)
 """
@@ -397,6 +403,147 @@ def main() -> int:
                 check(f"attn_S{S}_Hkv{Hkv}_rep{rep}_pos{pos}",
                       m < _GATE and cache_ok,
                       f"rmse={m:.2e} cache_exact={cache_ok}")
+
+    if not args.quick:
+        # ---- 9. engine attention paths (batched serving) ------------------
+        import owq_tpu.models.transformer as TRmod
+        from owq_tpu.models.layers import attention_core, attention_core_q8
+        from owq_tpu.models.transformer import _quantize_kv
+
+        bf16 = lambda a: jnp.asarray(a.astype(np.float32), jnp.bfloat16)  # noqa: E731
+        for B in (8, 32):
+            S, H, Hkv, hd = 128, 8, 4, 64
+            scale = hd ** -0.5
+            q32 = rng.standard_normal((B, 1, H, hd)).astype(np.float32)
+            k32 = rng.standard_normal((B, S, Hkv, hd)).astype(np.float32)
+            v32 = rng.standard_normal((B, S, Hkv, hd)).astype(np.float32)
+            kn32 = rng.standard_normal((B, 1, Hkv, hd)).astype(np.float32)
+            vn32 = rng.standard_normal((B, 1, Hkv, hd)).astype(np.float32)
+            pos = rng.integers(0, S, size=(B,)).astype(np.int32)
+            pos[0], pos[1] = 0, S - 1  # stale-row edges in the batch
+            bias = np.where(np.arange(S)[None, :] <= pos[:, None],
+                            0.0, -1e9).astype(np.float32)[:, None, None, :]
+
+            # (a) patched bf16 decode attention vs scatter-update twin
+            q, k, v = bf16(q32), bf16(k32), bf16(v32)
+            kn, vn = bf16(kn32), bf16(vn32)
+            pj, bj = jnp.asarray(pos), jnp.asarray(bias)
+            patched = jax.jit(lambda: attention_core(
+                q, k, v, bj, scale, kv_patch=(kn, vn, pj)))()
+            k_upd = k.at[jnp.arange(B), pj].set(kn[:, 0])
+            v_upd = v.at[jnp.arange(B), pj].set(vn[:, 0])
+            twin = jax.jit(lambda: attention_core(
+                q, k_upd, v_upd, bj, scale))()
+            m = _rel_mse(patched, twin)
+            check(f"engine_kv_patch_b{B}", m < _GATE, f"rmse={m:.2e}")
+
+            # (b) int8 attention_core_q8 vs dequantize-then-patched (f32)
+            (kq, ksc), (vq, vsc) = _quantize_kv(jnp.asarray(k32)), \
+                _quantize_kv(jnp.asarray(v32))
+            qf = jnp.asarray(q32)
+            knf, vnf = jnp.asarray(kn32), jnp.asarray(vn32)
+            got = jax.jit(lambda: attention_core_q8(
+                qf, kq, vq, ksc, vsc, bj, scale,
+                kv_patch=(knf, vnf, pj)))()
+            k_deq = kq.astype(jnp.float32) * (ksc[..., None] / 127.0)
+            v_deq = vq.astype(jnp.float32) * (vsc[..., None] / 127.0)
+            want = jax.jit(lambda: attention_core(
+                qf, k_deq, v_deq, bj, scale,
+                kv_patch=(knf, vnf, pj)))()
+            m = _rel_mse(got, want)
+            check(f"engine_q8_attention_b{B}", m < _GATE, f"rmse={m:.2e}")
+
+        # (c) batched-admission scatter inserts vs serial single inserts
+        from owq_tpu.models.transformer import (KVCache, QuantKVCache,
+                                                forward)
+        from owq_tpu.runtime.batching import (Engine, _insert_slot,
+                                              _insert_slot_q,
+                                              _insert_slots,
+                                              _insert_slots_q)
+
+        L, Bp, Sp, Hkvp, hdp, T = 2, 8, 64, 4, 32, 16
+        kvs = (bf16(rng.standard_normal((L, 4, T, Hkvp, hdp))
+                    .astype(np.float32)),
+               bf16(rng.standard_normal((L, 4, T, Hkvp, hdp))
+                    .astype(np.float32)))
+        slots = jnp.asarray(np.array([5, 0, 3, 7], np.int32))
+        lens = jnp.asarray(np.array([16, 3, 9, 12], np.int32))
+        base_kv = KVCache(
+            k=jnp.zeros((L, Bp, Sp, Hkvp, hdp), jnp.bfloat16),
+            v=jnp.zeros((L, Bp, Sp, Hkvp, hdp), jnp.bfloat16),
+            length=jnp.zeros((Bp,), jnp.int32))
+        got_c = jax.jit(_insert_slots)(base_kv, kvs, slots, lens)
+        want_c = base_kv
+        for j in range(4):
+            want_c = jax.jit(_insert_slot)(
+                want_c, (kvs[0][:, j], kvs[1][:, j]), slots[j], lens[j])
+        ok = all(bool(jnp.array_equal(getattr(got_c, f), getattr(want_c, f)))
+                 for f in ("k", "v", "length"))
+        check("engine_batched_insert_bf16", ok)
+
+        base_q = QuantKVCache(
+            k=jnp.zeros((L, Bp, Sp, Hkvp, hdp), jnp.int8),
+            v=jnp.zeros((L, Bp, Sp, Hkvp, hdp), jnp.int8),
+            k_scale=jnp.ones((L, Bp, Sp, Hkvp), jnp.float32),
+            v_scale=jnp.ones((L, Bp, Sp, Hkvp), jnp.float32),
+            length=jnp.zeros((Bp,), jnp.int32))
+        got_q = jax.jit(_insert_slots_q)(base_q, kvs, slots, lens)
+        want_q = base_q
+        for j in range(4):
+            want_q = jax.jit(_insert_slot_q)(
+                want_q, (kvs[0][:, j], kvs[1][:, j]), slots[j], lens[j])
+        ok = all(bool(jnp.array_equal(getattr(got_q, f), getattr(want_q, f)))
+                 for f in ("k", "v", "k_scale", "v_scale", "length"))
+        check("engine_batched_insert_int8", ok)
+
+        # (d) full engine decode: patched delta attention vs the generic
+        # scatter-update twin — greedy tokens must be identical (f32)
+        cfg_e = synthetic_config("llama-tiny", max_pos=64)
+        params_e = jax.jit(partial(build_synthetic, cfg_e, bits=3,
+                                   dtype=jnp.float32))()
+        prompts = [rng.integers(0, cfg_e.vocab_size, size=(n,))
+                   .astype(np.int32) for n in (9, 5, 3, 7)]
+        ekw = dict(max_batch=4, max_len=48, kernel="xla",
+                   cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+                   prompt_buckets=(16,))
+        out_p = Engine(params_e, cfg_e, **ekw).run(prompts,
+                                                   max_new_tokens=6)
+        TRmod._DELTA_DECODE = False
+        try:
+            out_g = Engine(params_e, cfg_e, **ekw).run(prompts,
+                                                       max_new_tokens=6)
+        finally:
+            TRmod._DELTA_DECODE = True
+        check("engine_step_patched_vs_generic",
+              [out_p[i] for i in sorted(out_p)]
+              == [out_g[i] for i in sorted(out_g)])
+
+        # int8 engine step vs its dequantizing twin: one decode step on
+        # the same quantized cache, logits argmax-equal and close (the
+        # twin attends the just-written QUANTIZED row; patched attends
+        # the exact row)
+        from owq_tpu.models.transformer import init_quant_cache
+
+        ids = rng.integers(0, cfg_e.vocab_size, size=(2, 6)).astype(np.int32)
+        cache_q = init_quant_cache(cfg_e, batch=2, max_len=16)
+        _, cache_q = forward(params_e, cfg_e, jnp.asarray(ids),
+                             cache=cache_q, dtype=jnp.float32)
+        step = rng.integers(0, cfg_e.vocab_size, size=(2, 1)).astype(np.int32)
+        lg_p, _ = jax.jit(lambda c: forward(
+            params_e, cfg_e, jnp.asarray(step), cache=c,
+            dtype=jnp.float32))(cache_q)
+        TRmod._QUANT_PATCHED_DECODE = False
+        try:
+            lg_g, _ = jax.jit(lambda c: forward(
+                params_e, cfg_e, jnp.asarray(step), cache=c,
+                dtype=jnp.float32))(cache_q)
+        finally:
+            TRmod._QUANT_PATCHED_DECODE = True
+        lp_, lg_ = np.asarray(lg_p), np.asarray(lg_g)
+        am_ok = (lp_[:, -1].argmax(-1) == lg_[:, -1].argmax(-1)).all()
+        m = _rel_mse(lp_, lg_)
+        check("engine_q8_step_vs_dequant_twin", am_ok and m < 1e-3,
+              f"rmse={m:.2e} argmax_equal={bool(am_ok)}")
 
     # ---- 8. packed model: pallas vs xla logits + decode determinism ------
     from owq_tpu.models.transformer import forward
