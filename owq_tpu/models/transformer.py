@@ -1670,6 +1670,43 @@ def forward(params: Dict[str, Any], cfg: ModelConfig, input_ids: jnp.ndarray,
             cur_k, cur_v = kvc.k, kvc.v
         else:
             use_fa = False
+    if use_fa and params.get("fast_model") is not None:
+        # WHOLE-MODEL decode kernel (kernels/decode_model.py): every
+        # layer's attention+mlp phases AND the final-norm + dense
+        # lm_head matvec run as ONE pallas program — no per-layer
+        # launches, no XLA staging between layers, no separate head op.
+        # Caches update in place on the donated 5D stacks.
+        from ..kernels.decode_model import (model_block_applicable,
+                                            model_block_reference,
+                                            model_block_step)
+
+        fm = params["fast_model"]
+        if model_block_applicable(
+                kvc.k.shape[0], kvc.k.shape[2], cfg.num_kv_heads,
+                cfg.head_dim, cfg.num_heads // cfg.num_kv_heads,
+                fm["wq"].shape[2], fm["wq"].shape[1],
+                fm["wo"].shape[2], fm["wo"].shape[1],
+                fm["wg"].shape[2], fm["wg"].shape[1],
+                fm["wd"].shape[2], fm["wd"].shape[1],
+                fm["head"].shape[1], fm["selqog"].shape[1] // 3):
+            hd_ = cfg.head_dim
+            scale_ = (cfg.attn_scale if cfg.attn_scale is not None
+                      else (cfg.attn_scale_override or hd_) ** -0.5)
+            cos, sin = layer_rope(cfg, rope, 0)
+            fn = (model_block_step if jax.default_backend() == "tpu"
+                  else model_block_reference)
+            sg = jax.lax.stop_gradient
+            fm_arr = {k2: sg(v2) for k2, v2 in fm.items()}
+            # bits via the PackedLinear's static metadata (an int in the
+            # fm dict would turn into a tracer at jit boundaries)
+            bits_ = params["layers"][0]["attn"]["qkv"].bits
+            logits, k2_, v2_ = fn(
+                x.reshape(1, -1).astype(jnp.bfloat16), cur_k, cur_v,
+                start, cos.reshape(1, hd_), sin.reshape(1, hd_), fm_arr,
+                bits=bits_, scale=float(scale_), eps=cfg.norm_eps,
+                rep=cfg.num_heads // cfg.num_kv_heads)
+            return (logits.reshape(1, 1, -1).astype(dtype),
+                    KVCache(k=k2_, v=v2_, length=start + T))
     for i, blk in enumerate(params["layers"]):
         is_mamba = ("mamba" in blk or "gdn" in blk or "lightning" in blk
                     or "griffin" in blk

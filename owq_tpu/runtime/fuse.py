@@ -294,7 +294,110 @@ def prepare_decode_fast(params: Dict[str, Any], cfg: ModelConfig
         if fused_applicable(1, head.out_features, nw):
             params["fast_head"] = make_fast_aux(
                 head, gamma=params["final_norm"]["w"])
+    params = prepare_model_kernel(params, cfg)
     return params, cfg
+
+
+def prepare_model_kernel(params: Dict[str, Any], cfg: ModelConfig
+                         ) -> Dict[str, Any]:
+    """Bundle the whole model for the ONE-program decode kernel
+    (kernels/decode_model.py): weights stacked per kind [L, nw, out] (o
+    rows already rep-major permuted in blk["fast"]["o_attn"]), epilogue
+    data pre-bundled into four stacked arrays (f32 scale/zero rows
+    [L, 2, ΣOUT]; bf16 weak-column selectors — q|o|g share the hidden
+    input, d has its own; bf16 side-product rows [L, C, ΣOUT]; bf16 norm
+    gammas [L, 2, hidden]), plus the final-norm gamma and the dense bf16
+    lm_head.  Weak-column counts pad with zeros to a common width C —
+    zero selector/side-product columns are exact no-ops, so
+    heterogeneous n_out needs no branches.
+
+    Attaches params["fast_model"] when applicable (llama-class fast_attn
+    models with a dense unprojected head); forward() then runs the whole
+    B=1 decode step — embed row to logits — as one pallas call.  Doubles
+    the packed-body HBM footprint (the per-layer copies stay for
+    prefill/batch paths); OWQ_NO_MODEL_KERNEL=1 opts out.
+    """
+    import os
+
+    if params.get("fast_attn") is None or os.environ.get(
+            "OWQ_NO_MODEL_KERNEL"):
+        return params
+    if not os.environ.get("OWQ_MODEL_KERNEL"):
+        # opt-in while on-chip validation of the one-program path is in
+        # flight (tools/smoke_model_block.py); flip the default once the
+        # sweep carries its rows
+        return params
+    head = params.get("lm_head")
+    if not isinstance(head, DenseLinear) or head.b is not None:
+        return params
+    if (params.get("project_out") is not None
+            or params.get("final_norm") is None
+            or cfg.logit_scale is not None
+            or cfg.final_logit_softcap is not None):
+        return params
+    layers = params["layers"]
+    auxes = []
+    for blk in layers:
+        f = blk["fast"]
+        qa, oa, ga, da = f["qkv"], f["o_attn"], f["gu"], f["dn"]
+        if any(a["bias"] is not None for a in (qa, oa, ga, da)):
+            return params
+        auxes.append((blk["attn"]["qkv"], qa, oa, ga, da,
+                      blk["mlp"]["gateup"], blk["mlp"]["down"]))
+    hidden = cfg.hidden_size
+    in_d = auxes[0][6].in_features
+    cols = 8
+    for _, qa, oa, ga, da, _, _ in auxes:
+        for a in (qa, oa, ga, da):
+            if a["sel"] is not None:
+                cols = max(cols, a["sel"].shape[1])
+
+    def padded_sel(a, infeat):
+        # TRANSPOSED [cols, infeat]: the kernel's layer-sliced HBM DMA
+        # needs a 128-aligned lane dim, which infeat is and 3*cols isn't
+        if a["sel"] is None:
+            return jnp.zeros((cols, infeat), jnp.bfloat16)
+        s = a["sel"].T
+        return jnp.pad(s, ((0, cols - s.shape[0]), (0, 0)))
+
+    def padded_ow(a, out):
+        if a["ow"] is None:
+            return jnp.zeros((cols, out), jnp.bfloat16)
+        w = a["ow"]
+        return jnp.pad(w, ((0, cols - w.shape[0]), (0, 0)))
+
+    out_q = auxes[0][1]["sz"].shape[1]
+    out_o = auxes[0][2]["sz"].shape[1]
+    out_g = auxes[0][3]["sz"].shape[1]
+    out_d = auxes[0][4]["sz"].shape[1]
+    fm = {
+        "wq": jnp.stack([q.qweight for q, *_ in auxes]),
+        "wo": jnp.stack([oa["qweight"] for _, _, oa, _, _, _, _ in auxes]),
+        "wg": jnp.stack([g.qweight for *_, g, _ in auxes]),
+        "wd": jnp.stack([d.qweight for *_, d in auxes]),
+        "sz": jnp.stack([jnp.concatenate(
+            [qa["sz"], oa["sz"], ga["sz"], da["sz"]], axis=1)
+            for _, qa, oa, ga, da, _, _ in auxes]),
+        "selqog": jnp.stack([jnp.concatenate(
+            [padded_sel(qa, hidden), padded_sel(oa, hidden),
+             padded_sel(ga, hidden)], axis=0)
+            for _, qa, oa, ga, da, _, _ in auxes]),
+        "seld": jnp.stack([padded_sel(da, in_d)
+                           for _, _, _, _, da, _, _ in auxes]),
+        "ow": jnp.stack([jnp.concatenate(
+            [padded_ow(qa, out_q), padded_ow(oa, out_o),
+             padded_ow(ga, out_g), padded_ow(da, out_d)], axis=1)
+            for _, qa, oa, ga, da, _, _ in auxes]),
+        "gam": jnp.stack([jnp.concatenate(
+            [qa["gamma"], ga["gamma"]], axis=0)
+            for _, qa, oa, ga, da, _, _ in auxes]),
+        "gf": jnp.asarray(np.asarray(params["final_norm"]["w"], np.float32)
+                          .reshape(1, -1), jnp.bfloat16),
+        "head": head.w.astype(jnp.bfloat16),
+    }
+    params = dict(params)
+    params["fast_model"] = fm
+    return params
 
 
 def pack_lm_head(params: Dict[str, Any], cfg: ModelConfig, *,

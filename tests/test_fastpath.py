@@ -296,3 +296,83 @@ def test_fast_attn_gate_rejects_non_silu(rng):
     logits2, _ = forward(params, cfg, ids, cache=cache2, kernel="pallas",
                          dtype=jnp.bfloat16)
     assert tok == int(jnp.argmax(logits2[0, -1]))
+
+
+# ---------------------------------------------------------------------------
+# Whole-model decode kernel (kernels/decode_model.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bits", [3, 4])
+def test_model_kernel_attached_and_parity(bits, rng, monkeypatch):
+    """prepare_decode_fast attaches params['fast_model'] on an eligible
+    model, a T=1 decode step routes through the whole-model path (the
+    jnp twin on CPU), and its logits + written cache rows match the
+    per-layer fused path (fast_model stripped) on identical state."""
+    import owq_tpu.kernels.decode_model as dm
+
+    monkeypatch.setenv("OWQ_MODEL_KERNEL", "1")
+
+    calls = []
+    orig = dm.model_block_reference
+    monkeypatch.setattr(
+        dm, "model_block_reference",
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+
+    cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1)
+    params = _build(cfg, bits=bits)
+    fparams, fcfg = prepare_decode_fast(params, cfg)
+    assert "fast_model" in fparams
+    fm = fparams["fast_model"]
+    assert fm["wq"].shape[0] == fcfg.num_layers
+    assert fm["head"].dtype == jnp.bfloat16
+    gparams = {k: v for k, v in fparams.items() if k != "fast_model"}
+
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 3)),
+                      jnp.int32)
+    tok = jnp.asarray([[5]], jnp.int32)
+    cf = init_cache(fcfg, 1, 16, dtype=jnp.bfloat16)
+    _, cf = forward(fparams, fcfg, ids, cache=cf, dtype=jnp.bfloat16)
+    assert calls == []          # prefill stays on the generic path
+    lf, cf = forward(fparams, fcfg, tok, cache=cf, dtype=jnp.bfloat16)
+    assert calls == [1]         # decode ran the whole-model kernel path
+
+    cg = init_cache(fcfg, 1, 16, dtype=jnp.bfloat16)
+    _, cg = forward(gparams, fcfg, ids, cache=cg, dtype=jnp.bfloat16)
+    lg, cg = forward(gparams, fcfg, tok, cache=cg, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(cf.k), np.asarray(cg.k))
+    np.testing.assert_array_equal(np.asarray(cf.v), np.asarray(cg.v))
+    a, b = np.asarray(lf, np.float32), np.asarray(lg, np.float32)
+    assert np.abs(a - b).max() <= 0.03 * (np.abs(b).max() + 1e-6)
+    assert (a[0, -1].argmax() == b[0, -1].argmax())
+
+
+def test_model_kernel_greedy_decode_matches_generic(rng, monkeypatch):
+    """Multi-token greedy decode through the whole-model path equals the
+    same fused model decoding with fast_model stripped."""
+    monkeypatch.setenv("OWQ_MODEL_KERNEL", "1")
+    cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1)
+    params = _build(cfg)
+    fparams, fcfg = prepare_decode_fast(params, cfg)
+    assert "fast_model" in fparams
+    gparams = {k: v for k, v in fparams.items() if k != "fast_model"}
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 5)).astype(np.int32)
+    tf = generate(fparams, fcfg, prompt, 10, max_len=24,
+                  cache_dtype=jnp.bfloat16)
+    tg = generate(gparams, fcfg, prompt, 10, max_len=24,
+                  cache_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(tf, tg)
+
+
+def test_model_kernel_gate_rejects_packed_head(rng, monkeypatch):
+    """pack_lm_head replaces the dense head -> the whole-model bundle
+    (dense-head ring) must NOT attach; the packed-head fastpath serves
+    instead."""
+    from owq_tpu.runtime.fuse import pack_lm_head
+
+    cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1)
+    params = _build(cfg)
+    params = pack_lm_head(params, cfg, bits=3, n_weak=8)
+    monkeypatch.setenv("OWQ_MODEL_KERNEL", "1")
+    fparams, _ = prepare_decode_fast(params, cfg)
+    assert "fast_model" not in fparams
+    assert "fast_head" in fparams

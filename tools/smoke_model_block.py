@@ -1,0 +1,132 @@
+"""On-chip smoke for the WHOLE-MODEL decode kernel (decode_model.py).
+
+Builds a tiny (hd=128) llama-class model, prepares the fast_model bundle,
+and compares model_block_step (pallas, on the chip) against
+model_block_reference (pure jnp) at several cache positions — logits MSE
+gate + exact written cache rows.  Then times a llama-7b-shape step.
+
+Usage: python tools/smoke_model_block.py [--perf] [--model llama-7b]
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+    os.environ.setdefault("OWQ_MODEL_KERNEL", "1")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--perf", action="store_true",
+                    help="also time a llama-7b-shape step")
+    ap.add_argument("--model", default="llama-7b")
+    ap.add_argument("--bits", type=int, default=3)
+    ap.add_argument("--tokens", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+    except Exception:
+        pass
+    sys.path.insert(0, ".")
+    from functools import partial
+
+    from owq_tpu.kernels.decode_model import (model_block_reference,
+                                              model_block_step)
+    from owq_tpu.models.synthetic import build_synthetic, synthetic_config
+    from owq_tpu.models.transformer import forward, init_cache
+    from owq_tpu.runtime.fuse import prepare_decode_fast
+
+    rng = np.random.default_rng(0)
+
+    # --- correctness: tiny hd=128 model, pallas vs jnp twin --------------
+    cfg = dataclasses.replace(synthetic_config("llama-tiny", max_pos=64),
+                              intermediate_size=512, num_heads=2,
+                              num_kv_heads=1)
+    params = jax.jit(partial(build_synthetic, cfg, bits=args.bits,
+                             dtype=jnp.bfloat16))()
+    fparams, fcfg = prepare_decode_fast(params, cfg)
+    assert "fast_model" in fparams, "fast_model bundle did not attach"
+    fm = fparams["fast_model"]
+    S, hd = 16, 128
+    rep = cfg.num_heads // cfg.num_kv_heads
+    scale = hd ** -0.5
+
+    failures = 0
+    for pos in (0, S // 2, S - 1):
+        x = jnp.asarray(rng.standard_normal((1, cfg.hidden_size))
+                        .astype(np.float32), jnp.bfloat16)
+        ks = jnp.asarray(rng.standard_normal(
+            (cfg.num_layers, 1, S, 1, hd)).astype(np.float32),
+            jnp.bfloat16)
+        vs = jnp.asarray(rng.standard_normal(
+            (cfg.num_layers, 1, S, 1, hd)).astype(np.float32),
+            jnp.bfloat16)
+        crow = jnp.asarray(np.cos(np.linspace(0, 2, hd))
+                           .astype(np.float32)).reshape(1, hd)
+        srow = jnp.asarray(np.sin(np.linspace(0, 2, hd))
+                           .astype(np.float32)).reshape(1, hd)
+        p = jnp.asarray(pos, jnp.int32)
+        lg, k2, v2 = model_block_step(x, ks.copy(), vs.copy(), p, crow,
+                                      srow, fm, bits=args.bits,
+                                      scale=scale, eps=1e-5, rep=rep)
+        lr, kr, vr = model_block_reference(x, ks, vs, p, crow, srow, fm,
+                                           bits=args.bits, scale=scale,
+                                           eps=1e-5, rep=rep)
+        a = np.asarray(lg, np.float32)
+        b = np.asarray(lr, np.float32)[:1]
+        m = float(np.mean((a - b) ** 2) / (np.mean(b ** 2) + 1e-12))
+        cache_ok = (bool(jnp.array_equal(k2, kr))
+                    and bool(jnp.array_equal(v2, vr)))
+        ok = m < 5e-4 and cache_ok
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} model_block_pos{pos} "
+              f"rmse={m:.2e} cache_exact={cache_ok}", flush=True)
+
+    # full forward() integration on chip: greedy decode vs stripped path
+    from owq_tpu.runtime.generate import generate
+
+    gparams = {k: v for k, v in fparams.items() if k != "fast_model"}
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 5)).astype(np.int32)
+    tf = generate(fparams, fcfg, prompt, 10, max_len=24,
+                  cache_dtype=jnp.bfloat16)
+    tg = generate(gparams, fcfg, prompt, 10, max_len=24,
+                  cache_dtype=jnp.bfloat16)
+    ok = tf.tolist() == tg.tolist()
+    failures += 0 if ok else 1
+    print(f"{'PASS' if ok else 'FAIL'} model_block_greedy_decode "
+          f"{tf.tolist()} vs {tg.tolist()}", flush=True)
+
+    if args.perf:
+        cfg7 = synthetic_config(args.model, max_pos=128)
+        params7 = jax.jit(partial(build_synthetic, cfg7, bits=args.bits,
+                                  dtype=jnp.bfloat16))()
+        f7, c7 = prepare_decode_fast(params7, cfg7)
+        assert "fast_model" in f7, "7b fast_model did not attach"
+        from owq_tpu.runtime.generate import benchmark_decode
+
+        ids = rng.integers(0, cfg7.vocab_size,
+                           size=(1, args.tokens)).astype(np.int32)
+        t0 = time.perf_counter()
+        stats = benchmark_decode(f7, c7, ids, kernel="pallas",
+                                 cache_dtype=jnp.bfloat16,
+                                 max_len=args.tokens, repeats=4)
+        print(f"compile+run {time.perf_counter() - t0:.1f}s")
+        print(f"{args.model} {args.bits}-bit: median "
+              f"{stats['median_s'] * 1e3:.3f} ms/tok, min "
+              f"{stats['min_s'] * 1e3:.3f} -> "
+              f"{stats['tokens_per_s']:.2f} tok/s (median)")
+
+    print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

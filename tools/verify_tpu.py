@@ -437,19 +437,25 @@ def main() -> int:
             m = _rel_mse(patched, twin)
             check(f"engine_kv_patch_b{B}", m < _GATE, f"rmse={m:.2e}")
 
-            # (b) int8 attention_core_q8 vs dequantize-then-patched (f32)
+            # (b) int8 attention_core_q8 vs dequantize-then-patched (f32).
+            # Pinned to highest matmul precision: the default TPU f32
+            # matmul is a 3-pass bf16 decomposition whose rounding
+            # differs between the int8-code einsum and the dequantized
+            # operand — this row checks MATH equality (scales factor out
+            # of the contraction), not MXU rounding flavor.
             (kq, ksc), (vq, vsc) = _quantize_kv(jnp.asarray(k32)), \
                 _quantize_kv(jnp.asarray(v32))
             qf = jnp.asarray(q32)
             knf, vnf = jnp.asarray(kn32), jnp.asarray(vn32)
-            got = jax.jit(lambda: attention_core_q8(
-                qf, kq, vq, ksc, vsc, bj, scale,
-                kv_patch=(knf, vnf, pj)))()
-            k_deq = kq.astype(jnp.float32) * (ksc[..., None] / 127.0)
-            v_deq = vq.astype(jnp.float32) * (vsc[..., None] / 127.0)
-            want = jax.jit(lambda: attention_core(
-                qf, k_deq, v_deq, bj, scale,
-                kv_patch=(knf, vnf, pj)))()
+            with jax.default_matmul_precision("highest"):
+                got = jax.jit(lambda: attention_core_q8(
+                    qf, kq, vq, ksc, vsc, bj, scale,
+                    kv_patch=(knf, vnf, pj)))()
+                k_deq = kq.astype(jnp.float32) * (ksc[..., None] / 127.0)
+                v_deq = vq.astype(jnp.float32) * (vsc[..., None] / 127.0)
+                want = jax.jit(lambda: attention_core(
+                    qf, k_deq, v_deq, bj, scale,
+                    kv_patch=(knf, vnf, pj)))()
             m = _rel_mse(got, want)
             check(f"engine_q8_attention_b{B}", m < _GATE, f"rmse={m:.2e}")
 
