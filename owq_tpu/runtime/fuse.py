@@ -322,11 +322,6 @@ def prepare_model_kernel(params: Dict[str, Any], cfg: ModelConfig
     if params.get("fast_attn") is None or os.environ.get(
             "OWQ_NO_MODEL_KERNEL"):
         return params
-    if not os.environ.get("OWQ_MODEL_KERNEL"):
-        # opt-in while on-chip validation of the one-program path is in
-        # flight (tools/smoke_model_block.py); flip the default once the
-        # sweep carries its rows
-        return params
     head = params.get("lm_head")
     if not isinstance(head, DenseLinear) or head.b is not None:
         return params
@@ -370,31 +365,53 @@ def prepare_model_kernel(params: Dict[str, Any], cfg: ModelConfig
     out_o = auxes[0][2]["sz"].shape[1]
     out_g = auxes[0][3]["sz"].shape[1]
     out_d = auxes[0][4]["sz"].shape[1]
-    fm = {
-        "wq": jnp.stack([q.qweight for q, *_ in auxes]),
-        "wo": jnp.stack([oa["qweight"] for _, _, oa, _, _, _, _ in auxes]),
-        "wg": jnp.stack([g.qweight for *_, g, _ in auxes]),
-        "wd": jnp.stack([d.qweight for *_, d in auxes]),
-        "sz": jnp.stack([jnp.concatenate(
-            [qa["sz"], oa["sz"], ga["sz"], da["sz"]], axis=1)
-            for _, qa, oa, ga, da, _, _ in auxes]),
-        "selqog": jnp.stack([jnp.concatenate(
-            [padded_sel(qa, hidden), padded_sel(oa, hidden),
-             padded_sel(ga, hidden)], axis=0)
-            for _, qa, oa, ga, da, _, _ in auxes]),
-        "seld": jnp.stack([padded_sel(da, in_d)
-                           for _, _, _, _, da, _, _ in auxes]),
-        "ow": jnp.stack([jnp.concatenate(
-            [padded_ow(qa, out_q), padded_ow(oa, out_o),
-             padded_ow(ga, out_g), padded_ow(da, out_d)], axis=1)
-            for _, qa, oa, ga, da, _, _ in auxes]),
-        "gam": jnp.stack([jnp.concatenate(
-            [qa["gamma"], ga["gamma"]], axis=0)
-            for _, qa, oa, ga, da, _, _ in auxes]),
-        "gf": jnp.asarray(np.asarray(params["final_norm"]["w"], np.float32)
-                          .reshape(1, -1), jnp.bfloat16),
-        "head": head.w.astype(jnp.bfloat16),
+
+    # assemble the stacks in ONE jitted dispatch: eager per-layer
+    # stacks/concats would be ~300 round trips on a relayed backend
+    # (minutes of pure dispatch latency for a 7b model)
+    raw = {
+        "wq": [q.qweight for q, *_ in auxes],
+        "wo": [oa["qweight"] for _, _, oa, _, _, _, _ in auxes],
+        "wg": [g.qweight for *_, g, _ in auxes],
+        "wd": [d.qweight for *_, d in auxes],
+        "sz": [[qa["sz"], oa["sz"], ga["sz"], da["sz"]]
+               for _, qa, oa, ga, da, _, _ in auxes],
+        "selqog": [[padded_sel(qa, hidden), padded_sel(oa, hidden),
+                    padded_sel(ga, hidden)]
+                   for _, qa, oa, ga, da, _, _ in auxes],
+        "seld": [padded_sel(da, in_d)
+                 for _, _, _, _, da, _, _ in auxes],
+        "ow": [[padded_ow(qa, out_q), padded_ow(oa, out_o),
+                padded_ow(ga, out_g), padded_ow(da, out_d)]
+               for _, qa, oa, ga, da, _, _ in auxes],
+        "gam": [[qa["gamma"], ga["gamma"]]
+                for _, qa, oa, ga, da, _, _ in auxes],
     }
+
+    def _assemble(r):
+        return {
+            "wq": jnp.stack(r["wq"]),
+            "wo": jnp.stack(r["wo"]),
+            "wg": jnp.stack(r["wg"]),
+            "wd": jnp.stack(r["wd"]),
+            "sz": jnp.stack([jnp.concatenate(x, axis=1)
+                             for x in r["sz"]]),
+            "selqog": jnp.stack([jnp.concatenate(x, axis=0)
+                                 for x in r["selqog"]]),
+            "seld": jnp.stack(r["seld"]),
+            "ow": jnp.stack([jnp.concatenate(x, axis=1)
+                             for x in r["ow"]]),
+            "gam": jnp.stack([jnp.concatenate(x, axis=0)
+                              for x in r["gam"]]),
+        }
+
+    import jax
+
+    fm = jax.jit(_assemble)(raw)
+    fm["gf"] = jnp.asarray(np.asarray(params["final_norm"]["w"],
+                                      np.float32).reshape(1, -1),
+                           jnp.bfloat16)
+    fm["head"] = head.w.astype(jnp.bfloat16)
     params = dict(params)
     params["fast_model"] = fm
     return params

@@ -310,7 +310,6 @@ def test_model_kernel_attached_and_parity(bits, rng, monkeypatch):
     per-layer fused path (fast_model stripped) on identical state."""
     import owq_tpu.kernels.decode_model as dm
 
-    monkeypatch.setenv("OWQ_MODEL_KERNEL", "1")
 
     calls = []
     orig = dm.model_block_reference
@@ -349,7 +348,6 @@ def test_model_kernel_attached_and_parity(bits, rng, monkeypatch):
 def test_model_kernel_greedy_decode_matches_generic(rng, monkeypatch):
     """Multi-token greedy decode through the whole-model path equals the
     same fused model decoding with fast_model stripped."""
-    monkeypatch.setenv("OWQ_MODEL_KERNEL", "1")
     cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1)
     params = _build(cfg)
     fparams, fcfg = prepare_decode_fast(params, cfg)
@@ -372,7 +370,6 @@ def test_model_kernel_gate_rejects_packed_head(rng, monkeypatch):
     cfg = dataclasses.replace(_tiny_cfg(), num_heads=2, num_kv_heads=1)
     params = _build(cfg)
     params = pack_lm_head(params, cfg, bits=3, n_weak=8)
-    monkeypatch.setenv("OWQ_MODEL_KERNEL", "1")
     fparams, _ = prepare_decode_fast(params, cfg)
     assert "fast_model" not in fparams
     assert "fast_head" in fparams

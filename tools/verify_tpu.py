@@ -23,6 +23,9 @@ Coverage (VERDICT r3 item 2 — one command a driver/judge can run):
      scatter inserts (bf16 + int8) vs serial single-slot inserts; one
      full engine decode step patched-vs-generic (token equality) and
      int8 engine step vs its dequantizing twin
+  10. whole-model decode kernel (decode_model.py): one-program step
+     (all layers + final norm + dense lm_head) vs jnp twin at cache-pos
+     edges + on-chip greedy equality vs the per-layer fused path
 
 Usage: python tools/verify_tpu.py [--quick]   (--quick = sections 1,2,8)
 """
@@ -550,6 +553,73 @@ def main() -> int:
         m = _rel_mse(lp_, lg_)
         check("engine_q8_step_vs_dequant_twin", am_ok and m < 1e-3,
               f"rmse={m:.2e} argmax_equal={bool(am_ok)}")
+
+    if not args.quick:
+        # ---- 10. whole-model decode kernel (decode_model.py) -------------
+        # One-program decode step (all layers + final norm + dense head)
+        # vs its jnp twin at cache-position edges, plus on-chip greedy
+        # equality against the per-layer fused path.  Twin gate matches
+        # the layerblock vs_twin band; cache rows allclose (the twin
+        # contracts transposed selectors in a different order — one-ulp
+        # bf16 deltas are expected).
+        import dataclasses as _dc
+        import os as _os
+
+        from owq_tpu.kernels.decode_model import (model_block_reference,
+                                                  model_block_step)
+        from owq_tpu.runtime.fuse import prepare_decode_fast
+        from owq_tpu.runtime.generate import generate as _gen
+
+        cfg_m = _dc.replace(synthetic_config("llama-tiny", max_pos=64),
+                            hidden_size=512, intermediate_size=1024,
+                            num_heads=4, num_kv_heads=2)
+        params_m = jax.jit(partial(build_synthetic, cfg_m, bits=3,
+                                   dtype=jnp.bfloat16))()
+        fp_m, fc_m = prepare_decode_fast(params_m, cfg_m)
+        check("model_kernel_bundle_attached", "fast_model" in fp_m)
+        if "fast_model" in fp_m:
+            fmb = fp_m["fast_model"]
+            S_m, hd_m, Hkv_m = 16, 128, cfg_m.num_kv_heads
+            rep_m = cfg_m.num_heads // Hkv_m
+            for pos in (0, S_m // 2, S_m - 1):
+                xm = jnp.asarray(rng.standard_normal(
+                    (1, cfg_m.hidden_size)).astype(np.float32),
+                    jnp.bfloat16)
+                ksm = jnp.asarray(rng.standard_normal(
+                    (cfg_m.num_layers, 1, S_m, Hkv_m, hd_m))
+                    .astype(np.float32), jnp.bfloat16)
+                vsm = jnp.asarray(rng.standard_normal(
+                    (cfg_m.num_layers, 1, S_m, Hkv_m, hd_m))
+                    .astype(np.float32), jnp.bfloat16)
+                cr = jnp.asarray(np.cos(np.linspace(0, 2, hd_m))
+                                 .astype(np.float32)).reshape(1, hd_m)
+                sr = jnp.asarray(np.sin(np.linspace(0, 2, hd_m))
+                                 .astype(np.float32)).reshape(1, hd_m)
+                pm = jnp.asarray(pos, jnp.int32)
+                lgm, k2m, v2m = model_block_step(
+                    xm, ksm.copy(), vsm.copy(), pm, cr, sr, fmb, bits=3,
+                    scale=hd_m ** -0.5, eps=1e-5, rep=rep_m)
+                lrm, krm, vrm = model_block_reference(
+                    xm, ksm, vsm, pm, cr, sr, fmb, bits=3,
+                    scale=hd_m ** -0.5, eps=1e-5, rep=rep_m)
+                m = _rel_mse(lgm, np.asarray(lrm)[:1])
+                cache_ok = bool(
+                    np.allclose(np.asarray(k2m, np.float32),
+                                np.asarray(krm, np.float32), atol=1e-4)
+                    and np.allclose(np.asarray(v2m, np.float32),
+                                    np.asarray(vrm, np.float32),
+                                    atol=1e-4))
+                check(f"model_kernel_pos{pos}", m < 5e-2 and cache_ok,
+                      f"vs_twin={m:.2e} cache_close={cache_ok}")
+            gp_m = {k: v for k, v in fp_m.items() if k != "fast_model"}
+            pr_m = rng.integers(0, cfg_m.vocab_size,
+                                size=(1, 5)).astype(np.int32)
+            t_f = _gen(fp_m, fc_m, pr_m, 10, max_len=24,
+                       cache_dtype=jnp.bfloat16)
+            t_g = _gen(gp_m, fc_m, pr_m, 10, max_len=24,
+                       cache_dtype=jnp.bfloat16)
+            check("model_kernel_greedy_vs_layer_path",
+                  t_f.tolist() == t_g.tolist())
 
     # ---- 8. packed model: pallas vs xla logits + decode determinism ------
     from owq_tpu.models.transformer import forward
