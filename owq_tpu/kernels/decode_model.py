@@ -62,9 +62,32 @@ __all__ = ["model_block_step", "model_block_reference",
            "model_block_applicable"]
 
 
-def _head_tile(vocab: int, hidden: int) -> int:
-    for to in (512, 256, 128):
-        if vocab % to == 0 and _SLOTS * hidden * to * 2 <= 10 << 20:
+def _vmem_base(L, S, Hkv, hd, out_q, nw_q, to_q, out_o, nw_o, to_o,
+               out_g, nw_g, to_g, out_d, nw_d, to_d, vocab, cols) -> int:
+    """VMEM bytes excluding the head ring."""
+    hidden = out_o
+    out_tot = out_q + out_o + out_g + out_d
+    in_d = out_g // 2
+    return (_SLOTS * nw_q * to_q * 4          # qkv ring
+            + nw_o * out_o * 4                # o full prefetch
+            + _SLOTS * nw_g * to_g * 4        # gate|up ring
+            + _DN_SLOTS * nw_d * to_d * 4     # down ring
+            + 2 * S * Hkv * hd * 2            # cache slabs
+            + 8 * out_q * 4 + 8 * out_g * 2   # qkv f32 + gu bf16 scratch
+            + 2 * 8 * hidden * 2              # hidden carries (x, h)
+            + 2 * out_tot * 4                 # aux: sz bundle
+            + hidden * 3 * cols * 2           #   sel q|o|g
+            + in_d * cols * 2                 #   sel d
+            + cols * out_tot * 2              #   ow bundle
+            + L * 2 * hidden * 2              # gammas (fully resident)
+            + 8 * vocab * 2)                  # logits
+
+
+def _head_tile(vocab: int, hidden: int, budget: int = 10 << 20) -> int:
+    """Largest lane tile whose 4-slot ring fits ``budget`` — bigger tiles
+    mean longer contiguous DMA strips for the dense head stream."""
+    for to in (1024, 512, 256, 128):
+        if vocab % to == 0 and _SLOTS * hidden * to * 2 <= budget:
             return to
     return 0
 
@@ -79,29 +102,15 @@ def model_block_applicable(L: int, S: int, Hkv: int, hd: int, rep: int,
                                   nw_o, out_g, nw_g, out_d, nw_d):
         return False
     hidden = out_o
-    to_h = _head_tile(vocab, hidden)
-    if to_h == 0 or rep * Hkv * hd != hidden or cols % 8 != 0:
+    if rep * Hkv * hd != hidden or cols % 8 != 0:
         return False
     to_q, to_o = _tiles(out_q, nw_q, out_o, nw_o)
     to_g = _pick_tile(out_g, nw_g, (12 << 20) // _SLOTS)
     to_d = _pick_tile(out_d, nw_d, (12 << 20) // _DN_SLOTS)
-    out_tot = out_q + out_o + out_g + out_d
-    in_d = out_g // 2
-    vmem = (_SLOTS * nw_q * to_q * 4          # qkv ring
-            + nw_o * out_o * 4                # o full prefetch
-            + _SLOTS * nw_g * to_g * 4        # gate|up ring
-            + _DN_SLOTS * nw_d * to_d * 4     # down ring
-            + _SLOTS * hidden * to_h * 2      # head ring
-            + 2 * S * Hkv * hd * 2            # cache slabs
-            + 8 * out_q * 4 + 8 * out_g * 2   # qkv f32 + gu bf16 scratch
-            + 2 * 8 * hidden * 2              # hidden carries (x, h)
-            + 2 * out_tot * 4                 # aux: sz bundle
-            + hidden * 3 * cols * 2           #   sel q|o|g
-            + in_d * cols * 2                 #   sel d
-            + cols * out_tot * 2              #   ow bundle
-            + L * 2 * hidden * 2              # gammas (fully resident)
-            + 8 * vocab * 2)                  # logits
-    return vmem <= _VMEM_BYTES
+    base = _vmem_base(L, S, Hkv, hd, out_q, nw_q, to_q, out_o, nw_o, to_o,
+                      out_g, nw_g, to_g, out_d, nw_d, to_d, vocab, cols)
+    to_h = _head_tile(vocab, hidden, _VMEM_BYTES - base)
+    return to_h != 0
 
 
 def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
@@ -132,6 +141,16 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
 
     x_s[:] = x_ref[:]
 
+    def aux_dmas(l):
+        return (pltpu.make_async_copy(sz_hbm.at[l], sz_b, asem.at[0]),
+                pltpu.make_async_copy(selqog_hbm.at[l], selqog_b,
+                                      asem.at[1]),
+                pltpu.make_async_copy(seld_hbm.at[l], seld_b, asem.at[2]),
+                pltpu.make_async_copy(ow_hbm.at[l], ow_b, asem.at[3]))
+
+    for d in aux_dmas(0):
+        d.start()
+
     def layer_body(l, _):
         def ring(w_hbm, rbuf, sem, to):
             def dma(slot, tile):
@@ -149,25 +168,21 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
                 wo_hbm.at[l, :, pl.ds(tile * to_o, to_o)], obuf.at[tile],
                 osem.at[tile])
 
-        # layer l's aux bundles: DMA'd single-buffered but waited LAZILY
-        # — the norm gammas live fully VMEM-resident ([L, 2, hidden] is
-        # ~0.5 MB), so the rmsnorm + weight-ring warmup overlap the aux
-        # flight and the first wait lands after the bytes already did
-        a_sel = pltpu.make_async_copy(selqog_hbm.at[l], selqog_b,
-                                      asem.at[1])
-        a_sz = pltpu.make_async_copy(sz_hbm.at[l], sz_b, asem.at[0])
-        a_ow = pltpu.make_async_copy(ow_hbm.at[l], ow_b, asem.at[3])
-        a_sd = pltpu.make_async_copy(seld_hbm.at[l], seld_b, asem.at[2])
-        a_sel.start()
-        a_sz.start()
-        a_ow.start()
-        a_sd.start()
+        # layer l's aux bundles were PREFETCHED at the end of layer
+        # l-1 (prologue for l=0) into the single aux buffers — safe
+        # because every read of them finishes before the down loop ends,
+        # and they hold a full layer's flight time before first use.
+        # The norm gammas live fully VMEM-resident ([L, 2, hidden]).
+        a_sz, a_sel, a_sd, a_ow = aux_dmas(l)
 
-        # weight + slab streams in flight up front
+        # qkv ring + cache slabs in flight up front.  The o prefetch
+        # and gate|up warmup are deliberately issued LATE (inside the
+        # last qkv tile, below): issued up front they land during the
+        # qkv stream and the bus then sits idle through the rope +
+        # attention VPU phase — issued late, their ~10 MB stream covers
+        # exactly that compute.
         for s in range(min(slots - 1, n_q)):
             qdma(s, s).start()
-        for t in range(n_o):
-            odma(t).start()
         kread = pltpu.make_async_copy(k_hbm.at[l, 0], kslab, csem.at[0])
         vread = pltpu.make_async_copy(v_hbm.at[l, 0], vslab, csem.at[1])
         kread.start()
@@ -199,6 +214,13 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
             @pl.when(tile + slots - 1 < n_q)
             def _():
                 qdma((tile + slots - 1) % slots, tile + slots - 1).start()
+
+            @pl.when(tile == n_q - 1)
+            def _():
+                for t in range(n_o):
+                    odma(t).start()
+                for sg_ in range(min(slots - 1, n_g)):
+                    gdma(sg_, sg_).start()
 
             qdma(slot, tile).wait()
             acc = _matvec_acc(xb, qring[slot], bits, half, two_nw_q)
@@ -267,10 +289,7 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
             ctxs.append(jnp.sum(pb * vpat, axis=0))
         ctx = ctxs[0] if rep == 1 else jnp.concatenate(ctxs, axis=0)
 
-        # --- o matvec (resident); gate|up ring starts now -------------
-        for s in range(min(slots - 1, n_g)):
-            gdma(s, s).start()
-
+        # --- o matvec (tiles landed during attention) ------------------
         xrow_b = ctx.reshape(1, in_o).astype(jnp.bfloat16)
         xrow_f = xrow_b.astype(jnp.float32)
         xsum_o = jnp.pad(jnp.sum(xrow_f, axis=1, keepdims=True),
@@ -364,6 +383,13 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
 
         jax.lax.fori_loop(0, n_d, dbody, ())
 
+        # prefetch layer l+1's aux bundles (all reads of the current
+        # ones are complete once the down loop has run)
+        @pl.when(l + 1 < L)
+        def _():
+            for d in aux_dmas(l + 1):
+                d.start()
+
         kwrite.wait()
         vwrite.wait()
         return ()
@@ -439,7 +465,9 @@ def model_block_step(x: jnp.ndarray,
     to_q, to_o = _tiles(out_q, nw_q, out_o, nw_o)
     to_g = _pick_tile(out_g, nw_g, (12 << 20) // _SLOTS)
     to_d = _pick_tile(out_d, nw_d, (12 << 20) // _DN_SLOTS)
-    to_h = _head_tile(vocab, in_q)
+    to_h = _head_tile(vocab, in_q, _VMEM_BYTES - _vmem_base(
+        L, S, Hkv, hd, out_q, nw_q, to_q, out_o, nw_o, to_o,
+        out_g, nw_g, to_g, out_d, nw_d, to_d, vocab, cols))
     rows_pad = 8
     out_tot = out_q + out_o + out_g + out_d
 
