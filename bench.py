@@ -106,9 +106,16 @@ def main() -> None:
                          "meaningful)")
     args = ap.parse_args()
 
+    import os
     from functools import partial
 
     import jax
+
+    if args.engine_only:
+        # the whole-model one-program kernel is a B=1 path; its stacked
+        # weight copies would only double HBM for an engine-only run
+        # (13b-class models + b32 KV pools get tight on a 16 GB chip)
+        os.environ.setdefault("OWQ_NO_MODEL_KERNEL", "1")
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -206,13 +213,22 @@ def main() -> None:
             # dense fp16-class head the reference serves.
             from owq_tpu.runtime.fuse import pack_lm_head
 
+            dense_head_bytes = params0["lm_head"].w.nbytes
             ph = pack_lm_head(params0, cfg, bits=args.bits, n_weak=8)
+            # serving WEIGHT bytes: the pristine set with the dense head
+            # swapped for the packed one (params0 was mutated in place by
+            # prepare_decode_fast — fast/o_attn/fast_model entries are
+            # serving-prep COPIES of weights already counted, not extra
+            # model bytes)
+            packed_head_bytes = sum(
+                leaf.nbytes
+                for leaf in jax.tree_util.tree_leaves(ph["lm_head"]))
+            ph_bytes = wbytes - dense_head_bytes + packed_head_bytes
+            ph_roof = V5E_HBM_GBPS * 1e9 / ph_bytes
             if args.fuse:
                 from owq_tpu.runtime.fuse import prepare_decode_fast
 
                 ph, _ = prepare_decode_fast(ph, cfg)
-            ph_bytes = packed_model_bytes(ph)
-            ph_roof = V5E_HBM_GBPS * 1e9 / ph_bytes
             st = benchmark_decode(ph, cfg, ids, kernel=kernel,
                                   cache_dtype=jnp.bfloat16,
                                   max_len=args.tokens,

@@ -80,14 +80,18 @@ def _vmem_base(L, S, Hkv, hd, out_q, nw_q, to_q, out_o, nw_o, to_o,
             + in_d * cols * 2                 #   sel d
             + cols * out_tot * 2              #   ow bundle
             + L * 2 * hidden * 2              # gammas (fully resident)
+            + 2 * vocab * 4 + hidden * 8 * 2 + 8 * vocab * 2  # head aux
             + 8 * vocab * 2)                  # logits
 
 
-def _head_tile(vocab: int, hidden: int, budget: int = 10 << 20) -> int:
+def _head_tile(vocab: int, hidden: int, budget: int = 10 << 20,
+               nw_h: int = 0) -> int:
     """Largest lane tile whose 4-slot ring fits ``budget`` — bigger tiles
-    mean longer contiguous DMA strips for the dense head stream."""
+    mean longer contiguous DMA strips for the head stream.  ``nw_h`` > 0
+    sizes a PACKED head ring (int32 words) instead of dense bf16."""
     for to in (1024, 512, 256, 128):
-        if vocab % to == 0 and _SLOTS * hidden * to * 2 <= budget:
+        slot = nw_h * to * 4 if nw_h else hidden * to * 2
+        if vocab % to == 0 and _SLOTS * slot <= budget:
             return to
     return 0
 
@@ -95,7 +99,7 @@ def _head_tile(vocab: int, hidden: int, budget: int = 10 << 20) -> int:
 def model_block_applicable(L: int, S: int, Hkv: int, hd: int, rep: int,
                            out_q: int, nw_q: int, out_o: int, nw_o: int,
                            out_g: int, nw_g: int, out_d: int, nw_d: int,
-                           vocab: int, cols: int) -> bool:
+                           vocab: int, cols: int, nw_h: int = 0) -> bool:
     from .decode_block import layer_block_applicable
 
     if not layer_block_applicable(S, Hkv, hd, rep, out_q, nw_q, out_o,
@@ -109,11 +113,12 @@ def model_block_applicable(L: int, S: int, Hkv: int, hd: int, rep: int,
     to_d = _pick_tile(out_d, nw_d, (12 << 20) // _DN_SLOTS)
     base = _vmem_base(L, S, Hkv, hd, out_q, nw_q, to_q, out_o, nw_o, to_o,
                       out_g, nw_g, to_g, out_d, nw_d, to_d, vocab, cols)
-    to_h = _head_tile(vocab, hidden, _VMEM_BYTES - base)
+    to_h = _head_tile(vocab, hidden, _VMEM_BYTES - base, nw_h)
     return to_h != 0
 
 
 def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
+                  hsz_ref, hsel_ref, how_ref,
                   sz_hbm, selqog_hbm, seld_hbm, ow_hbm,
                   k_hbm, v_hbm, wq_hbm, wo_hbm, wg_hbm, wd_hbm, head_hbm,
                   logits_ref, ko_ref, vo_ref,
@@ -127,7 +132,7 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
                   S: int, rep: int, Hkv: int, hd: int, scale: float,
                   eps: float, in_q: int, pad_q: int, in_o: int, pad_o: int,
                   in_d: int, pad_d: int, cols: int, rows_pad: int,
-                  out_dtype):
+                  head_packed: bool, nw_h: int, pad_h: int, out_dtype):
     pos = pos_ref[0, 0]
     two_nw_q = 2 * wq_hbm.shape[1]
     two_nw_o = 2 * wo_hbm.shape[1]
@@ -396,7 +401,7 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
 
     jax.lax.fori_loop(0, L, layer_body, (), unroll=False)
 
-    # --- final rmsnorm + dense lm_head ring ---------------------------
+    # --- final rmsnorm + lm_head ring (dense bf16 OR packed words) ----
     def hdma(slot, tile):
         return pltpu.make_async_copy(
             head_hbm.at[:, pl.ds(tile * to_h, to_h)], hring.at[slot],
@@ -407,8 +412,15 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
 
     xf = x_s[:].astype(jnp.float32)
     ms = jnp.sum(xf * xf, axis=1, keepdims=True) * (1.0 / in_q)
-    hb = (xf * jax.lax.rsqrt(ms + eps)
-          * gf_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    hn = xf * jax.lax.rsqrt(ms + eps) * gf_ref[:].astype(jnp.float32)
+    hb = hn.astype(jnp.bfloat16)
+    if head_packed:
+        hsum = jnp.sum(hn, axis=1, keepdims=True)
+        xo_h = jnp.dot(hb, hsel_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+        if pad_h:
+            hb = jnp.pad(hb, ((0, 0), (0, pad_h)))
 
     def hbody(tile, _):
         slot = tile % _SLOTS
@@ -418,7 +430,15 @@ def _model_kernel(pos_ref, x_ref, crow_ref, srow_ref, gf_ref, gam_ref,
             hdma((tile + _SLOTS - 1) % _SLOTS, tile + _SLOTS - 1).start()
 
         hdma(slot, tile).wait()
-        y = jnp.dot(hb, hring[slot], preferred_element_type=jnp.float32)
+        if head_packed:
+            acc = _matvec_acc(hb, hring[slot], bits, half, 2 * nw_h)
+            sh = hsz_ref[0:1, pl.ds(tile * to_h, to_h)]
+            ch = hsz_ref[1:2, pl.ds(tile * to_h, to_h)]
+            y = acc * sh - hsum * ch
+            y = y + jnp.dot(xo_h, how_ref[:, pl.ds(tile * to_h, to_h)],
+                            preferred_element_type=jnp.float32)
+        else:
+            y = jnp.dot(hb, hring[slot], preferred_element_type=jnp.float32)
         logits_ref[:, pl.ds(tile * to_h, to_h)] = y.astype(out_dtype)
         return ()
 
@@ -452,6 +472,8 @@ def model_block_step(x: jnp.ndarray,
     _, nw_g, out_g = wg.shape
     _, nw_d, out_d = wd.shape
     vocab = fm["head"].shape[1]
+    head_packed = "hsz" in fm
+    nw_h = fm["head"].shape[0] if head_packed else 0
     cols = fm["selqog"].shape[1] // 3
     v = values_per_word(bits)
     in_q = x.shape[1]
@@ -460,15 +482,17 @@ def model_block_step(x: jnp.ndarray,
     assert B == 1 and x.shape == (1, in_q)
     assert model_block_applicable(L, S, Hkv, hd, rep, out_q, nw_q, out_o,
                                   nw_o, out_g, nw_g, out_d, nw_d, vocab,
-                                  cols)
+                                  cols, nw_h)
     assert k_stack.dtype == jnp.bfloat16 and v_stack.dtype == jnp.bfloat16
     to_q, to_o = _tiles(out_q, nw_q, out_o, nw_o)
     to_g = _pick_tile(out_g, nw_g, (12 << 20) // _SLOTS)
     to_d = _pick_tile(out_d, nw_d, (12 << 20) // _DN_SLOTS)
     to_h = _head_tile(vocab, in_q, _VMEM_BYTES - _vmem_base(
         L, S, Hkv, hd, out_q, nw_q, to_q, out_o, nw_o, to_o,
-        out_g, nw_g, to_g, out_d, nw_d, to_d, vocab, cols))
+        out_g, nw_g, to_g, out_d, nw_d, to_d, vocab, cols), nw_h)
     rows_pad = 8
+    one_f = jnp.zeros((1, 1), jnp.float32)
+    one_b = jnp.zeros((1, 1), jnp.bfloat16)
     out_tot = out_q + out_o + out_g + out_d
 
     xp = jnp.pad(x.astype(jnp.bfloat16), ((0, rows_pad - 1), (0, 0)))
@@ -482,9 +506,11 @@ def model_block_step(x: jnp.ndarray,
             rep=rep, Hkv=Hkv, hd=hd, scale=scale, eps=eps, in_q=in_q,
             pad_q=nw_q * v - in_q, in_o=in_o, pad_o=nw_o * v - in_o,
             in_d=in_d, pad_d=nw_d * v - in_d, cols=cols,
-            rows_pad=rows_pad, out_dtype=out_dtype),
+            rows_pad=rows_pad, head_packed=head_packed, nw_h=nw_h,
+            pad_h=(nw_h * v - in_q) if head_packed else 0,
+            out_dtype=out_dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
         + [pl.BlockSpec(memory_space=pltpu.HBM)] * 4
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.HBM)] * 5,
@@ -503,7 +529,8 @@ def model_block_step(x: jnp.ndarray,
             pltpu.VMEM((out_o // to_o, nw_o, to_o), jnp.int32),
             pltpu.VMEM((_SLOTS, nw_g, to_g), jnp.int32),
             pltpu.VMEM((_DN_SLOTS, nw_d, to_d), jnp.int32),
-            pltpu.VMEM((_SLOTS, in_q, to_h), jnp.bfloat16),
+            (pltpu.VMEM((_SLOTS, nw_h, to_h), jnp.int32) if head_packed
+             else pltpu.VMEM((_SLOTS, in_q, to_h), jnp.bfloat16)),
             pltpu.VMEM((S, Hkv, hd), k_stack.dtype),
             pltpu.VMEM((S, Hkv, hd), v_stack.dtype),
             pltpu.VMEM((1, Hkv, hd), k_stack.dtype),
@@ -524,7 +551,7 @@ def model_block_step(x: jnp.ndarray,
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
-        input_output_aliases={10: 1, 11: 2},
+        input_output_aliases={13: 1, 14: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BYTES + (8 << 20)),
         cost_estimate=pl.CostEstimate(
@@ -539,7 +566,9 @@ def model_block_step(x: jnp.ndarray,
         name=f"owq_model_block_{bits}b",
     )(pos.reshape(1, 1).astype(jnp.int32), xp,
       crow.astype(jnp.float32), srow.astype(jnp.float32), fm["gf"],
-      fm["gam"], fm["sz"], fm["selqog"], fm["seld"], fm["ow"],
+      fm["gam"],
+      fm.get("hsz", one_f), fm.get("hsel", one_b), fm.get("how", one_b),
+      fm["sz"], fm["selqog"], fm["seld"], fm["ow"],
       k_stack, v_stack, wq, wo, wg, wd, fm["head"])
     return logits[:1], k_out, v_out
 
@@ -581,6 +610,14 @@ def model_block_reference(x, k_stack, v_stack, pos, crow, srow, fm, *,
             h, ks, vs, pos, crow, srow, fm["wq"][l], qaux, fm["wo"][l],
             oaux, fm["wg"][l], gaux, fm["wd"][l], daux, bits=bits,
             layer=l, scale=scale, eps=eps, rep=rep, out_dtype=jnp.bfloat16)
+    if "hsz" in fm:  # packed lm_head (fused final-norm + packed matvec)
+        from .gemv_fused import fused_matvec_reference
+
+        logits = fused_matvec_reference(
+            h.astype(jnp.bfloat16), fm["head"], fm["hsz"], bits=bits,
+            pre="rmsnorm", gamma=fm["gf"], sel=fm["hsel"], ow=fm["how"],
+            eps=eps, out_dtype=out_dtype)
+        return logits, ks, vs
     hf = h.astype(jnp.float32)
     ms = jnp.mean(hf * hf, axis=1, keepdims=True)
     hn = ((hf * jax.lax.rsqrt(ms + eps)).astype(jnp.bfloat16)

@@ -323,7 +323,11 @@ def prepare_model_kernel(params: Dict[str, Any], cfg: ModelConfig
             "OWQ_NO_MODEL_KERNEL"):
         return params
     head = params.get("lm_head")
-    if not isinstance(head, DenseLinear) or head.b is not None:
+    head_packed = isinstance(head, PackedLinear)
+    if head_packed:
+        if head.layout != "paired" or head.bias is not None:
+            return params
+    elif not isinstance(head, DenseLinear) or head.b is not None:
         return params
     if (params.get("project_out") is not None
             or params.get("final_norm") is None
@@ -411,7 +415,23 @@ def prepare_model_kernel(params: Dict[str, Any], cfg: ModelConfig
     fm["gf"] = jnp.asarray(np.asarray(params["final_norm"]["w"],
                                       np.float32).reshape(1, -1),
                            jnp.bfloat16)
-    fm["head"] = head.w.astype(jnp.bfloat16)
+    if head_packed:
+        # packed lm_head rides the head ring as int32 words with the
+        # scale/zero correction + weak columns fused like the layers
+        if head.bits != auxes[0][0].bits:
+            return params
+        from ..kernels.gemv_fused import make_fast_aux
+
+        ha = make_fast_aux(head)
+        ch = 8 if ha["sel"] is None else ha["sel"].shape[1]
+        fm["head"] = jax.lax.stop_gradient(head.qweight)
+        fm["hsz"] = ha["sz"]
+        fm["hsel"] = (ha["sel"] if ha["sel"] is not None
+                      else jnp.zeros((hidden, ch), jnp.bfloat16))
+        fm["how"] = (ha["ow"] if ha["ow"] is not None
+                     else jnp.zeros((ch, head.out_features), jnp.bfloat16))
+    else:
+        fm["head"] = head.w.astype(jnp.bfloat16)
     params = dict(params)
     params["fast_model"] = fm
     return params

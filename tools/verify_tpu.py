@@ -610,14 +610,16 @@ def main() -> int:
                 # the per-layer band is ~5e-2 and compounds over L, so
                 # the twin logits gate is loose; the SERVING receipt is
                 # the greedy-equality row below)
+                # one bf16 ulp is 2^-8 relative — rtol must sit
+                # above it (atol=1e-4 would flag O(1) values)
                 row0_ok = bool(
                     np.allclose(np.asarray(k2m, np.float32)[0, :, pos],
                                 np.asarray(krm, np.float32)[0, :, pos],
-                                atol=1e-4)
+                                rtol=1e-2, atol=1e-3)
                     and np.allclose(
                         np.asarray(v2m, np.float32)[0, :, pos],
                         np.asarray(vrm, np.float32)[0, :, pos],
-                        atol=1e-4))
+                        rtol=1e-2, atol=1e-3))
                 check(f"model_kernel_pos{pos}", m < 0.5 and row0_ok,
                       f"vs_twin={m:.2e} layer0_row_close={row0_ok}")
             gp_m = {k: v for k, v in fp_m.items() if k != "fast_model"}
