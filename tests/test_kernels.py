@@ -83,11 +83,17 @@ def test_kernel_output_width_not_tile_multiple(rng):
 
 def test_engine_attn_reference_semantics(rng):
     """engine_attn_reference (jnp twin of the experimental batched engine
-    attention kernel) == per-slot masked softmax oracle, incl. the empty
-    slot, write-index clamp, and GQA head-major ctx layout."""
+    attention kernel, parked under tools/) == per-slot masked softmax
+    oracle, incl. the empty slot, write-index clamp, and GQA head-major
+    ctx layout."""
+    import os
+    import sys
+
     import jax.numpy as jnp
 
-    from owq_tpu.kernels.attn_engine import engine_attn_reference
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from exp_attn_engine import engine_attn_reference
 
     L, B, S, Hkv, hd, rep = 2, 4, 16, 2, 128, 2
     Hq = rep * Hkv

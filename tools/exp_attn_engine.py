@@ -1,4 +1,6 @@
-"""Batched decode attention for the continuous-batching engine: per-slot
+"""[EXPERIMENT — parked with receipts, lives under tools/ not the package]
+
+Batched decode attention for the continuous-batching engine: per-slot
 VALID-LENGTH cache reads + in-place appends on the [L, B, S, Hkv, hd]
 stacks, as one pallas program per layer.
 

@@ -7,7 +7,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from owq_tpu.kernels.attn_engine import (engine_attn_applicable,
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from exp_attn_engine import (engine_attn_applicable,
                                          engine_attn_reference,
                                          engine_attn_step)
 
